@@ -1,0 +1,128 @@
+"""Text normalization -- the `formatLine` / `unquote` analogue.
+
+Reference semantics reimplemented from scratch (not ported):
+- canonical key normalization: Unicode case-fold + NFC + control chars -> "_"
+  (reference: cmd/qrank-builder/util.go:115-117,232-250).
+- language-code remap table incl. als->gsw, simple->en-x-simple, locale-aware
+  Turkish/Azeri lowercasing (reference: cmd/qrank-builder/util.go:119-230,
+  golden-tested at util_test.go:67-161).
+- JSON string unquoting with surrogate-pair handling (reference:
+  cmd/qrank-builder/util.go:253-405).
+
+All functions here are pure and vectorization-friendly; the Dataset stage
+wrapping them lives in stages/normalize.py.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import unicodedata
+
+# Language-code remap (reference util.go:119-230). Keys are wiki language
+# subdomains; values are BCP-47-ish codes the reference canonicalizes to.
+_LANG_REMAP = {
+    "als": "gsw",
+    "bat-smg": "sgs",
+    "be-x-old": "be-tarask",
+    "bh": "bho",
+    "cbk-zam": "cbk",
+    "commons": "und",
+    "fiu-vro": "vro",
+    "incubator": "und",
+    "map-bms": "map-x-bms",
+    "media": "und",
+    "meta": "und",
+    "nah": "nci",
+    "no": "nb",
+    "roa-rup": "rup",
+    "roa-tara": "nap-x-tara",
+    "simple": "en-x-simple",
+    "sources": "und",
+    "species": "und",
+    "wikidata": "und",
+    "zh-classical": "lzh",
+    "zh-min-nan": "nan",
+    "zh-yue": "yue",
+}
+
+# Locale-special lowercasing: Turkish / Azeri dotted-I rules
+# (reference util.go:131-132, 211-212).
+_TURKIC_LANGS = {"tr", "az"}
+
+_CTRL_RE = re.compile(r"[\x00-\x1f\x7f-\x9f]")
+
+
+def remap_lang(code: str) -> str:
+    """Canonicalize a wiki language code (util.go:119-230 semantics)."""
+    code = code.strip().lower()
+    return _LANG_REMAP.get(code, code)
+
+
+def _turkic_lower(s: str) -> str:
+    # Turkish/Azeri: I -> dotless i, dotted capital I -> i.
+    return s.replace("İ", "i").replace("I", "ı").replace("İ", "i").lower()
+
+
+def normalize_text(s: str, lang: str | None = None) -> str:
+    """Canonical text normalization (util.go:115-117,232-250 semantics):
+    case-fold (locale-aware for tr/az), NFC normalize, control chars -> "_".
+    """
+    if lang is not None and remap_lang(lang).split("-")[0] in _TURKIC_LANGS:
+        s = _turkic_lower(s)
+    else:
+        s = s.casefold()
+    s = unicodedata.normalize("NFC", s)
+    return _CTRL_RE.sub("_", s)
+
+
+def normalize_text_sql_parity(s: str) -> str:
+    """Simple-lowercase + NFC variant with exact DuckDB parity:
+    ``nfc_normalize(lower(s))``. Used by oracle-checked queries; the full
+    case-fold variant above is golden-tested instead (casefold has no exact
+    ANSI-SQL equivalent, e.g. casefold('ß') == 'ss' but lower('ß') == 'ß').
+    """
+    return unicodedata.normalize("NFC", s.lower())
+
+
+_SURROGATE_RE = re.compile(r"[\ud800-\udfff]")
+
+
+def unquote(s: str) -> str:
+    """Decode a JSON string body (without surrounding quotes), tolerating
+    malformed escapes and lone surrogates by coercing to U+FFFD
+    (util.go:253-405 semantics: never fail, coerce malformed input).
+    """
+    try:
+        out = json.loads('"' + s + '"')
+    except (json.JSONDecodeError, ValueError):
+        # Fall back: unescape what we can, replace broken escapes.
+        out = ""
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c != "\\":
+                out += c
+                i += 1
+                continue
+            if i + 1 >= n:
+                out += "�"
+                break
+            e = s[i + 1]
+            simple = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+                      '"': '"', "\\": "\\", "/": "/"}
+            if e in simple:
+                out += simple[e]
+                i += 2
+            elif e == "u" and i + 6 <= n:
+                try:
+                    cp = int(s[i + 2:i + 6], 16)
+                    out += chr(cp)
+                except ValueError:
+                    out += "�"
+                i += 6
+            else:
+                out += "�"
+                i += 2
+    # Coerce any lone surrogates that survived decoding.
+    return _SURROGATE_RE.sub("�", out)

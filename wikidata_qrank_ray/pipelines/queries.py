@@ -1,0 +1,656 @@
+"""The queries() registry: every implemented operator/pipeline, each paired
+with an exact DuckDB oracle (oracle_sql()) over the same Parquet tables.
+
+The transcript corpus and its dictionary tables (gazetteer, aliases) are
+DERIVED from the driver's ``documents`` table by pure, SQL-expressible rules
+(see sources/transcripts.py, sources/gazetteer.py) so the oracle can rebuild
+the identical inputs inside one SQL statement -- every KG stage therefore
+has a value-exact correctness gate, mirroring how the reference pins its
+behavior with golden-output Go tests (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.qid import qid_num
+from ..sources.gazetteer import GAZETTEER_TOP_N, build_aliases, build_gazetteer
+from ..sources.tables import read_table
+from ..sources.transcripts import derive_transcripts
+from ..stages.canonicalize import canonicalize_ranks, canonicalize_triples, resolve_aliases
+from ..stages.dedup import exact_dedup, minhash_dedup, simhash_signatures
+from ..stages.mentions import detect_mentions
+from ..stages.normalize import normalize_stage_sql_parity
+from ..stages.rank import qrank_order, rollup, salted_rollup
+from ..stages.similarity import ann_brute_topk, ann_lsh_topk
+from ..stages.stats import rank_stats_table
+from ..stages.textstats import fingerprints, lang_id, quality_scores, token_counts
+from ..stages.triples import extract_triples
+
+# ---------------------------------------------------------------------------
+# SQL building blocks (DuckDB; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+SQL_TURNS = """
+turns AS (
+  SELECT 'c' || CAST(doc_id // 8 AS VARCHAR) AS conv_id,
+         CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+         CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text,
+         CASE WHEN doc_id % 3 = 2 THEN source ELSE '' END AS tool,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
+  FROM documents
+)"""
+
+SQL_GAZ = f"""
+gaz AS (
+  SELECT 'Q' || CAST(rnk AS VARCHAR) AS qid, surface, prior FROM (
+    SELECT surface, CAST(COUNT(*) AS BIGINT) AS prior,
+           row_number() OVER (ORDER BY COUNT(*) DESC, surface ASC) AS rnk
+    FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS surface FROM documents)
+    WHERE surface NOT IN ('the', 'a')
+    GROUP BY surface
+  ) WHERE rnk <= {GAZETTEER_TOP_N}
+)"""
+
+SQL_HITS = """
+ttoks AS (
+  SELECT conv_id, turn_idx, tool,
+         unnest(regexp_extract_all(text, '\\S+')) AS surface
+  FROM turns
+),
+hits AS (
+  SELECT t.conv_id, t.turn_idx, t.tool, g.qid, t.surface
+  FROM ttoks t JOIN gaz g USING (surface)
+)"""
+
+SQL_RANK = """
+erank AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS mention_count FROM hits GROUP BY qid
+)"""
+
+SQL_ALIAS = """
+alias AS (
+  SELECT qid AS from_qid,
+         'Q' || CAST(CASE WHEN CAST(substr(qid, 2) AS BIGINT) % 5 = 0
+                          THEN CAST(substr(qid, 2) AS BIGINT) - 1
+                          ELSE CAST(substr(qid, 2) AS BIGINT) - 2 END AS VARCHAR) AS to_qid
+  FROM gaz
+  WHERE CAST(substr(qid, 2) AS BIGINT) % 5 IN (0, 4)
+),
+resolve AS (
+  SELECT g.qid, COALESCE(a2.to_qid, a1.to_qid, g.qid) AS canon
+  FROM gaz g
+  LEFT JOIN alias a1 ON g.qid = a1.from_qid
+  LEFT JOIN alias a2 ON COALESCE(a1.to_qid, g.qid) = a2.from_qid
+)"""
+
+SQL_TRIPLES = """
+m AS (SELECT DISTINCT conv_id, turn_idx, qid FROM hits),
+co AS (
+  SELECT a.qid AS subj, 'co_occurs' AS pred, b.qid AS obj,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM m a JOIN m b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND CAST(substr(a.qid, 2) AS BIGINT) < CAST(substr(b.qid, 2) AS BIGINT)
+  GROUP BY a.qid, b.qid
+),
+tooltr AS (
+  SELECT qid AS subj, 'observed_via_tool' AS pred, tool AS obj,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM (SELECT DISTINCT conv_id, turn_idx, qid, tool FROM hits WHERE tool <> '')
+  GROUP BY qid, tool
+),
+triples AS (SELECT * FROM co UNION ALL SELECT * FROM tooltr)"""
+
+
+def _with(*parts: str, select: str) -> str:
+    return "WITH " + ",".join(parts) + "\n" + select
+
+
+# ---------------------------------------------------------------------------
+# Ray-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _gaz_ref(sf_dir: str):
+    return ray.put(build_gazetteer(sf_dir))
+
+
+def _mapping_ref(sf_dir: str):
+    gaz = build_gazetteer(sf_dir)
+    return ray.put(resolve_aliases(build_aliases(gaz))), ray.put(gaz)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts_ingest(sf_dir: str):
+    return derive_transcripts(sf_dir)
+
+
+def q_normalize_turns(sf_dir: str):
+    ds = normalize_stage_sql_parity(derive_transcripts(sf_dir))
+    return ds.select_columns(["conv_id", "turn_idx", "norm_text"])
+
+
+def q_tool_turns(sf_dir: str):
+    ds = derive_transcripts(sf_dir)
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["tool"], "")).select(["conv_id", "turn_idx", "tool"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_gazetteer(sf_dir: str):
+    return build_gazetteer(sf_dir)
+
+
+def q_mentions(sf_dir: str):
+    ds = derive_transcripts(sf_dir)
+    return detect_mentions(ds, _gaz_ref(sf_dir), mode="mentions")
+
+
+def q_entity_rank(sf_dir: str):
+    ds = derive_transcripts(sf_dir)
+    partial = detect_mentions(ds, _gaz_ref(sf_dir), mode="partial_counts")
+    return rollup(partial)
+
+
+def q_entity_rank_salted(sf_dir: str):
+    ds = derive_transcripts(sf_dir)
+    partial = detect_mentions(ds, _gaz_ref(sf_dir), mode="partial_counts")
+    return salted_rollup(partial)
+
+
+def q_qrank(sf_dir: str):
+    return qrank_order(q_entity_rank(sf_dir))
+
+
+def q_aliases(sf_dir: str):
+    return build_aliases(build_gazetteer(sf_dir))
+
+
+def q_canonical_rank(sf_dir: str):
+    mapping_ref, gaz_ref = _mapping_ref(sf_dir)
+    ds = derive_transcripts(sf_dir)
+    partial = detect_mentions(ds, gaz_ref, mode="partial_counts")
+    return canonicalize_ranks(rollup(partial), mapping_ref)
+
+
+def q_canonical_qrank(sf_dir: str):
+    return qrank_order(q_canonical_rank(sf_dir))
+
+
+def q_triples(sf_dir: str):
+    ds = derive_transcripts(sf_dir)
+    return extract_triples(ds, _gaz_ref(sf_dir))
+
+
+def q_canonical_triples(sf_dir: str):
+    mapping_ref, gaz_ref = _mapping_ref(sf_dir)
+    ds = derive_transcripts(sf_dir)
+    return canonicalize_triples(extract_triples(ds, gaz_ref), mapping_ref)
+
+
+def q_rank_stats(sf_dir: str):
+    return rank_stats_table(q_canonical_qrank(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Engine ops (TPC-H-ish) -- groupby-agg, joins, top-k, windows
+# ---------------------------------------------------------------------------
+
+
+def _round3(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(3)
+    return df
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered groupby-aggregate over lineitem."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc_price,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas()
+    df["count_order"] = df["count_order"].astype(np.int64)
+    return _round3(df, ["sum_qty", "sum_base_price", "sum_disc_price"])
+
+
+def q_top_orders_by_revenue(sf_dir: str):
+    """Join customer ⨝ orders ⨝ lineitem (broadcast small dims), grouped
+    revenue, deterministic top-10."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keep_cust = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    keep_orders = set(orders.loc[orders["o_custkey"].isin(keep_cust), "o_orderkey"])
+    keys_ref = ray.put(keep_orders)
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        b = batch[batch["l_orderkey"].isin(keys)]
+        out = pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+            }
+        )
+        return out.groupby("o_orderkey", as_index=False)["revenue"].sum()
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    agg = li.map_batches(rev, batch_format="pandas").groupby("o_orderkey").sum("revenue")
+    df = agg.to_pandas().rename(columns={"sum(revenue)": "revenue"})
+    df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+    return _round3(df.reset_index(drop=True), ["revenue"])
+
+
+def q_brand_revenue(sf_dir: str):
+    """lineitem ⨝ part via broadcast dict lookup inside map_batches."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    def add_brand(batch: pd.DataFrame) -> pd.DataFrame:
+        brands = ray.get(brand_ref)
+        out = pd.DataFrame(
+            {
+                "p_brand": batch["l_partkey"].map(brands),
+                "revenue": batch["l_extendedprice"] * (1 - batch["l_discount"]),
+            }
+        )
+        return out.groupby("p_brand", as_index=False)["revenue"].sum()
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+    agg = li.map_batches(add_brand, batch_format="pandas").groupby("p_brand").sum("revenue")
+    df = agg.to_pandas().rename(columns={"sum(revenue)": "revenue"})
+    return _round3(df, ["revenue"])
+
+
+def q_region_customers(sf_dir: str):
+    """customer ⨝ nation ⨝ region with the dimension chain broadcast."""
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2n = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2n[v] for k, v in n2r.items()})
+
+    def to_region(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lookup_ref)
+        out = pd.DataFrame({"r_name": batch["c_nationkey"].map(lut)})
+        g = out.groupby("r_name", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
+    agg = cust.map_batches(to_region, batch_format="pandas").groupby("r_name").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "n_customers"})
+    df["n_customers"] = df["n_customers"].astype(np.int64)
+    return df
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h window aggregate per user over the events stream table."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "hour_us": batch["ts"].dt.floor("h").astype("int64") // 1000,
+                "value": batch["value"],
+            }
+        )
+        g = out.groupby(["user_id", "hour_us"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ev.map_batches(bucket, batch_format="pandas")
+        .groupby(["user_id", "hour_us"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    )
+    df = agg.to_pandas()
+    df["hour"] = pd.to_datetime(df.pop("hour_us"), unit="us")
+    df["n_events"] = df["n_events"].astype(np.int64)
+    df = _round3(df, ["sum_value"])
+    return df[["user_id", "hour", "n_events", "sum_value"]]
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (30 min inactivity gap) per user: groupby(user) +
+    ordered per-group window logic -- the streaming-shaped operator."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum().astype(np.int64) + 1
+        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_event_type_counts(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["event_type"])
+    agg = ev.groupby("event_type").count()
+    df = agg.to_pandas().rename(columns={"count()": "n"})
+    df["n"] = df["n"].astype(np.int64)
+    return df
+
+
+def q_distinct_langs(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["lang"])
+    return pd.DataFrame({"lang": sorted(docs.unique("lang"))})
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    return exact_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_token_counts(sf_dir: str):
+    return token_counts(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_quality_scores(sf_dir: str):
+    return quality_scores(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().set_index("vec_id")
+    return np.array(df.loc[0, "embedding"], dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_brute_topk(emb, _query_vec(sf_dir), k=10)
+
+
+def q_ann_lsh(sf_dir: str):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_lsh_topk(emb, _query_vec(sf_dir), k=10)
+
+
+def q_minhash_dedup(sf_dir: str):
+    return minhash_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8)
+
+
+def q_simhash(sf_dir: str):
+    return simhash_signatures(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_lang_id(sf_dir: str):
+    return lang_id(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_fingerprints(sf_dir: str):
+    return fingerprints(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        # KG pipeline (SURVEY.md §7 stages)
+        "transcripts_ingest": q_transcripts_ingest,
+        "normalize_turns": q_normalize_turns,
+        "tool_turns": q_tool_turns,
+        "gazetteer": q_gazetteer,
+        "aliases": q_aliases,
+        "mentions": q_mentions,
+        "entity_rank": q_entity_rank,
+        "entity_rank_salted": q_entity_rank_salted,
+        "qrank": q_qrank,
+        "canonical_rank": q_canonical_rank,
+        "canonical_qrank": q_canonical_qrank,
+        "triples": q_triples,
+        "canonical_triples": q_canonical_triples,
+        "rank_stats": q_rank_stats,
+        # engine ops
+        "pricing_summary": q_pricing_summary,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "brand_revenue": q_brand_revenue,
+        "region_customers": q_region_customers,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "event_type_counts": q_event_type_counts,
+        "distinct_langs": q_distinct_langs,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+    }
+
+
+def oracle_sql():
+    qrank_select = """
+SELECT qid, mention_count AS rank_value,
+       CAST(row_number() OVER (ORDER BY mention_count DESC,
+                               CAST(substr(qid, 2) AS BIGINT) ASC) AS BIGINT) AS rank_pos
+FROM erank"""
+    crank_cte = """
+crank AS (
+  SELECT r.canon AS qid, CAST(SUM(e.mention_count) AS BIGINT) AS mention_count
+  FROM erank e JOIN resolve r ON e.qid = r.qid
+  GROUP BY r.canon
+)"""
+    canon_triples_select = """
+SELECT subj, pred, obj, CAST(SUM(weight) AS BIGINT) AS weight FROM (
+  SELECT CASE WHEN t.pred = 'co_occurs'
+               AND CAST(substr(rs.canon, 2) AS BIGINT) > CAST(substr(ro.canon, 2) AS BIGINT)
+              THEN ro.canon ELSE rs.canon END AS subj,
+         t.pred AS pred,
+         CASE WHEN t.pred = 'co_occurs'
+              THEN CASE WHEN CAST(substr(rs.canon, 2) AS BIGINT) > CAST(substr(ro.canon, 2) AS BIGINT)
+                        THEN rs.canon ELSE ro.canon END
+              ELSE t.obj END AS obj,
+         t.weight AS weight
+  FROM triples t
+  JOIN resolve rs ON t.subj = rs.qid
+  LEFT JOIN resolve ro ON t.pred = 'co_occurs' AND t.obj = ro.qid
+)
+WHERE NOT (pred = 'co_occurs' AND subj = obj)
+GROUP BY subj, pred, obj"""
+    return {
+        "transcripts_ingest": _with(SQL_TURNS, select="SELECT * FROM turns"),
+        "normalize_turns": _with(
+            SQL_TURNS,
+            select="SELECT conv_id, turn_idx, nfc_normalize(lower(text)) AS norm_text FROM turns",
+        ),
+        "tool_turns": _with(
+            SQL_TURNS, select="SELECT conv_id, turn_idx, tool FROM turns WHERE tool <> ''"
+        ),
+        "gazetteer": _with(SQL_GAZ, select="SELECT qid, surface, prior FROM gaz"),
+        "aliases": _with(SQL_GAZ, SQL_ALIAS, select="SELECT from_qid, to_qid FROM alias"),
+        "mentions": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS,
+            select="SELECT DISTINCT conv_id, turn_idx, qid, surface FROM hits",
+        ),
+        "entity_rank": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK,
+            select="SELECT qid, mention_count FROM erank",
+        ),
+        "entity_rank_salted": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK,
+            select="SELECT qid, mention_count FROM erank",
+        ),
+        "qrank": _with(SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, select=qrank_select),
+        "canonical_rank": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS, crank_cte,
+            select="SELECT qid, mention_count FROM crank",
+        ),
+        "canonical_qrank": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS, crank_cte,
+            select=qrank_select.replace("FROM erank", "FROM crank"),
+        ),
+        "triples": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES,
+            select="SELECT subj, pred, obj, weight FROM triples",
+        ),
+        "canonical_triples": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            select=canon_triples_select,
+        ),
+        "rank_stats": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS, crank_cte,
+            select="""
+SELECT CAST(COUNT(*) AS BIGINT) AS entity_count,
+       (SELECT mention_count FROM (
+          SELECT mention_count,
+                 row_number() OVER (ORDER BY mention_count DESC,
+                                    CAST(substr(qid, 2) AS BIGINT) ASC) AS rp
+          FROM crank)
+        WHERE rp = (SELECT (COUNT(*) + 1) // 2 FROM crank)) AS median_value,
+       CAST(MAX(mention_count) AS BIGINT) AS max_value,
+       CAST(MIN(mention_count) AS BIGINT) AS min_value,
+       CAST(SUM(mention_count) AS BIGINT) AS total_mass
+FROM crank""",
+        ),
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 3) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "top_orders_by_revenue": """
+SELECT o_orderkey, revenue FROM (
+  SELECT o.o_orderkey AS o_orderkey,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey
+)
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10""",
+        "brand_revenue": """
+SELECT p.p_brand AS p_brand,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand""",
+        "region_customers": """
+SELECT r.r_name AS r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name""",
+        "events_hourly": """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 3) AS sum_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)""",
+        "sessionize": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM numbered
+GROUP BY user_id, session_id""",
+        "event_type_counts": """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type""",
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "dedup_exact": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text""",
+        "token_counts": r"""
+SELECT doc_id,
+       CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+FROM documents""",
+        "quality_scores": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(array_length(list_filter(regexp_extract_all(text, '\S+'),
+                                              x -> x IN ('the', 'a'))), 0) AS BIGINT) AS stopword_cnt
+FROM documents""",
+        "ann_topk": """
+SELECT pos, vec_id FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id ASC) AS BIGINT) AS pos,
+         e.vec_id AS vec_id
+  FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+)
+WHERE pos <= 10""",
+        # ann_lsh / minhash_dedup / simhash / lang_id / fingerprints /
+        # sessionize-free ops: non-SQL-expressible or hash-seeded -> rows-only
+        # (driver records the weaker check; see __ray_entry__.oracle_sql)
+    }

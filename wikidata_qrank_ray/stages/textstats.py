@@ -1,0 +1,117 @@
+"""Text analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All stateless vectorized ``map_batches`` except LangId (compiled profiles
+held per actor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import rolling_fingerprint
+from ..sources.gazetteer import STOPWORDS
+
+
+def _count_tokens(batch: pa.Table) -> pa.Table:
+    parts = pc.split_pattern_regex(batch["text"], r"\s+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts)
+    nonempty = pc.not_equal(flat, "")
+    parent_np = parent.filter(nonempty).to_numpy()
+    n = batch.num_rows
+    counts = np.bincount(parent_np, minlength=n).astype(np.int64)
+    return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(counts)})
+
+
+def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens): whitespace-token count, \\S+ semantics."""
+    return docs.map_batches(_count_tokens, batch_format="pyarrow")
+
+
+def _quality(batch: pa.Table) -> pa.Table:
+    parts = pc.split_pattern_regex(batch["text"], r"\s+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts)
+    nonempty = pc.not_equal(flat, "")
+    flat_f = flat.filter(nonempty)
+    parent_np = parent.filter(nonempty).to_numpy()
+    n = batch.num_rows
+    n_tokens = np.bincount(parent_np, minlength=n).astype(np.int64)
+    is_stop = pc.is_in(flat_f, value_set=pa.array(list(STOPWORDS))).to_numpy(zero_copy_only=False)
+    stop_cnt = np.bincount(parent_np[is_stop], minlength=n).astype(np.int64)
+    n_chars = pc.utf8_length(batch["text"]).to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tokens),
+            "stopword_cnt": pa.array(stop_cnt),
+        }
+    )
+
+
+def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_chars, n_tokens, stopword_cnt) -- integer quality signals
+    (length / stopword ratios are derived downstream; integers keep exact
+    oracle parity)."""
+    return docs.map_batches(_quality, batch_format="pyarrow")
+
+
+# character-trigram profiles per language (tiny deterministic stand-in for a
+# real n-gram model; container has no langid lib)
+_LANG_PROFILES = {
+    "en": ("the", " th", "ing", "and", " an"),
+    "de": ("der", "die", "und", "sch", "ein"),
+    "fr": ("les", " de", "ent", "que", " la"),
+    "es": (" de", "los", " la", "que", "ión"),
+    "zh": (),  # CJK: detected by codepoint range instead
+}
+
+
+class LangId:
+    """Actor-pool language-ID heuristic: trigram profiles compiled once per
+    actor; per-batch vectorized scoring."""
+
+    def __init__(self):
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].str.lower()
+        scores = pd.DataFrame(index=batch.index)
+        for lang, grams in self.profiles.items():
+            s = None
+            for g in grams:
+                c = texts.str.count(g, flags=0) if g else 0
+                s = c if s is None else s + c
+            scores[lang] = s
+        cjk = texts.str.contains(r"[一-鿿]", regex=True)
+        pred = scores.idxmax(axis=1).where(scores.max(axis=1) > 0, "und")
+        pred = pred.mask(cjk, "zh")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
+
+
+def lang_id(docs: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
+    return docs.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
+
+
+def _fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+    fps = np.fromiter(
+        (rolling_fingerprint(t) & 0x7FFFFFFFFFFFFFFF for t in batch["text"]),
+        dtype=np.int64,
+        count=len(batch),
+    )
+    return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fps})
+
+
+def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, fingerprint): deterministic rolling-hash document id."""
+    return docs.map_batches(_fingerprint, batch_format="pandas")
