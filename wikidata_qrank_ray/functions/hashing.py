@@ -45,19 +45,37 @@ def shingles(tokens: list[str], k: int = 3) -> list[str]:
 
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """MinHash signature of one document.
-
-    ``a``/``b`` are the (num_perm,) universal-hash coefficients (odd a).
-    h_i(x) = ((a_i * x + b_i) mod p) for p = 2^61-1, then min over shingles.
+    """MinHash signature of one document: min over shingles of the affine
+    mixes h_i(x) = a_i*x + b_i in uint64 wrap-around arithmetic (the
+    standard vectorized MinHash construction; wrap-around multiply by an
+    odd constant is a bijection on Z_2^64, so each h_i is a permutation).
     Returns (num_perm,) uint64.
     """
     if shingle_hashes.size == 0:
         return np.full(a.shape, np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = shingle_hashes.astype(np.object_)  # python ints: exact mod-p arithmetic
-    sig = np.empty(a.shape, dtype=np.uint64)
-    for i in range(a.shape[0]):
-        vals = (int(a[i]) * x + int(b[i])) % _MERSENNE_P
-        sig[i] = np.uint64(min(vals))
+    x = shingle_hashes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        m = a[None, :] * x[:, None] + b[None, :]
+    return m.min(axis=0)
+
+
+def minhash_signatures_batch(
+    shingle_hashes: np.ndarray, starts: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Batched MinHash: one (total_shingles,) hash array + per-doc start
+    offsets -> (n_docs, num_perm) uint64 via a single segmented min
+    (np.minimum.reduceat). Empty docs (start == next start) get max."""
+    n_docs = len(starts)
+    if shingle_hashes.size == 0:
+        return np.full((n_docs, a.shape[0]), np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = shingle_hashes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        m = a[None, :] * x[:, None] + b[None, :]
+    # reduceat requires strictly valid starts; guard empty segments
+    counts = np.diff(np.append(starts, len(x)))
+    safe_starts = np.minimum(starts, len(x) - 1)
+    sig = np.minimum.reduceat(m, safe_starts, axis=0)
+    sig[counts == 0] = np.iinfo(np.uint64).max
     return sig
 
 
@@ -72,12 +90,22 @@ def simhash64(token_hash_arr: np.ndarray) -> np.uint64:
     """64-bit SimHash over token hashes (unweighted)."""
     if token_hash_arr.size == 0:
         return np.uint64(0)
-    bits = ((token_hash_arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for j in range(64):
-        if votes[j] > 0:
-            out |= np.uint64(1) << np.uint64(j)
+    return simhash64_batch(token_hash_arr, np.array([0]))[0]
+
+
+def simhash64_batch(token_hashes: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Batched SimHash: (total_tokens,) hashes + per-doc starts ->
+    (n_docs,) uint64 via one segmented bit-vote sum."""
+    n_docs = len(starts)
+    if token_hashes.size == 0:
+        return np.zeros(n_docs, dtype=np.uint64)
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    votes01 = np.add.reduceat(bits, np.minimum(starts, len(token_hashes) - 1), axis=0)
+    counts = np.diff(np.append(starts, len(token_hashes)))
+    votes = 2 * votes01 - counts[:, None]  # +1 per set bit, -1 per unset
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    out = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    out[counts == 0] = np.uint64(0)
     return out
 
 

@@ -257,18 +257,24 @@ def q_pricing_summary(sf_dir: str):
     return _round3(df, ["sum_qty", "sum_base_price", "sum_disc_price"])
 
 
-def q_top_orders_by_revenue(sf_dir: str):
-    """Join customer ⨝ orders ⨝ lineitem (broadcast small dims), grouped
-    revenue, deterministic top-10."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keep_cust = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
-    keep_orders = set(orders.loc[orders["o_custkey"].isin(keep_cust), "o_orderkey"])
-    keys_ref = ray.put(keep_orders)
+class _SegmentRevenue:
+    """Actor-pool stage: the semi-join key set (orders of BUILDING-segment
+    customers) is broadcast once and deserialized once per actor in
+    __init__ (sorted array + searchsorted membership), never per batch."""
 
-    def rev(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        b = batch[batch["l_orderkey"].isin(keys)]
+    def __init__(self, keys_ref):
+        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        self.keys = np.sort(np.asarray(keys, dtype=np.int64))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ok = batch["l_orderkey"].to_numpy()
+        if len(self.keys) == 0:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                                 "revenue": pd.Series([], dtype=np.float64)})
+        pos = np.searchsorted(self.keys, ok)
+        pos[pos == len(self.keys)] = 0
+        mask = self.keys[pos] == ok
+        b = batch[mask]
         out = pd.DataFrame(
             {
                 "o_orderkey": b["l_orderkey"],
@@ -277,9 +283,30 @@ def q_top_orders_by_revenue(sf_dir: str):
         )
         return out.groupby("o_orderkey", as_index=False)["revenue"].sum()
 
+
+def q_top_orders_by_revenue(sf_dir: str):
+    """customer ⨝ orders ⨝ lineitem as a broadcast semi-join + partial
+    revenue sums + hash-partitioned final aggregate; deterministic top-10."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keep_cust = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    keep_orders = orders.loc[orders["o_custkey"].isin(keep_cust), "o_orderkey"].to_numpy()
+    keys_ref = ray.put(keep_orders)
+
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    agg = li.map_batches(rev, batch_format="pandas").groupby("o_orderkey").sum("revenue")
-    df = agg.to_pandas().rename(columns={"sum(revenue)": "revenue"})
+    partial = li.map_batches(
+        _SegmentRevenue,
+        fn_constructor_kwargs={"keys_ref": keys_ref},
+        batch_format="pandas",
+        batch_size=65536,
+        concurrency=4,
+    )
+    agg = hash_partition_aggregate(
+        partial, ["o_orderkey"], {"revenue": ("revenue", "sum")}, partial=False
+    )
+    df = agg.to_pandas()
     df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
     return _round3(df.reset_index(drop=True), ["revenue"])
 
@@ -327,7 +354,12 @@ def q_region_customers(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    """Tumbling 1h window aggregate per user over the events stream table."""
+    """Tumbling 1h window aggregate per user over the events stream table.
+    (user, hour) cardinality ~= row count, so this uses the map-side
+    partial + hash-partitioned final aggregate, not Ray's per-group
+    aggregate (see stages/groupby.py)."""
+    from ..stages.groupby import hash_partition_aggregate
+
     ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -343,12 +375,12 @@ def q_events_hourly(sf_dir: str):
         )
         return g
 
-    from ray.data.aggregate import Sum
-
-    agg = (
-        ev.map_batches(bucket, batch_format="pandas")
-        .groupby(["user_id", "hour_us"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    partial = ev.map_batches(bucket, batch_format="pandas", batch_size=65536)
+    agg = hash_partition_aggregate(
+        partial,
+        ["user_id", "hour_us"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+        partial=False,
     )
     df = agg.to_pandas()
     df["hour"] = pd.to_datetime(df.pop("hour_us"), unit="us")
@@ -358,24 +390,47 @@ def q_events_hourly(sf_dir: str):
 
 
 def q_sessionize(sf_dir: str):
-    """Session windows (30 min inactivity gap) per user: groupby(user) +
-    ordered per-group window logic -- the streaming-shaped operator."""
+    """Session windows (30 min inactivity gap) per user: hash-partitioned
+    vectorized window sweep -- the streaming-shaped operator. Shuffle key is
+    the partition id, not the (potentially huge) user id space; within a
+    partition the whole sweep is one sort + cumsum, no per-user loop."""
+    from ..stages.groupby import hash_partition_apply
+
     ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "session_id": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "session_start": pd.Series([], dtype="datetime64[us]"),
+                    "session_end": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum().astype(np.int64) + 1
-        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
-            n_events=("event_id", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
+        new_sess = (new_user | gap).to_numpy()
+        run_id = np.cumsum(new_sess)  # global run counter across users
+        out = (
+            g.assign(_run=run_id)
+            .groupby("_run", as_index=False, sort=False)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+            )
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
+        # per-user 1-based session numbering from the global run ids
+        out["session_id"] = out.groupby("user_id", sort=False).cumcount() + 1
         out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+        out["session_id"] = out["session_id"].astype(np.int64)
+        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return hash_partition_apply(ev, ["user_id"], sessions)
 
 
 def q_event_type_counts(sf_dir: str):

@@ -23,22 +23,23 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import (
-    _token_hashes,
     minhash_coeffs,
-    minhash_signature,
+    minhash_signatures_batch,
     shingles,
-    simhash64,
+    simhash64_batch,
+    stable_hash64,
 )
 
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """Keep the smallest doc_id per identical text: one hash-shuffle groupby.
-    -> (doc_id, text)."""
-    agg = docs.groupby("text").min("doc_id")
-    return agg.map_batches(
-        lambda t: pa.table({"doc_id": t["min(doc_id)"], "text": t["text"]}),
-        batch_format="pyarrow",
-    )
+    """Keep the smallest doc_id per identical text -> (doc_id, text).
+    Group count == distinct-text count (high cardinality), so this is a
+    map-side partial min + hash-partitioned final min, not a per-group
+    Ray aggregate (stages/groupby.py rationale)."""
+    from .groupby import hash_partition_aggregate
+
+    agg = hash_partition_aggregate(docs, ["text"], {"doc_id": ("doc_id", "min")})
+    return agg.map_batches(lambda df: df[["doc_id", "text"]], batch_format="pandas")
 
 
 class _SigStage:
@@ -52,13 +53,18 @@ class _SigStage:
 
 class MinHashSignatures(_SigStage):
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
-        for text in batch["text"]:
-            sh = shingles(text.split(), self.k)
-            sigs.append(minhash_signature(_token_hashes(sh), self.a, self.b))
-        batch = batch[["doc_id"]].copy()
-        batch["sig"] = [s.astype(np.int64).tobytes() for s in sigs]
-        return batch
+        # batched: one vectorized hash of every shingle in the batch, one
+        # segmented min -- no per-document numpy round trips
+        all_sh: list[str] = []
+        starts = np.empty(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch["text"]):
+            starts[i] = len(all_sh)
+            all_sh.extend(shingles(text.split(), self.k))
+        hashes = stable_hash64(all_sh) if all_sh else np.array([], dtype=np.uint64)
+        sigs = minhash_signatures_batch(hashes, starts, self.a, self.b)
+        out = batch[["doc_id"]].copy()
+        out["sig"] = [s.astype(np.int64).tobytes() for s in sigs]
+        return out
 
 
 def minhash_band_rows(sig_ds: ray.data.Dataset, bands: int, rows_per_band: int) -> ray.data.Dataset:
@@ -90,19 +96,25 @@ def minhash_band_rows(sig_ds: ray.data.Dataset, bands: int, rows_per_band: int) 
 
 
 def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> pd.DataFrame:
-    """groupby (band_id, band_hash) -> emit doc-id pairs per bucket.
-    Bucket sizes are bounded in practice (near-dup clusters); pairs are the
-    small output that reaches the driver."""
+    """(band_id, band_hash) buckets -> doc-id pairs. Bucket count ~= doc
+    count x bands (high cardinality), so buckets are co-located by a
+    hash-partitioned shuffle and paired with one vectorized sweep per
+    partition; only the (small) pair set reaches the driver."""
+    from .groupby import hash_partition_apply
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        # pair each doc with the bucket minimum: enough edges for connected
-        # components, O(n) not O(n^2) per bucket
-        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
+    def _pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized bucket sweep: pair each doc with its bucket minimum --
+        # enough edges for connected components, O(n) not O(n^2) per bucket
+        g = g.drop_duplicates(["band_id", "band_hash", "doc_id"]).sort_values(
+            ["band_id", "band_hash", "doc_id"], kind="mergesort"
+        )
+        first = g.groupby(["band_id", "band_hash"], sort=False)["doc_id"].transform("first")
+        mask = g["doc_id"].to_numpy() != first.to_numpy()
+        return pd.DataFrame(
+            {"a": first.to_numpy()[mask], "b": g["doc_id"].to_numpy()[mask]}
+        )
 
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(_pairs, batch_format="pandas")
+    pairs = hash_partition_apply(band_rows, ["band_id", "band_hash"], _pairs_part)
     df = pairs.to_pandas()
     return df.drop_duplicates().reset_index(drop=True)
 
@@ -173,11 +185,15 @@ def minhash_dedup(
 
 class SimHasher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        all_t: list[str] = []
+        starts = np.empty(len(batch), dtype=np.int64)
+        for i, t in enumerate(batch["text"]):
+            starts[i] = len(all_t)
+            all_t.extend(t.split())
+        hashes = stable_hash64(all_t) if all_t else np.array([], dtype=np.uint64)
+        sigs = simhash64_batch(hashes, starts)
         out = batch[["doc_id"]].copy()
-        out["simhash"] = [
-            np.int64(np.uint64(simhash64(_token_hashes(t.split()))).view(np.int64))
-            for t in batch["text"]
-        ]
+        out["simhash"] = sigs.view(np.int64)
         return out
 
 

@@ -23,10 +23,25 @@ from ..functions.textnorm import normalize_text
 
 def _norm_full(batch: pa.Table) -> pa.Table:
     # append, don't overwrite: the raw ``text`` column must survive end-to-end
-    # (per-turn text equality invariant, BASELINE.json input_hint)
-    texts = batch["text"].to_numpy(zero_copy_only=False)
-    out = np.array([normalize_text(t) for t in texts], dtype=object)
-    return batch.append_column("norm_text", pa.array(out, type=pa.string()))
+    # (per-turn text equality invariant, BASELINE.json input_hint).
+    #
+    # Vectorized fast path: for ASCII strings casefold==lower and NFC is the
+    # identity, so lower + ctrl->"_" runs entirely in Arrow kernels; only
+    # non-ASCII rows take the per-row casefold+NFC fallback.
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    fast = pc.replace_substring_regex(pc.utf8_lower(col), r"[\x00-\x1f\x7f-\x9f]", "_")
+    ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    if bool(ascii_mask.all()):
+        out_arr = fast
+    else:
+        vals = np.asarray(fast.to_numpy(zero_copy_only=False), dtype=object)
+        texts = col.to_numpy(zero_copy_only=False)
+        for i in np.nonzero(~ascii_mask)[0]:
+            vals[i] = normalize_text(texts[i])
+        out_arr = pa.array(vals, type=pa.string())
+    return batch.append_column("norm_text", out_arr)
 
 
 def _norm_sql(batch: pa.Table) -> pa.Table:
