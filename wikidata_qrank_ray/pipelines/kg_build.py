@@ -18,12 +18,10 @@ import ray.data
 
 from ..sources.gazetteer import build_aliases
 from ..sources.transcripts import derive_transcripts
-from ..stages.canonicalize import canonicalize_ranks, canonicalize_triples, resolve_aliases
-from ..stages.mentions import detect_mentions
+from ..stages.canonicalize import resolve_aliases
 from ..stages.normalize import normalize_stage
-from ..stages.rank import qrank_order, salted_rollup
+from ..stages.rank import qrank_order
 from ..stages.stats import rank_stats
-from ..stages.triples import extract_triples
 from ..state.checkpoint import CheckpointManager, lineage_fingerprint
 
 
@@ -31,24 +29,16 @@ def _gazetteer_from_turns(
     turns: ray.data.Dataset, top_n: int = 30, text_col: str = "text"
 ) -> pd.DataFrame:
     """Gazetteer from the corpus itself (token frequency, stopwords dropped,
-    qid = 'Q'+rank). Map-side partial value_counts -> tiny groupby."""
-    from ..sources.gazetteer import STOPWORDS, _partial_counts
+    qid = 'Q'+rank). Map-side partial value_counts per batch, driver-side
+    merge of the vocabulary-sized partials."""
+    from ..sources.gazetteer import _partial_counts, merge_token_partials
 
     partial = turns.map_batches(
         lambda t: _partial_counts(t.select([text_col]).rename_columns(["text"])),
         batch_format="pyarrow",
+        batch_size=32768,
     )
-    df = partial.groupby("surface").sum("cnt").to_pandas()
-    df = df[~df["surface"].isin(STOPWORDS)]
-    df = df.sort_values(["sum(cnt)", "surface"], ascending=[False, True], kind="mergesort")
-    df = df.head(top_n).reset_index(drop=True)
-    return pd.DataFrame(
-        {
-            "qid": ["Q" + str(i + 1) for i in range(len(df))],
-            "surface": df["surface"].to_numpy(),
-            "prior": df["sum(cnt)"].astype("int64").to_numpy(),
-        }
-    )
+    return merge_token_partials(partial.to_pandas(), top_n)
 
 
 def run(
@@ -100,41 +90,69 @@ def run(
     gaz_ref = ray.put(gaz)
     mapping_ref = ray.put(mapping)
 
-    # Stage 3: triples (extract -> canonicalize -> sort -> partitioned parquet)
-    def write_triples(tmp: str) -> int:
-        tr = extract_triples(
-            norm, gaz_ref, concurrency=concurrency, batch_size=batch_size, text_col="norm_text"
-        )
-        ct = canonicalize_triples(tr, mapping_ref)
-        ct = ct.sort(["subj", "pred", "obj"])
-        ct.write_parquet(tmp)
-        return _rows_in_dir(tmp)
+    # Stage 3 (fused): ONE actor-pool pass over the corpus emits canonical
+    # triple partials AND occurrence-count partials (tagged MENTIONS_PRED);
+    # ONE groupby shuffle dedups/sums both. Canonicalization is folded into
+    # the automaton (alias closure known up front), which is weight-identical
+    # to rewrite-then-merge and avoids a second shuffle. Map-side combine
+    # already collapses hot keys to one row per batch -- stronger than
+    # reducer-side salting (salted_rollup remains the documented skew path
+    # for pre-aggregated inputs, stages/rank.py).
+    import pyarrow.compute as pc
 
-    triples_path = ckpt.run_stage(
-        "triples", lineage_fingerprint(norm_path, gl, "triples-v1"), write_triples
-    )
+    from ..stages.triples import MENTIONS_PRED, TripleExtractor
 
-    # Stage 4: entity rank (salted rollup -> canonicalize -> qrank order)
-    def write_rank(tmp: str) -> int:
-        partial = detect_mentions(
-            norm,
-            gaz_ref,
-            mode="partial_counts",
-            concurrency=concurrency,
-            batch_size=batch_size,
-            text_col="norm_text",
+    def write_graph(tmp: str) -> int:
+        # dictionary is small here -> prebuilt matcher instance on elastic
+        # TASKS (scales to every CPU, no actor-pool startup). For large
+        # gazetteers pass the CLASS with fn_constructor_kwargs +
+        # concurrency=N instead (actor pool: dictionary built once per
+        # actor, not shipped per task) -- both paths share TripleExtractor.
+        extractor = TripleExtractor(
+            gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True
         )
-        ranked = canonicalize_ranks(salted_rollup(partial), mapping_ref)
-        qdf = qrank_order(ranked)
+        partial = norm.map_batches(
+            extractor, batch_format="pyarrow", batch_size=batch_size
+        )
+        # final combine on the driver: partials are entity-space sized
+        # (<= vocab^2/2 + vocab rows per batch), so the merged table is tiny.
+        # At larger entity vocabularies this becomes
+        # stages.groupby.hash_partition_aggregate -- Ray's Aggregate operator
+        # costs ~0.2s per input BLOCK and would dominate these tiny partials.
+        adf = (
+            partial.to_pandas()
+            .groupby(["subj", "pred", "obj"], as_index=False)["w"]
+            .sum()
+            .rename(columns={"w": "weight"})
+        )
+        is_cnt = adf["pred"] == MENTIONS_PRED
+        triples_df = (
+            adf[~is_cnt]
+            .sort_values(["subj", "pred", "obj"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        os.makedirs(os.path.join(tmp, "triples"), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(triples_df, preserve_index=False),
+            os.path.join(tmp, "triples", "part-00000.parquet"),
+        )
+        ranks = ray.data.from_pandas(
+            adf[is_cnt][["subj", "weight"]].rename(
+                columns={"subj": "qid", "weight": "mention_count"}
+            )
+        )
+        qdf = qrank_order(ranks)
         pq.write_table(
             pa.Table.from_pandas(qdf, preserve_index=False), os.path.join(tmp, "qrank.parquet")
         )
         qdf.to_csv(os.path.join(tmp, "qrank.csv"), index=False)
-        return len(qdf)
+        return _rows_in_dir(os.path.join(tmp, "triples")) + len(qdf)
 
-    rank_path = ckpt.run_stage(
-        "qrank", lineage_fingerprint(norm_path, gl, "rank-v1"), write_rank
+    graph_path = ckpt.run_stage(
+        "graph", lineage_fingerprint(norm_path, gl, "graph-v1"), write_graph
     )
+    triples_path = os.path.join(graph_path, "triples")
+    rank_path = graph_path
 
     # Stage 5: stats JSON (stats.go:28-139 semantics)
     def write_stats(tmp: str) -> int:
@@ -156,3 +174,65 @@ def run(
         "stats": stats_path,
         "metrics": ckpt.stage_metrics(),
     }
+
+
+def run_streaming(
+    transcripts_path: str,
+    concurrency: int = 8,
+    batch_size: int = 32768,
+) -> dict:
+    """Fully streaming flagship: read -> normalize -> canonical triple +
+    count extraction -> one groupby -> qrank order, with NO mid-pipeline
+    materialization (the checkpointed ``run`` trades this for per-stage
+    resume). Two passes over the input total: one to build the gazetteer
+    dictionary, one fused extraction pass. Returns in-memory results
+    (entity-space sized)."""
+    import pyarrow.compute as pc
+
+    from ..stages.triples import MENTIONS_PRED, TripleExtractor
+
+    # block count ~ 2x the worker slots: fewer, bigger blocks keep the
+    # driver's per-task coordination (~10-30ms/task) off the critical path;
+    # 224 auto-split blocks cost ~13s of serial driver time at any CPU count
+    n_blocks = max(8, concurrency * 4)
+    # prune at the read: the dictionary pass touches only ``text``, the
+    # extraction pass only ``text``+``tool`` -- no other column leaves
+    # storage (conv_id/turn_idx/role/ts stay in the Parquet files)
+    ds = ray.data.read_parquet(
+        transcripts_path, columns=["text"], override_num_blocks=n_blocks
+    )
+    norm = normalize_stage(ds)
+
+    gaz = _gazetteer_from_turns(norm, text_col="norm_text")
+    aliases = build_aliases(gaz)
+    mapping = resolve_aliases(aliases)
+
+    # prebuilt matcher on elastic tasks (small dictionary; see write_graph
+    # note for the actor-pool variant used with large gazetteers)
+    extractor = TripleExtractor(
+        gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True
+    )
+    partial = normalize_stage(
+        ray.data.read_parquet(
+            transcripts_path, columns=["text", "tool"], override_num_blocks=n_blocks
+        )
+    ).map_batches(extractor, batch_format="pyarrow", batch_size=batch_size)
+    # driver-side final combine of the entity-space-sized partials (see
+    # write_graph note; scale path = hash_partition_aggregate)
+    adf = (
+        partial.to_pandas()
+        .groupby(["subj", "pred", "obj"], as_index=False)["w"]
+        .sum()
+        .rename(columns={"w": "weight"})
+    )
+    is_cnt = adf["pred"] == MENTIONS_PRED
+    triples = (
+        adf[~is_cnt]
+        .sort_values(["subj", "pred", "obj"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ranks = adf[is_cnt][["subj", "weight"]].rename(
+        columns={"subj": "qid", "weight": "mention_count"}
+    )
+    qdf = qrank_order(ray.data.from_pandas(ranks)) if len(ranks) else ranks
+    return {"triples": triples, "qrank": qdf, "stats": rank_stats(qdf)}

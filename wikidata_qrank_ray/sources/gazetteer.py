@@ -32,7 +32,8 @@ _WS = re.compile(r"\s+")
 def tokens_of_batch(text_col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """All \\S+ tokens of a string column, flattened (vectorized: regex split
     -> list flatten -> drop empties)."""
-    parts = pc.split_pattern_regex(text_col, r"\s+")
+    # ascii whitespace split == RE2 \s+ (oracle regexp_extract_all('\S+'))
+    parts = pc.ascii_split_whitespace(text_col)
     flat = pc.list_flatten(parts)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
@@ -50,24 +51,31 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_gazetteer(sf_dir: str, top_n: int = GAZETTEER_TOP_N) -> pd.DataFrame:
-    """-> DataFrame(qid, surface, prior) with qid='Q'+rank, rank by
-    (count desc, surface asc). Small result: safe to materialize."""
-    docs = read_table(sf_dir, "documents", columns=["text"])
-    partial = docs.map_batches(_partial_counts, batch_format="pyarrow")
-    agg = partial.groupby("surface").sum("cnt")
-    df = agg.to_pandas()  # tiny: distinct vocabulary only
+def merge_token_partials(partial_df: pd.DataFrame, top_n: int) -> pd.DataFrame:
+    """Driver-side final combine of per-batch token-count partials (the
+    mergeable-sketch pattern: partials are vocabulary-sized, so the merge is
+    trivially small -- Ray's Aggregate operator costs ~0.2s per input block
+    and would dominate here)."""
+    df = partial_df.groupby("surface", as_index=False)["cnt"].sum()
     df = df[~df["surface"].isin(STOPWORDS)]
-    df = df.sort_values(["sum(cnt)", "surface"], ascending=[False, True], kind="mergesort")
+    df = df.sort_values(["cnt", "surface"], ascending=[False, True], kind="mergesort")
     df = df.head(top_n).reset_index(drop=True)
-    out = pd.DataFrame(
+    return pd.DataFrame(
         {
             "qid": ["Q" + str(i + 1) for i in range(len(df))],
             "surface": df["surface"].to_numpy(),
-            "prior": df["sum(cnt)"].astype("int64").to_numpy(),
+            "prior": df["cnt"].astype("int64").to_numpy(),
         }
     )
-    return out
+
+
+def build_gazetteer(sf_dir: str, top_n: int = GAZETTEER_TOP_N) -> pd.DataFrame:
+    """-> DataFrame(qid, surface, prior) with qid='Q'+rank, rank by
+    (count desc, surface asc). Map-side partial value_counts per batch,
+    driver-side merge of the tiny partials."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    partial = docs.map_batches(_partial_counts, batch_format="pyarrow")
+    return merge_token_partials(partial.to_pandas(), top_n)
 
 
 def build_aliases(gazetteer: pd.DataFrame) -> pd.DataFrame:

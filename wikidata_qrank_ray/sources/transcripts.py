@@ -98,43 +98,60 @@ def synth_transcripts_parquet(
             if f.read() == marker:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    per_shard = n_turns // shards
+    args = []
+    for s in range(shards):
+        n = per_shard if s < shards - 1 else n_turns - per_shard * (shards - 1)
+        args.append((out_dir, s, seed, s * per_shard, n, tokens_per_turn))
+    import ray
+
+    if ray.is_initialized():
+        # generation is embarrassingly parallel: one Ray task per shard
+        fn = ray.remote(_write_synth_shard)
+        ray.get([fn.remote(*a) for a in args])
+    else:
+        for a in args:
+            _write_synth_shard(*a)
+    with open(done, "w") as f:
+        f.write(marker)
+    return out_dir
+
+
+def _write_synth_shard(
+    out_dir: str, s: int, seed: int, start: int, n: int, tokens_per_turn: int
+) -> str:
     ent = np.array(_VOCAB_ENTITIES, dtype=object)
     fil = np.array(_VOCAB_FILLER, dtype=object)
     # Zipf ranks over entities, fixed across shards.
     zipf_w = 1.0 / np.arange(1, len(ent) + 1) ** 1.1
     zipf_w /= zipf_w.sum()
-    per_shard = n_turns // shards
-    for s in range(shards):
-        path = os.path.join(out_dir, f"part-{s:05d}.parquet")
-        rng = np.random.RandomState(seed * 1000 + s)
-        n = per_shard if s < shards - 1 else n_turns - per_shard * (shards - 1)
-        gid = np.arange(s * per_shard, s * per_shard + n, dtype=np.int64)
-        ntok = tokens_per_turn
-        is_ent = rng.random_sample((n, ntok)) < 0.6
-        ent_pick = ent[rng.choice(len(ent), size=(n, ntok), p=zipf_w)]
-        fil_pick = fil[rng.randint(0, len(fil), size=(n, ntok))]
-        words = np.where(is_ent, ent_pick, fil_pick)
-        texts = [" ".join(row) for row in words]
-        role_idx = (gid % 3).astype(np.int64)
-        roles = np.array(_ROLES, dtype=object)[role_idx]
-        tools = np.where(
-            role_idx == 2,
-            np.array(_TOOLS, dtype=object)[(gid % len(_TOOLS)).astype(np.int64)],
-            "",
-        )
-        t = pa.table(
-            {
-                "conv_id": pa.array([f"c{int(g) // TURNS_PER_CONV}" for g in gid], type=pa.string()),
-                "turn_idx": pa.array((gid % TURNS_PER_CONV).astype(np.int32)),
-                "role": pa.array(roles, type=pa.string()),
-                "text": pa.array(texts, type=pa.string()),
-                "tool": pa.array(tools, type=pa.string()),
-                "ts": pa.array(_TS_BASE_US + gid * 1_000_000, type=pa.timestamp("us")),
-            }
-        )
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)  # atomic per-shard commit (pageviews.go:98-102 idea)
-    with open(done, "w") as f:
-        f.write(marker)
-    return out_dir
+    path = os.path.join(out_dir, f"part-{s:05d}.parquet")
+    rng = np.random.RandomState(seed * 1000 + s)
+    gid = np.arange(start, start + n, dtype=np.int64)
+    ntok = tokens_per_turn
+    is_ent = rng.random_sample((n, ntok)) < 0.6
+    ent_pick = ent[rng.choice(len(ent), size=(n, ntok), p=zipf_w)]
+    fil_pick = fil[rng.randint(0, len(fil), size=(n, ntok))]
+    words = np.where(is_ent, ent_pick, fil_pick)
+    texts = [" ".join(row) for row in words]
+    role_idx = (gid % 3).astype(np.int64)
+    roles = np.array(_ROLES, dtype=object)[role_idx]
+    tools = np.where(
+        role_idx == 2,
+        np.array(_TOOLS, dtype=object)[(gid % len(_TOOLS)).astype(np.int64)],
+        "",
+    )
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{int(g) // TURNS_PER_CONV}" for g in gid], type=pa.string()),
+            "turn_idx": pa.array((gid % TURNS_PER_CONV).astype(np.int32)),
+            "role": pa.array(roles, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "tool": pa.array(tools, type=pa.string()),
+            "ts": pa.array(_TS_BASE_US + gid * 1_000_000, type=pa.timestamp("us")),
+        }
+    )
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)  # atomic per-shard commit (pageviews.go:98-102 idea)
+    return path

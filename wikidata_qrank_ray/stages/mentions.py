@@ -7,14 +7,16 @@ Here the dictionary is a gazetteer (surface -> [(qid, prior), ...]) built
 once per actor in ``__init__`` from a ``ray.put`` broadcast ref -- never
 re-shipped per batch -- and matching is a token-level automaton:
 
-- single-token surfaces: vectorized dictionary-encode + unique-value lookup
-  (the hot path; equivalent to Aho-Corasick over a 1-gram dictionary);
+- single-token surfaces (the hot path): Arrow dictionary-encode the token
+  stream once, resolve only the (tiny) unique-token set through the dict,
+  then work entirely in integer entity ordinals -- counts via np.bincount,
+  no per-token Python or object arrays;
 - multi-token surfaces: greedy longest-match over the token stream per turn
-  (Aho-Corasick semantics for a small pattern set).
+  (Aho-Corasick semantics for a small pattern set; unit-tested path).
 
 Entity linking picks the candidate with the highest popularity prior
 (qviews-like prior column), ties broken by ascending numeric qid --
-the reference's priors-by-pageviews idea (doc/design.md qviews).
+the reference's priors-by-pageviews idea.
 """
 
 from __future__ import annotations
@@ -27,11 +29,16 @@ import ray
 import ray.data
 
 
-def _tokenize_with_parents(text_col) -> tuple[np.ndarray, np.ndarray]:
-    """-> (tokens: object ndarray, parent_row: int64 ndarray), dropping
-    empty tokens produced by leading/trailing whitespace. Fully vectorized
-    (Arrow regex split + list flatten + parent indices)."""
-    parts = pc.split_pattern_regex(text_col, r"\s+")
+def _tokenize_arrow(text_col) -> tuple[pa.Array, np.ndarray]:
+    """-> (tokens as one flat Arrow string array, parent row index per
+    token), dropping empty tokens. Fully vectorized; the token strings stay
+    in Arrow (zero object-array materialization).
+
+    ascii_split_whitespace splits on [ \\t\\n\\v\\f\\r] exactly like RE2's
+    \\s+ (the oracle's regexp_extract_all('\\S+')) and is ~6x faster than
+    the regex kernel; empty fragments from leading/trailing whitespace are
+    filtered identically."""
+    parts = pc.ascii_split_whitespace(text_col)
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     flat = pc.list_flatten(parts)
@@ -39,7 +46,15 @@ def _tokenize_with_parents(text_col) -> tuple[np.ndarray, np.ndarray]:
     mask = pc.not_equal(flat, "")
     flat = flat.filter(mask)
     parent = parent.filter(mask)
-    return flat.to_numpy(zero_copy_only=False), parent.to_numpy()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, parent.to_numpy()
+
+
+# kept for the multi-token/unit-test path
+def _tokenize_with_parents(text_col) -> tuple[np.ndarray, np.ndarray]:
+    flat, parent = _tokenize_arrow(text_col)
+    return flat.to_numpy(zero_copy_only=False), parent
 
 
 def gazetteer_to_dict(gaz: pd.DataFrame) -> dict[str, list[tuple[str, int]]]:
@@ -66,7 +81,8 @@ class GazetteerMatcher:
       pageviews.go:520-523)
     """
 
-    def __init__(self, gaz_ref, mode: str = "mentions", text_col: str = "text"):
+    def __init__(self, gaz_ref, mode: str = "mentions", text_col: str = "text",
+                 mapping_ref=None):
         gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
         self.cands = gazetteer_to_dict(gaz)
         # best (linked) candidate per surface, precomputed once per actor
@@ -74,57 +90,75 @@ class GazetteerMatcher:
         self.max_len = max((len(s.split(" ")) for s in self.cands), default=1)
         self.mode = mode
         self.text_col = text_col
+        # integer entity ordinals, ordered by numeric qid (the rank /
+        # pair-canonicalization sort key)
+        qids = sorted({c[0] for c in self.best.values()}, key=lambda q: int(q[1:]))
+        ord_of_qid = {q: i for i, q in enumerate(qids)}
+        self.ord_of_surface = {s: ord_of_qid[c[0]] for s, c in self.best.items()}
+        if mapping_ref is not None:
+            # fold the alias closure into the automaton: surfaces resolve
+            # straight to canonical ordinals, so downstream pair generation /
+            # counting is already canonical (provably identical to
+            # rewrite-then-merge: weights sum per canonical key either way,
+            # and a turn whose aliases collapse yields no self-pair).
+            mapping = (
+                ray.get(mapping_ref)
+                if isinstance(mapping_ref, ray.ObjectRef)
+                else mapping_ref
+            )
+            canon = [mapping.get(q, q) for q in qids]
+            canon_names = sorted(set(canon), key=lambda q: int(q[1:]))
+            canon_ord = {q: i for i, q in enumerate(canon_names)}
+            remap = {i: canon_ord[canon[i]] for i in range(len(qids))}
+            self.ord_of_surface = {s: remap[o] for s, o in self.ord_of_surface.items()}
+            qids = canon_names
+        self.ent_names = np.array(qids, dtype=object)
 
-    def _lookup(self, tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized single-token lookup: dictionary-encode the token array,
-        resolve only unique values through the dict, then gather."""
-        darr = pa.array(tokens).dictionary_encode()
-        uniq = darr.dictionary.to_numpy(zero_copy_only=False)
-        uq = np.array([self.best.get(u, ("", 0))[0] for u in uniq], dtype=object)
-        idx = darr.indices.to_numpy()
-        qids = uq[idx]
-        hit = qids != ""
-        return qids, hit
+    def _lookup_ords(self, flat: pa.Array) -> np.ndarray:
+        """token ordinal per token (-1 = no entity): dictionary-encode once,
+        resolve only unique tokens through the dict."""
+        d = flat.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        ords = np.fromiter(
+            (self.ord_of_surface.get(u, -1) for u in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        return ords[idx]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tokens, parent = _tokenize_with_parents(batch[self.text_col])
-        qids, hit = self._lookup(tokens)
-        parent = parent[hit]
-        qids = qids[hit]
-        surfaces = tokens[hit]
+        flat, parent = _tokenize_arrow(batch[self.text_col])
+        tok = self._lookup_ords(flat)
+        m = tok >= 0
         if self.mode == "partial_counts":
-            vc = pd.Series(qids).value_counts()
+            counts = np.bincount(tok[m], minlength=len(self.ent_names))
+            nz = np.nonzero(counts)[0]
             return pa.table(
                 {
-                    "qid": pa.array(vc.index.to_numpy(), type=pa.string()),
-                    "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+                    "qid": pa.array(self.ent_names[nz], type=pa.string()),
+                    "cnt": pa.array(counts[nz].astype(np.int64)),
                 }
             )
-        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
-        tix = batch["turn_idx"].to_numpy()
-        out = pd.DataFrame(
-            {
-                "conv_id": conv[parent],
-                "turn_idx": tix[parent],
-                "qid": qids,
-                "surface": surfaces,
-            }
-        )
+        sel = np.nonzero(m)[0]
+        parent_h = parent[sel]
+        tok_h = tok[sel]
         if self.mode == "mentions":
             # distinct per turn: each turn is one input row, so per-row
             # dedup IS global dedup -- no shuffle needed.
-            out = out.drop_duplicates(["conv_id", "turn_idx", "qid"])
-        return pa.Table.from_pandas(
-            out.reset_index(drop=True),
-            schema=pa.schema(
-                [
-                    ("conv_id", pa.string()),
-                    ("turn_idx", pa.int32()),
-                    ("qid", pa.string()),
-                    ("surface", pa.string()),
-                ]
-            ),
-            preserve_index=False,
+            key = parent_h.astype(np.int64) * len(self.ent_names) + tok_h
+            _, first = np.unique(key, return_index=True)
+            sel, parent_h, tok_h = sel[first], parent_h[first], tok_h[first]
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        tix = batch["turn_idx"].to_numpy()
+        surfaces = flat.take(pa.array(sel, type=pa.int64()))
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[parent_h], type=pa.string()),
+                "turn_idx": pa.array(tix[parent_h], type=pa.int32()),
+                "qid": pa.array(self.ent_names[tok_h], type=pa.string()),
+                "surface": surfaces,
+            }
         )
 
     # -- multi-token path (library semantics; unit-tested, not oracle-gated) --

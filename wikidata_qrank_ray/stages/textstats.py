@@ -18,7 +18,7 @@ from ..sources.gazetteer import STOPWORDS
 
 
 def _count_tokens(batch: pa.Table) -> pa.Table:
-    parts = pc.split_pattern_regex(batch["text"], r"\s+")
+    parts = pc.ascii_split_whitespace(batch["text"])
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     flat = pc.list_flatten(parts)
@@ -36,7 +36,7 @@ def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _quality(batch: pa.Table) -> pa.Table:
-    parts = pc.split_pattern_regex(batch["text"], r"\s+")
+    parts = pc.ascii_split_whitespace(batch["text"])
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     flat = pc.list_flatten(parts)

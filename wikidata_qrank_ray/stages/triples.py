@@ -24,7 +24,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .mentions import GazetteerMatcher, _tokenize_with_parents
+from .mentions import GazetteerMatcher, _tokenize_arrow
+
+# reserved predicate tag for occurrence-count partials riding the triple
+# shuffle in the fused single-pass build (never a real predicate)
+MENTIONS_PRED = "__mentions__"
 
 TRIPLE_SCHEMA = pa.schema(
     [
@@ -37,43 +41,60 @@ TRIPLE_SCHEMA = pa.schema(
 
 
 class TripleExtractor(GazetteerMatcher):
-    """Actor-pool stage: gazetteer automaton from __init__ (broadcast ref),
-    per-batch vectorized pair generation (pandas self-merge on row id)."""
+    """Actor-pool stage: gazetteer automaton from __init__ (broadcast ref);
+    per-batch work stays in integer entity ordinals."""
 
     # above this many distinct entities the dense presence matrix would blow
-    # memory; fall back to the pandas self-merge path
+    # memory; fall back to the sparse pandas path
     DENSE_MAX_ENTITIES = 4096
 
-    def __init__(self, gaz_ref, text_col: str = "text"):
-        super().__init__(gaz_ref, mode="mentions", text_col=text_col)
-        # stable entity column index for the dense co-occurrence counter,
-        # ordered by numeric qid so column i < column j implies subj=col_i
-        qids = sorted({c[0] for c in self.best.values()}, key=lambda q: int(q[1:]))
-        self.ent_cols = {q: i for i, q in enumerate(qids)}
-        self.ent_names = np.array(qids, dtype=object)
+    def __init__(self, gaz_ref, text_col: str = "text", mapping_ref=None,
+                 emit_counts: bool = False):
+        super().__init__(gaz_ref, mode="mentions", text_col=text_col,
+                         mapping_ref=mapping_ref)
+        self.emit_counts = emit_counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
-        tokens, parent = _tokenize_with_parents(batch[self.text_col])
-        qids, hit = self._lookup(tokens)
-        parent = parent[hit]
-        qids = qids[hit]
-        if len(self.ent_cols) <= self.DENSE_MAX_ENTITIES:
-            out = self._dense(batch, parent, qids)
+        flat, parent = _tokenize_arrow(batch[self.text_col])
+        tok = self._lookup_ords(flat)
+        m = tok >= 0
+        parent, tok = parent[m], tok[m]
+        if len(self.ent_names) <= self.DENSE_MAX_ENTITIES:
+            out = self._dense(batch, parent, tok)
         else:
-            out = self._merge(batch, parent, qids)
+            out = self._sparse(batch, parent, tok)
+        if self.emit_counts:
+            # occurrence-count partials ride the same shuffle, tagged with a
+            # reserved predicate; split out after the global aggregate
+            counts = np.bincount(tok, minlength=len(self.ent_names))
+            nz = np.nonzero(counts)[0]
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "subj": self.ent_names[nz],
+                            "pred": MENTIONS_PRED,
+                            "obj": "",
+                            "w": counts[nz],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
         out["w"] = out["w"].astype(np.int64)
         return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
-    def _dense(self, batch: pa.Table, parent: np.ndarray, qids: np.ndarray) -> pd.DataFrame:
+    def _dense(self, batch: pa.Table, parent: np.ndarray, tok: np.ndarray) -> pd.DataFrame:
         """Presence-matrix co-occurrence: pair weight = #turns where both
         entities appear = upper triangle of P^T P for the 0/1 turn x entity
         matrix. O(rows x ents) memory, one int matmul per batch -- no
-        quadratic pair explosion."""
-        n, e = batch.num_rows, len(self.ent_cols)
+        quadratic pair explosion. Entity columns are ordered by numeric qid,
+        so column i < j directly yields the canonical (subj, obj) form."""
+        n, e = batch.num_rows, len(self.ent_names)
         pres = np.zeros((n, e), dtype=np.int64)
         if len(parent):
-            cols = np.fromiter((self.ent_cols[q] for q in qids), dtype=np.int64, count=len(qids))
-            pres[parent, cols] = 1
+            pres[parent, tok] = 1
         co_mat = pres.T @ pres
         iu, ju = np.triu_indices(e, k=1)
         w = co_mat[iu, ju]
@@ -86,44 +107,70 @@ class TripleExtractor(GazetteerMatcher):
                 "w": w[nz],
             }
         )
-        tool = np.asarray(batch["tool"].to_numpy(zero_copy_only=False), dtype=object)
         frames = [co]
-        tool_rows = np.nonzero(tool != "")[0]
-        if len(tool_rows):
-            tdf = pd.DataFrame(pres[tool_rows])
-            tdf["tool"] = tool[tool_rows]
-            per_tool = tdf.groupby("tool", sort=False).sum()
-            tw = per_tool.to_numpy()
-            ti, tj = np.nonzero(tw)
+        tool_arr = batch["tool"]
+        if isinstance(tool_arr, pa.ChunkedArray):
+            tool_arr = tool_arr.combine_chunks()
+        tenc = tool_arr.dictionary_encode()
+        tool_names = tenc.dictionary.to_pylist()
+        tool_idx = tenc.indices.to_numpy(zero_copy_only=False)
+        rows_of = []
+        for tname_i, tname in enumerate(tool_names):
+            if tname == "":
+                continue
+            rows = np.nonzero(tool_idx == tname_i)[0]
+            if len(rows) == 0:
+                continue
+            tw = pres[rows].sum(axis=0)  # per-entity count of this tool's turns
+            tj = np.nonzero(tw)[0]
+            if len(tj):
+                rows_of.append((tname, tj, tw[tj]))
+        if rows_of:
             frames.append(
-                pd.DataFrame(
-                    {
-                        "subj": self.ent_names[tj],
-                        "pred": "observed_via_tool",
-                        "obj": per_tool.index.to_numpy()[ti],
-                        "w": tw[ti, tj],
-                    }
+                pd.concat(
+                    [
+                        pd.DataFrame(
+                            {
+                                "subj": self.ent_names[tj],
+                                "pred": "observed_via_tool",
+                                "obj": tname,
+                                "w": w,
+                            }
+                        )
+                        for tname, tj, w in rows_of
+                    ],
+                    ignore_index=True,
                 )
             )
         return pd.concat(frames, ignore_index=True) if len(frames) > 1 else co
 
-    def _merge(self, batch: pa.Table, parent: np.ndarray, qids: np.ndarray) -> pd.DataFrame:
-        """Sparse fallback for very large entity vocabularies."""
-        m = pd.DataFrame({"row": parent, "qid": qids}).drop_duplicates()
-        m["qn"] = m["qid"].str.slice(1).astype(np.int64)
+    def _sparse(self, batch: pa.Table, parent: np.ndarray, tok: np.ndarray) -> pd.DataFrame:
+        """Sparse fallback for very large entity vocabularies: per-turn
+        distinct (row, ord) pairs, vectorized self-merge."""
+        m = pd.DataFrame({"row": parent, "t": tok}).drop_duplicates()
         pairs = m.merge(m, on="row", suffixes=("_a", "_b"))
-        pairs = pairs[pairs["qn_a"] < pairs["qn_b"]]
-        co = pairs.groupby(["qid_a", "qid_b"], sort=False).size().reset_index(name="w")
+        pairs = pairs[pairs["t_a"] < pairs["t_b"]]
+        co = pairs.groupby(["t_a", "t_b"], sort=False).size().reset_index(name="w")
         co = pd.DataFrame(
-            {"subj": co["qid_a"], "pred": "co_occurs", "obj": co["qid_b"], "w": co["w"]}
+            {
+                "subj": self.ent_names[co["t_a"].to_numpy()],
+                "pred": "co_occurs",
+                "obj": self.ent_names[co["t_b"].to_numpy()],
+                "w": co["w"],
+            }
         )
         tool = np.asarray(batch["tool"].to_numpy(zero_copy_only=False), dtype=object)
         mt = m[tool[m["row"].to_numpy()] != ""]
         if len(mt):
-            mt = pd.DataFrame({"qid": mt["qid"].to_numpy(), "tool": tool[mt["row"].to_numpy()]})
-            tt = mt.groupby(["qid", "tool"], sort=False).size().reset_index(name="w")
+            mt = pd.DataFrame({"t": mt["t"].to_numpy(), "tool": tool[mt["row"].to_numpy()]})
+            tt = mt.groupby(["t", "tool"], sort=False).size().reset_index(name="w")
             tt = pd.DataFrame(
-                {"subj": tt["qid"], "pred": "observed_via_tool", "obj": tt["tool"], "w": tt["w"]}
+                {
+                    "subj": self.ent_names[tt["t"].to_numpy()],
+                    "pred": "observed_via_tool",
+                    "obj": tt["tool"],
+                    "w": tt["w"],
+                }
             )
             return pd.concat([co, tt], ignore_index=True)
         return co
@@ -140,7 +187,8 @@ def extract_triples(
 
     Per-batch partials then one groupby shuffle; the groupby IS the dedup
     (links.go:60-77 semantics: duplicates collapse; self-links cannot occur
-    by construction since subj_qn < obj_qn and tool names are not qids)."""
+    by construction since subj ordinal < obj ordinal and tool names are not
+    qids)."""
     partial = turns.map_batches(
         TripleExtractor,
         fn_constructor_kwargs={"gaz_ref": gaz_ref, "text_col": text_col},
