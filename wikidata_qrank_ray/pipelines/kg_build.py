@@ -156,8 +156,14 @@ def run(
 
     # Stage 5: stats JSON (stats.go:28-139 semantics)
     def write_stats(tmp: str) -> int:
+        import hashlib
+
         qdf = pq.read_table(os.path.join(rank_path, "qrank.parquet")).to_pandas()
         st = rank_stats(qdf)
+        # content hash of the published CSV -- the ETag analogue the
+        # reference's webserver derives per artifact (storage.go:75-233)
+        with open(os.path.join(rank_path, "qrank.csv"), "rb") as f:
+            st["etag"] = hashlib.md5(f.read()).hexdigest()
         with open(os.path.join(tmp, "stats.json"), "w") as f:
             json.dump(st, f, sort_keys=True)
         return 1

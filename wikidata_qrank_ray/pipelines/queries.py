@@ -447,6 +447,256 @@ def q_distinct_langs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Joins / windows / payload extraction
+# ---------------------------------------------------------------------------
+
+
+def q_order_customer_join(sf_dir: str):
+    """Both-sides-large equi-join: bucketed hash join (co-partition by key
+    hash, pandas merge per partition), then a small grouped count."""
+    from ..stages.join import bucketed_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey", how="inner")
+    partial = joined.map_batches(
+        lambda df: df.groupby(["c_mktsegment", "o_orderpriority"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"}),
+        batch_format="pandas",
+    )
+    df = partial.to_pandas().groupby(["c_mktsegment", "o_orderpriority"], as_index=False)["n"].sum()
+    df["n"] = df["n"].astype(np.int64)
+    return df
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set (no shuffle): customers with no
+    order above 250k."""
+    from ..stages.join import broadcast_semi_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).to_pandas()
+    big = orders.loc[orders["o_totalprice"] > 250000, "o_custkey"].to_numpy()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return broadcast_semi_join(cust, "c_custkey", big, anti=True)
+
+
+def q_purchase_after_signup(sf_dir: str):
+    """As-of join: for each purchase, the latest signup at-or-before it by
+    the same user (inner). Co-partitioned pd.merge_asof."""
+    from ..stages.join import bucketed_asof_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    import pyarrow.compute as pc
+
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    signups = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "signup")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_asof_join(
+        purchases, signups, on="ts", by_left="user_id", by_right="user_id",
+        right_value_cols=[], direction="backward",
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts_r"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype(np.int64),
+                "signup_ts": df["ts_r"],
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
+def q_top_part_per_brand(sf_dir: str):
+    """Top-revenue part within each brand (per-group top-k window)."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        brands = ray.get(brand_ref)
+        out = pd.DataFrame(
+            {
+                "p_partkey": batch["l_partkey"],
+                "revenue": batch["l_extendedprice"] * (1 - batch["l_discount"]),
+            }
+        )
+        g = out.groupby("p_partkey", as_index=False)["revenue"].sum()
+        g["p_brand"] = g["p_partkey"].map(brands)
+        return g
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+    df = (
+        li.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["p_brand", "p_partkey"], as_index=False)["revenue"]
+        .sum()
+    )
+    df = df.sort_values(["p_brand", "revenue", "p_partkey"], ascending=[True, False, True])
+    top = df.groupby("p_brand", as_index=False).head(1).reset_index(drop=True)
+    top = _round3(top, ["revenue"])
+    return top[["p_brand", "p_partkey", "revenue"]]
+
+
+def q_customer_cumulative_spend(sf_dir: str):
+    """Running per-customer total over orders in date order (cumulative
+    window): hash-partition by customer, one vectorized sort+cumsum sweep
+    per partition."""
+    from ..stages.groupby import hash_partition_apply
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        g["cum_spend"] = g.groupby("o_custkey", sort=False)["o_totalprice"].cumsum().round(3)
+        return g[["o_orderkey", "o_custkey", "cum_spend"]]
+
+    return hash_partition_apply(orders, ["o_custkey"], sweep)
+
+
+def q_names_union(sf_dir: str):
+    """Set op: union of two sources with a provenance tag."""
+    cust = read_table(sf_dir, "customer", columns=["c_name"]).map_batches(
+        lambda t: pa.table({"name": t["c_name"], "kind": pa.array(["customer"] * t.num_rows)}),
+        batch_format="pyarrow",
+    )
+    supp = read_table(sf_dir, "supplier", columns=["s_name"]).map_batches(
+        lambda t: pa.table({"name": t["s_name"], "kind": pa.array(["supplier"] * t.num_rows)}),
+        batch_format="pyarrow",
+    )
+    return cust.union(supp)
+
+
+def q_event_props_k(sf_dir: str):
+    """Typed extraction from a semi-structured payload column -- the
+    analogue of the reference's dynamic SQL-dump reader (sqlreader.go):
+    schema discovered/extracted at runtime from the payload text."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k": (\d+)', expand=False).astype(np.int64)
+        return pd.DataFrame({"event_id": batch["event_id"], "k": k})
+
+    return ev.map_batches(extract, batch_format="pandas")
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4): per-batch rows x
+    broadcast matrix, emit ordered (a, b) int pairs. Scale path: LSH-bucket
+    both sides first (stages/similarity.lsh_bucket_ids)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    mat_ref = ray.put((ids, m, norms))
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class NearDup:
+        def __init__(self):
+            self.ids, self.m, self.norms = ray.get(mat_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            rid = batch["vec_id"].to_numpy()
+            sims = (rows @ self.m.T) / (
+                np.linalg.norm(rows, axis=1)[:, None] * self.norms[None, :]
+            )
+            ii, jj = np.nonzero((sims >= 0.4) & (rid[:, None] < self.ids[None, :]))
+            return pd.DataFrame(
+                {"a": rid[ii].astype(np.int64), "b": self.ids[jj].astype(np.int64)}
+            )
+
+    return emb.map_batches(NearDup, batch_format="pandas", batch_size=1024, concurrency=2)
+
+
+def q_item_signals(sf_dir: str):
+    """Per-entity multi-signal vector -- the item_signals analogue
+    (itemsignals.go two-level rollup + ItemSignalsWriter sum): mention
+    occurrences, distinct turns, distinct conversations, tool-turn
+    mentions. Per-batch partials; conv-distinct resolved by a global dedup
+    of (conv, qid) pairs."""
+    from ..stages.mentions import GazetteerMatcher, _tokenize_arrow
+
+    gaz = build_gazetteer(sf_dir)
+    gaz_ref = ray.put(gaz)
+    ds = derive_transcripts(sf_dir)
+
+    class SignalPartials(GazetteerMatcher):
+        def __init__(self):
+            super().__init__(gaz_ref, mode="partial_counts")
+
+        def __call__(self, batch):  # type: ignore[override]
+            flat, parent = _tokenize_arrow(batch["text"])
+            tok = self._lookup_ords(flat)
+            m = tok >= 0
+            parent_h, tok_h = parent[m], tok[m]
+            e = len(self.ent_names)
+            mentions = np.bincount(tok_h, minlength=e)
+            key = parent_h.astype(np.int64) * e + tok_h
+            uk = np.unique(key)
+            n_turns = np.bincount((uk % e), minlength=e)
+            tool = batch["tool"].to_numpy(zero_copy_only=False)
+            is_tool = np.asarray(tool, dtype=object)[parent_h] != ""
+            tool_mentions = np.bincount(tok_h[is_tool], minlength=e)
+            conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+            cpair = pd.DataFrame(
+                {"conv_id": conv[(uk // e).astype(np.int64)], "tok": (uk % e)}
+            ).drop_duplicates()
+            sig = pd.DataFrame(
+                {
+                    "qid": self.ent_names,
+                    "mentions": mentions.astype(np.int64),
+                    "n_turns": n_turns.astype(np.int64),
+                    "tool_mentions": tool_mentions.astype(np.int64),
+                }
+            )
+            sig = sig[sig["mentions"] > 0]
+            sig["conv_id"] = ""
+            cp = pd.DataFrame(
+                {
+                    "qid": self.ent_names[cpair["tok"].to_numpy()],
+                    "mentions": np.int64(0),
+                    "n_turns": np.int64(0),
+                    "tool_mentions": np.int64(0),
+                    "conv_id": cpair["conv_id"].to_numpy(),
+                }
+            )
+            return pd.concat([sig, cp], ignore_index=True)
+
+    partial = ds.map_batches(SignalPartials, batch_format="pyarrow", concurrency=2)
+    df = partial.to_pandas()
+    sums = (
+        df[df["conv_id"] == ""]
+        .groupby("qid", as_index=False)[["mentions", "n_turns", "tool_mentions"]]
+        .sum()
+    )
+    convs = (
+        df[df["conv_id"] != ""][["qid", "conv_id"]]
+        .drop_duplicates()
+        .groupby("qid", as_index=False)
+        .size()
+        .rename(columns={"size": "n_convs"})
+    )
+    out = sums.merge(convs, on="qid", how="left")
+    out["n_convs"] = out["n_convs"].fillna(0).astype(np.int64)
+    for c in ["mentions", "n_turns", "tool_mentions"]:
+        out[c] = out[c].astype(np.int64)
+    return out[["qid", "mentions", "n_turns", "n_convs", "tool_mentions"]]
+
+
+# ---------------------------------------------------------------------------
 # Training-data ops
 # ---------------------------------------------------------------------------
 
@@ -483,6 +733,14 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5
+    )
+
+
 def q_simhash(sf_dir: str):
     return simhash_signatures(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -517,8 +775,17 @@ def queries():
         "triples": q_triples,
         "canonical_triples": q_canonical_triples,
         "rank_stats": q_rank_stats,
+        "item_signals": q_item_signals,
         # engine ops
         "pricing_summary": q_pricing_summary,
+        "order_customer_join": q_order_customer_join,
+        "customers_without_orders": q_customers_without_orders,
+        "purchase_after_signup": q_purchase_after_signup,
+        "top_part_per_brand": q_top_part_per_brand,
+        "customer_cumulative_spend": q_customer_cumulative_spend,
+        "names_union": q_names_union,
+        "event_props_k": q_event_props_k,
+        "embedding_near_dups": q_embedding_near_dups,
         "top_orders_by_revenue": q_top_orders_by_revenue,
         "brand_revenue": q_brand_revenue,
         "region_customers": q_region_customers,
@@ -533,6 +800,7 @@ def queries():
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -623,6 +891,57 @@ SELECT CAST(COUNT(*) AS BIGINT) AS entity_count,
        CAST(SUM(mention_count) AS BIGINT) AS total_mass
 FROM crank""",
         ),
+        "item_signals": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS,
+            select="""
+SELECT qid,
+       CAST(COUNT(*) AS BIGINT) AS mentions,
+       CAST(COUNT(DISTINCT conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(CASE WHEN tool <> '' THEN 1 END) AS BIGINT) AS tool_mentions
+FROM hits GROUP BY qid""",
+        ),
+        "order_customer_join": """
+SELECT c.c_mktsegment AS c_mktsegment, o.o_orderpriority AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, o.o_orderpriority""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)""",
+        "purchase_after_signup": """
+SELECT p.event_id AS event_id, MAX(s.ts) AS signup_ts
+FROM events p JOIN events s
+  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id""",
+        "top_part_per_brand": """
+SELECT p_brand, p_partkey, revenue FROM (
+  SELECT p.p_brand AS p_brand, p.p_partkey AS p_partkey,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue,
+         row_number() OVER (PARTITION BY p.p_brand
+                            ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                                     p.p_partkey ASC) AS rn
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, p.p_partkey
+) WHERE rn = 1""",
+        "customer_cumulative_spend": """
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 3) AS cum_spend
+FROM orders""",
+        "names_union": """
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier""",
+        "event_props_k": r"""
+SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+FROM events""",
+        "embedding_near_dups": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 3) AS sum_qty,

@@ -1,0 +1,203 @@
+"""Distributed joins.
+
+The reference's joins are all sort-merge cogroups over sorted text streams
+(SURVEY.md §2.4). Ray-Data-native equivalents, chosen by side size:
+
+- ``broadcast_semi_join``: small key side -> ``ray.put`` the key array once,
+  vectorized ``np.isin``/searchsorted membership inside ``map_batches``
+  (semi/anti; no shuffle at all).
+- ``bucketed_hash_join``: both sides large -> add ``part = hash(key) % P``
+  to both, pad to a shared schema with typed nulls, union, shuffle by the
+  LOW-cardinality part column only, and pandas-merge the co-located sides
+  inside each partition (the guide's explicit partitioned hash join).
+- ``bucketed_asof_join``: as-of (most-recent-at-or-before) joins -- same
+  co-partitioning, ``pd.merge_asof`` per partition after an in-partition
+  sort.
+
+Skew note: a hot join key hashes to one partition; raise ``num_partitions``
+or salt the hot key into sub-buckets (duplicate the build side per salt)
+when one key's rows exceed a partition's memory budget.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from .groupby import hash_partition_apply
+
+_SIDE = "__side__"
+
+
+def broadcast_semi_join(
+    ds: ray.data.Dataset,
+    key: str,
+    keys: np.ndarray,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Keep rows whose ``key`` is (not, if anti) in the broadcast key set."""
+    keys_ref = ray.put(np.sort(np.unique(np.asarray(keys))))
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mask = np.isin(batch[key].to_numpy(), self.keys, assume_unique=False)
+            return batch[~mask] if anti else batch[mask]
+
+    return ds.map_batches(Filter, batch_format="pandas", batch_size=65536, concurrency=2)
+
+
+def _pad_union(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+) -> tuple[ray.data.Dataset, list[str], list[str], dict, dict]:
+    """Union both sides under a shared superset schema (typed null padding,
+    side tag); returns (union, left_cols, right_cols, left_dtypes,
+    right_dtypes). Key columns are both renamed to ``__key__``."""
+    import pyarrow as pa
+
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = [c for c in lschema.names if c != left_key]
+    rcols = [c for c in rschema.names if c != right_key]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column collision in join: {overlap}")
+    ltypes = {n: lschema.field(n).type for n in lcols}
+    rtypes = {n: rschema.field(n).type for n in rcols}
+
+    # identical column ORDER on both sides (union is positional-schema picky)
+    out_order = ["__key__", _SIDE] + lcols + rcols
+
+    def pad(side: int, own_key: str, other_types: dict):
+        def _pad(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {"__key__": batch[own_key], _SIDE: pa.array(np.full(n, side, dtype=np.int8))}
+            for name in batch.schema.names:
+                if name != own_key:
+                    cols[name] = batch[name]
+            for name, typ in other_types.items():
+                cols[name] = pa.nulls(n, type=typ)
+            return pa.table({name: cols[name] for name in out_order})
+
+        return _pad
+
+    u = left.map_batches(pad(0, left_key, rtypes), batch_format="pyarrow").union(
+        right.map_batches(pad(1, right_key, ltypes), batch_format="pyarrow")
+    )
+
+    def _np_dtype(t: pa.DataType):
+        try:
+            return np.dtype(t.to_pandas_dtype())
+        except (TypeError, NotImplementedError):
+            return np.dtype(object)
+
+    lpd = {n: _np_dtype(t) for n, t in ltypes.items()}
+    rpd = {n: _np_dtype(t) for n, t in rtypes.items()}
+    return u, lcols, rcols, lpd, rpd
+
+
+def bucketed_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Equi-join two large Datasets: co-partition by key hash, pandas merge
+    per partition. Output columns: key (named ``left_key``) + both sides'
+    non-key columns. ``how``: inner | left."""
+    u, lcols, rcols, ltypes, rtypes = _pad_union(left, right, left_key, right_key)
+
+    def _merge(part: pd.DataFrame) -> pd.DataFrame:
+        lf = part[part[_SIDE] == 0][["__key__"] + lcols]
+        rf = part[part[_SIDE] == 1][["__key__"] + rcols]
+        # restore dtypes lost to null padding (int -> float upcast)
+        lf = lf.astype({k: v for k, v in ltypes.items() if k in lf.columns})
+        rf = rf.astype({k: v for k, v in rtypes.items() if k in rf.columns})
+        out = lf.merge(rf, on="__key__", how=how)
+        return out.rename(columns={"__key__": left_key})
+
+    return hash_partition_apply(u, ["__key__"], _merge, num_partitions)
+
+
+def bucketed_asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    by_left: str,
+    by_right: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """As-of join: for each left row, the right row with the greatest
+    ``on`` <= left's ``on`` (direction=backward) within the same ``by`` key.
+    Co-partition by the by-key hash, sort within partition, pd.merge_asof."""
+    import pyarrow as pa
+
+    rsel = right.map_batches(
+        lambda t: t.select([by_right, on] + right_value_cols).rename_columns(
+            ["__by__", f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_value_cols]
+        ),
+        batch_format="pyarrow",
+    )
+    lsel = left.map_batches(
+        lambda t: t.rename_columns(
+            ["__by__" if c == by_left else c for c in t.schema.names]
+        ),
+        batch_format="pyarrow",
+    )
+    lcols = [c for c in left.schema().base_schema.names if c != by_left]
+
+    def pad_l(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {c: t[c] for c in t.schema.names}
+        cols[_SIDE] = pa.array(np.zeros(n, dtype=np.int8))
+        cols[f"{on}{suffix}"] = pa.nulls(n, type=t.schema.field(on).type)
+        for c in right_value_cols:
+            cols[f"{c}{suffix}"] = pa.nulls(
+                n, type=right.schema().base_schema.field(c).type
+            )
+        return pa.table(cols)
+
+    def pad_r(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {c: t[c] for c in t.schema.names}
+        cols[_SIDE] = pa.array(np.ones(n, dtype=np.int8))
+        for c in lcols:
+            cols[c] = pa.nulls(n, type=left.schema().base_schema.field(c).type)
+        # asof key for the right side lives in its suffixed column
+        cols[on] = t[f"{on}{suffix}"]
+        return pa.table(cols)
+
+    u = lsel.map_batches(pad_l, batch_format="pyarrow").union(
+        rsel.map_batches(pad_r, batch_format="pyarrow")
+    )
+
+    def _asof(part: pd.DataFrame) -> pd.DataFrame:
+        lf = part[part[_SIDE] == 0].drop(columns=[_SIDE]).sort_values(on, kind="mergesort")
+        rf = part[part[_SIDE] == 1][
+            ["__by__", f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_value_cols]
+        ].sort_values(f"{on}{suffix}", kind="mergesort")
+        if len(lf) == 0:
+            return lf.drop(columns=[f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_value_cols], errors="ignore")
+        out = pd.merge_asof(
+            lf.drop(columns=[f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_value_cols]),
+            rf,
+            left_on=on,
+            right_on=f"{on}{suffix}",
+            by="__by__",
+            direction=direction,
+            allow_exact_matches=True,
+        )
+        return out
+
+    return hash_partition_apply(u, ["__by__"], _asof)
