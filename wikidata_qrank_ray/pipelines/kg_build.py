@@ -69,18 +69,57 @@ def run(
             if f.endswith(".parquet")
         )
 
-    def write_norm(tmp: str) -> int:
-        normalize_stage(turns).write_parquet(tmp)
-        return _rows_in_dir(tmp)
+    shard_files = (
+        sorted(f for f in os.listdir(transcripts_path) if f.endswith(".parquet"))
+        if transcripts_path and os.path.isdir(transcripts_path)
+        else []
+    )
+    if shard_files:
+        # sharded input -> PER-PARTITION checkpointing: one input shard ->
+        # one normalized shard, each committed independently with its own
+        # lineage; a rerun recomputes only missing/changed partitions.
+        from ..stages.normalize import _norm_full
+        from ..state.partitioned import run_partitioned
 
-    norm_path = ckpt.run_stage("normalized", lineage_fingerprint(src_lineage, "norm-v1"), write_norm)
-    norm = ray.data.read_parquet(norm_path)
+        norm_path = ckpt.output_path("normalized")
+
+        def _norm_shard(input_path: str, tmp_out: str) -> int:
+            t = pq.read_table(input_path)
+            nt = _norm_full(t)
+            pq.write_table(nt, tmp_out)
+            return nt.num_rows
+
+        pm = run_partitioned(
+            norm_path,
+            [(os.path.join(transcripts_path, f), f) for f in shard_files],
+            _norm_shard,
+            extra_lineage="norm-v1",
+        )
+        ckpt.manifest["normalized"] = {
+            "lineage": lineage_fingerprint(src_lineage, "norm-v1"),
+            "output": norm_path,
+            "rows": sum(e["rows"] for e in pm.values()),
+            "partitions": len(pm),
+        }
+        ckpt._commit_manifest()
+    else:
+
+        def write_norm(tmp: str) -> int:
+            normalize_stage(turns).write_parquet(tmp)
+            return _rows_in_dir(tmp)
+
+        norm_path = ckpt.run_stage(
+            "normalized", lineage_fingerprint(src_lineage, "norm-v1"), write_norm
+        )
 
     # Stage 2: gazetteer + aliases (small dimension tables; broadcast refs).
     gaz_file = os.path.join(run_dir, "gazetteer.parquet")
     gl = lineage_fingerprint(norm_path, "gaz-v1")
     if not (ckpt.manifest.get("gazetteer", {}).get("lineage") == gl and os.path.exists(gaz_file)):
-        gaz = _gazetteer_from_turns(norm, text_col="norm_text")
+        gaz = _gazetteer_from_turns(
+            ray.data.read_parquet(norm_path, columns=["norm_text"]),
+            text_col="norm_text",
+        )
         pq.write_table(pa.Table.from_pandas(gaz, preserve_index=False), gaz_file)
         ckpt.manifest["gazetteer"] = {"lineage": gl, "output": gaz_file, "rows": len(gaz)}
         ckpt._commit_manifest()
@@ -111,9 +150,9 @@ def run(
         extractor = TripleExtractor(
             gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True
         )
-        partial = norm.map_batches(
-            extractor, batch_format="pyarrow", batch_size=batch_size
-        )
+        partial = ray.data.read_parquet(
+            norm_path, columns=["norm_text", "tool"]
+        ).map_batches(extractor, batch_format="pyarrow", batch_size=batch_size)
         # final combine on the driver: partials are entity-space sized
         # (<= vocab^2/2 + vocab rows per batch), so the merged table is tiny.
         # At larger entity vocabularies this becomes

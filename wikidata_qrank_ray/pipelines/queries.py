@@ -18,6 +18,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..context import pool_size
+
 from ..functions.qid import qid_num
 from ..sources.gazetteer import GAZETTEER_TOP_N, build_aliases, build_gazetteer
 from ..sources.tables import read_table
@@ -301,7 +303,7 @@ def q_top_orders_by_revenue(sf_dir: str):
         fn_constructor_kwargs={"keys_ref": keys_ref},
         batch_format="pandas",
         batch_size=65536,
-        concurrency=4,
+        concurrency=pool_size(4),
     )
     agg = hash_partition_aggregate(
         partial, ["o_orderkey"], {"revenue": ("revenue", "sum")}, partial=False

@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ..context import pool_size
+
 from ..functions.hashing import (
     minhash_coeffs,
     minhash_signatures_batch,
@@ -143,7 +145,7 @@ def minhash_dedup(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
     cand = lsh_candidate_pairs(minhash_band_rows(sigs, bands, rows_per_band))
     if cand.empty:
@@ -201,7 +203,7 @@ def simhash_signatures(docs: ray.data.Dataset, concurrency: int = 4) -> ray.data
     """(doc_id, simhash:int64) -- bucket-by-signature gives hamming-0
     near-dup groups; split into 4x16-bit bands and groupby each for
     hamming<=3 candidate generation (standard SimHash trick)."""
-    return docs.map_batches(SimHasher, batch_format="pandas", concurrency=concurrency)
+    return docs.map_batches(SimHasher, batch_format="pandas", concurrency=pool_size(concurrency))
 
 
 def ngram_jaccard_pairs(

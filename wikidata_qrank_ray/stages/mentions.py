@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..context import pool_size
+
 
 def _tokenize_arrow(text_col) -> tuple[pa.Array, np.ndarray]:
     """-> (tokens as one flat Arrow string array, parent row index per
@@ -196,5 +198,5 @@ def detect_mentions(
         fn_constructor_kwargs={"gaz_ref": gaz_ref, "mode": mode, "text_col": text_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )

@@ -13,6 +13,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..context import pool_size
+
 from ..functions.hashing import rolling_fingerprint
 from ..sources.gazetteer import STOPWORDS
 
@@ -100,7 +102,7 @@ class LangId:
 
 
 def lang_id(docs: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
-    return docs.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
+    return docs.map_batches(LangId, batch_format="pandas", concurrency=pool_size(concurrency))
 
 
 def _fingerprint(batch: pd.DataFrame) -> pd.DataFrame:

@@ -24,6 +24,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..context import pool_size
+
 from .mentions import GazetteerMatcher, _tokenize_arrow
 
 # reserved predicate tag for occurrence-count partials riding the triple
@@ -194,7 +196,7 @@ def extract_triples(
         fn_constructor_kwargs={"gaz_ref": gaz_ref, "text_col": text_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
     agg = partial.groupby(["subj", "pred", "obj"]).sum("w")
     return agg.map_batches(
