@@ -39,14 +39,19 @@ QUERY_NAMES = [
     "entity_rank_salted",
     "canonical_triples",
     "canonical_qrank",
+    "item_signals",
     "pricing_summary",
     "top_orders_by_revenue",
+    "order_customer_join",
+    "purchase_after_signup",
     "events_hourly",
     "sessionize",
     "dedup_exact",
     "token_counts",
+    "quality_scores",
     "ann_topk",
     "minhash_dedup",
+    "embedding_near_dups",
 ]
 
 

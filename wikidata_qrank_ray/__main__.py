@@ -1,0 +1,99 @@
+"""CLI -- the qrank-builder `main()` analogue (cmd/qrank-builder/main.go):
+
+  python -m wikidata_qrank_ray build  --input DIR|PARQUET --run-dir DIR
+  python -m wikidata_qrank_ray stream --input DIR|PARQUET [--out JSON]
+  python -m wikidata_qrank_ray gc     --dir DIR [--keep 3]
+
+The CLI owns its Ray session (entry points / bench / tests own sessions;
+library code never calls ray.init, per the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="wikidata_qrank_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="checkpointed staged KG build (resumable)")
+    b.add_argument("--input", required=True, help="transcripts parquet file or shard dir")
+    b.add_argument("--run-dir", required=True)
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.add_argument("--concurrency", type=int, default=8)
+    b.add_argument("--batch-size", type=int, default=32768)
+
+    s = sub.add_parser("stream", help="fully streaming KG build (no intermediates)")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", default=None, help="write results JSON here (default stdout summary)")
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.add_argument("--concurrency", type=int, default=8)
+
+    g = sub.add_parser("gc", help="keep newest-k versions of artifacts in a dir")
+    g.add_argument("--dir", required=True)
+    g.add_argument("--keep", type=int, default=3)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gc":
+        from .state.versions import gc_versions
+
+        deleted = gc_versions(args.dir, keep=args.keep)
+        print(json.dumps({"deleted": deleted}))
+        return 0
+
+    ray = _init_ray(args.num_cpus)
+    try:
+        from .pipelines import kg_build
+
+        if args.cmd == "build":
+            out = kg_build.run(
+                transcripts_path=args.input,
+                run_dir=args.run_dir,
+                concurrency=args.concurrency,
+                batch_size=args.batch_size,
+            )
+            print(json.dumps({"outputs": {k: v for k, v in out.items() if k != "metrics"},
+                              "metrics": out["metrics"]}, indent=1))
+        else:
+            res = kg_build.run_streaming(args.input, concurrency=args.concurrency)
+            summary = {
+                "triples": len(res["triples"]),
+                "entities": len(res["qrank"]),
+                "stats": res["stats"],
+            }
+            if args.out:
+                os.makedirs(args.out, exist_ok=True)
+                res["triples"].to_parquet(os.path.join(args.out, "triples.parquet"), index=False)
+                res["qrank"].to_csv(os.path.join(args.out, "qrank.csv"), index=False)
+                with open(os.path.join(args.out, "stats.json"), "w") as f:
+                    json.dump(res["stats"], f, sort_keys=True)
+            print(json.dumps(summary))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

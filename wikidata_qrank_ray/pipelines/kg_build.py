@@ -170,10 +170,11 @@ def run(
             .sort_values(["subj", "pred", "obj"], kind="mergesort")
             .reset_index(drop=True)
         )
-        os.makedirs(os.path.join(tmp, "triples"), exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(triples_df, preserve_index=False),
-            os.path.join(tmp, "triples", "part-00000.parquet"),
+        # partitioned sink (one directory per predicate): a rerun or a
+        # downstream consumer can address predicates independently -- the
+        # resumable-output layout scaled down to this corpus
+        ray.data.from_pandas(triples_df).write_parquet(
+            os.path.join(tmp, "triples"), partition_cols=["pred"]
         )
         ranks = ray.data.from_pandas(
             adf[is_cnt][["subj", "weight"]].rename(

@@ -443,6 +443,21 @@ def q_event_type_counts(sf_dir: str):
     return df
 
 
+def q_doc_systematic_sample(sf_dir: str):
+    """Deterministic systematic sample (doc_id % 10 == 0) -- the
+    reproducible-sampling primitive (seeded random_sample exists on Dataset
+    but cannot be oracle-matched across engines)."""
+    import pyarrow.compute as pc
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def every_tenth(t: pa.Table) -> pa.Table:
+        mod10 = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 10), 10))
+        return t.filter(pc.equal(mod10, 0))
+
+    return docs.map_batches(every_tenth, batch_format="pyarrow")
+
+
 def q_distinct_langs(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["lang"])
     return pd.DataFrame({"lang": sorted(docs.unique("lang"))})
@@ -795,6 +810,7 @@ def queries():
         "sessionize": q_sessionize,
         "event_type_counts": q_event_type_counts,
         "distinct_langs": q_distinct_langs,
+        "doc_systematic_sample": q_doc_systematic_sample,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
@@ -1005,6 +1021,7 @@ GROUP BY user_id, session_id""",
         "event_type_counts": """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type""",
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "doc_systematic_sample": "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
         "dedup_exact": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text""",
         "token_counts": r"""
