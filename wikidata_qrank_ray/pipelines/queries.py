@@ -208,6 +208,26 @@ def q_rank_stats(sf_dir: str):
     return rank_stats_table(q_canonical_qrank(sf_dir))
 
 
+def q_entity_degree(sf_dir: str):
+    """Graph-materialize analysis: co-occurrence degree + total edge weight
+    per canonical entity (undirected edges count toward both endpoints)."""
+    ct = q_canonical_triples(sf_dir).to_pandas()
+    co = ct[ct["pred"] == "co_occurs"]
+    ends = pd.concat(
+        [
+            co[["subj", "weight"]].rename(columns={"subj": "qid"}),
+            co[["obj", "weight"]].rename(columns={"obj": "qid"}),
+        ],
+        ignore_index=True,
+    )
+    out = ends.groupby("qid", as_index=False).agg(
+        degree=("weight", "size"), weight_sum=("weight", "sum")
+    )
+    out["degree"] = out["degree"].astype(np.int64)
+    out["weight_sum"] = out["weight_sum"].astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Engine ops (TPC-H-ish) -- groupby-agg, joins, top-k, windows
 # ---------------------------------------------------------------------------
@@ -792,6 +812,7 @@ def queries():
         "triples": q_triples,
         "canonical_triples": q_canonical_triples,
         "rank_stats": q_rank_stats,
+        "entity_degree": q_entity_degree,
         "item_signals": q_item_signals,
         # engine ops
         "pricing_summary": q_pricing_summary,
@@ -893,6 +914,18 @@ GROUP BY subj, pred, obj"""
         "canonical_triples": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
             select=canon_triples_select,
+        ),
+        "entity_degree": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            select=f"""
+SELECT qid, CAST(COUNT(*) AS BIGINT) AS degree,
+       CAST(SUM(weight) AS BIGINT) AS weight_sum
+FROM (
+  SELECT subj AS qid, weight FROM ({canon_triples_select}) WHERE pred = 'co_occurs'
+  UNION ALL
+  SELECT obj AS qid, weight FROM ({canon_triples_select}) WHERE pred = 'co_occurs'
+)
+GROUP BY qid""",
         ),
         "rank_stats": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS, crank_cte,
