@@ -746,6 +746,19 @@ def q_token_counts(sf_dir: str):
     return token_counts(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_bpe_token_counts(sf_dir: str):
+    from ..stages.textstats import bpe_token_counts
+
+    return bpe_token_counts(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_ann_ivf(sf_dir: str):
+    from ..stages.similarity import ann_ivf_topk
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_ivf_topk(emb, _query_vec(sf_dir), k=10)
+
+
 def q_quality_scores(sf_dir: str):
     return quality_scores(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -835,6 +848,8 @@ def queries():
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
+        "ann_ivf": q_ann_ivf,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1060,6 +1075,12 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text"
         "token_counts": r"""
 SELECT doc_id,
        CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+FROM documents""",
+        "bpe_token_counts": r"""
+SELECT doc_id,
+       CAST(coalesce(array_length(
+            regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 0) AS BIGINT)
+         AS n_bpe_tokens
 FROM documents""",
         "quality_scores": r"""
 SELECT doc_id,

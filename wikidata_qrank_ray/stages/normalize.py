@@ -31,6 +31,9 @@ def _norm_full(batch: pa.Table) -> pa.Table:
     col = batch["text"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # lenient-parse policy (reference: tolerate malformed inputs, log and
+    # continue, wikisites.go:273-330): null text -> empty string
+    col = pc.fill_null(col, "")
     fast = pc.replace_substring_regex(pc.utf8_lower(col), r"[\x00-\x1f\x7f-\x9f]", "_")
     ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
     if bool(ascii_mask.all()):
@@ -47,7 +50,7 @@ def _norm_full(batch: pa.Table) -> pa.Table:
 def _norm_sql(batch: pa.Table) -> pa.Table:
     # utf8_lower is the vectorized Arrow kernel; NFC via python only for the
     # (rare) strings that are not already NFC -- vectorized pre-check.
-    lowered = pc.utf8_lower(batch["text"])
+    lowered = pc.utf8_lower(pc.fill_null(batch["text"], ""))
     arr = lowered.to_numpy(zero_copy_only=False)
     out = np.array([unicodedata.normalize("NFC", t) for t in arr], dtype=object)
     return batch.append_column("norm_text", pa.array(out, type=pa.string()))

@@ -53,6 +53,72 @@ def ann_brute_topk(
     )
 
 
+def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10, seed: int = 13) -> np.ndarray:
+    """Deterministic k-means coarse quantizer (the IVF training step): runs
+    driver-side on a SAMPLE of the embeddings, never the full set."""
+    rng = np.random.RandomState(seed)
+    x = sample.astype(np.float64)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cent)):
+            mask = assign == j
+            if mask.any():
+                cent[j] = x[mask].mean(axis=0)
+    return cent
+
+
+def ann_ivf_topk(
+    emb: ray.data.Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    sample_size: int = 1024,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """IVF (inverted-file) cosine top-k -- the scale path: a k-means coarse
+    quantizer (trained on a driver-side sample, centroids broadcast)
+    assigns every row to a list inside ``map_batches``; only rows in the
+    ``n_probe`` lists nearest the query are scored. Approximate by design;
+    scan cost ~ n_probe/n_lists of brute force. -> (pos, vec_id, n_scanned)
+    """
+    sample = (
+        emb.limit(sample_size).to_pandas()["embedding"].to_numpy()
+    )
+    cent = kmeans_centroids(np.stack(sample), n_lists, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(qd)[:n_probe].tolist())
+    refs = ray.put((cent, probe))
+
+    class ListScan:
+        def __init__(self):
+            self.cent, self.probe = ray.get(refs)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            d = ((m[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            keep = np.isin(assign, list(self.probe))
+            if not keep.any():
+                return pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype=np.int64), "sim": pd.Series([], dtype=np.float64)}
+                )
+            return _cosine_partial_topk(batch[keep], q, k)
+
+    partial = emb.map_batches(ListScan, batch_format="pandas", batch_size=4096, concurrency=2)
+    df = partial.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"pos": pd.Series([], dtype=np.int64), "vec_id": pd.Series([], dtype=np.int64)})
+    order = np.lexsort((df["vec_id"].to_numpy(), -df["sim"].to_numpy()))[:k]
+    out = df.iloc[order].reset_index(drop=True)
+    return pd.DataFrame(
+        {"pos": np.arange(1, len(out) + 1, dtype=np.int64), "vec_id": out["vec_id"].astype(np.int64)}
+    )
+
+
 def lsh_hyperplanes(dim: int, bits: int = 8, seed: int = 11) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(bits, dim)).astype(np.float64)

@@ -37,6 +37,28 @@ def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(_count_tokens, batch_format="pyarrow")
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs
+# (the GPT-2-style split simplified to RE2-compatible explicit classes so
+# the DuckDB oracle can run the identical pattern)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def _count_bpe(batch: pa.Table) -> pa.Table:
+    import re
+
+    pat = re.compile(BPE_PATTERN)
+    texts = batch["text"].to_numpy(zero_copy_only=False)
+    counts = np.fromiter(
+        (len(pat.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": pa.array(counts)})
+
+
+def bpe_token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bpe_tokens): BPE-style pre-tokenization count."""
+    return docs.map_batches(_count_bpe, batch_format="pyarrow")
+
+
 def _quality(batch: pa.Table) -> pa.Table:
     parts = pc.ascii_split_whitespace(batch["text"])
     if isinstance(parts, pa.ChunkedArray):
