@@ -19,31 +19,36 @@ import json
 import re
 import unicodedata
 
-# Language-code remap (reference util.go:119-230). Keys are wiki language
-# subdomains; values are BCP-47-ish codes the reference canonicalizes to.
+# Language-code remap matching the reference's formatLine switch
+# (util.go:119-230, golden-tested at util_test.go:67-161). Keys accept both
+# dash and underscore spellings (normalized before lookup).
 _LANG_REMAP = {
     "als": "gsw",
     "bat-smg": "sgs",
     "be-x-old": "be-tarask",
-    "bh": "bho",
-    "cbk-zam": "cbk",
-    "commons": "und",
+    "cbk-zam": "cbk-x-zam",
     "fiu-vro": "vro",
-    "incubator": "und",
-    "map-bms": "map-x-bms",
-    "media": "und",
-    "meta": "und",
-    "nah": "nci",
-    "no": "nb",
+    "map-bms": "jv-x-bms",  # Banyumasan dialect of Javanese
+    "nds-nl": "nds-NL",
     "roa-rup": "rup",
-    "roa-tara": "nap-x-tara",
+    "roa-tara": "nap-x-tara",  # Tarantino dialect of Neapolitan
     "simple": "en-x-simple",
-    "sources": "und",
-    "species": "und",
-    "wikidata": "und",
     "zh-classical": "lzh",
     "zh-min-nan": "nan",
     "zh-yue": "yue",
+    # extensions beyond formatLine (general wiki-code canonicalization)
+    "bh": "bho",
+    "no": "nb",
+    "nah": "nci",
+}
+
+# wiki "languages" that are really projects: lang -> (und, canonical site)
+_UND_SITES = {
+    "commons": "commons",
+    "media": "mediawiki",
+    "meta": "metawiki",
+    "sources": "wikisource",
+    "species": "wikispecies",
 }
 
 # Locale-special lowercasing: Turkish / Azeri dotted-I rules
@@ -83,6 +88,38 @@ def normalize_text_sql_parity(s: str) -> str:
     ANSI-SQL equivalent, e.g. casefold('ß') == 'ss' but lower('ß') == 'ß').
     """
     return unicodedata.normalize("NFC", s.lower())
+
+
+def format_line(lang: str, site: str, title: str, value: str) -> str:
+    """Canonical sort-key line builder -- the full `formatLine` analogue
+    (util.go:119-251), reproducing every golden case of
+    util_test.go:67-161: ``<lang>.<site>/<normalized title> <value>``.
+
+    Rules: project pseudo-languages map to und.<canonical site>; empty lang
+    is und with wikidatawiki/wikimaniawiki site shortening; incubator
+    Wp/<code>/<title> paths split out their real language; tr/az titles
+    take locale-special lowercasing before the case-fold; titles are
+    case-folded, NFC-normalized, and every char <= U+0020 becomes '_'.
+    """
+    key = lang.replace("_", "-")
+    if lang == "":
+        lang = "und"
+        site = {"wikidatawiki": "wikidata", "wikimaniawiki": "wikimania"}.get(site, site)
+    elif key in _UND_SITES:
+        lang, site = "und", _UND_SITES[key]
+    elif lang == "incubator":
+        parts = title.split("/", 2)
+        if len(parts) == 3 and parts[0] in ("Wp", "wp") and len(parts[1]) < 20:
+            lang = parts[1].lower()
+            title = parts[2]
+    elif lang in _TURKIC_LANGS:
+        title = _turkic_lower(title)
+    elif key in _LANG_REMAP:
+        lang = _LANG_REMAP[key]
+
+    folded = unicodedata.normalize("NFC", title.casefold())
+    norm_title = "".join("_" if c <= "\x20" else c for c in folded)
+    return f"{lang}.{site}/{norm_title} {value}"
 
 
 _SURROGATE_RE = re.compile(r"[\ud800-\udfff]")

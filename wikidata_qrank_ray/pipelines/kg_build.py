@@ -198,8 +198,14 @@ def run(
     def write_stats(tmp: str) -> int:
         import hashlib
 
+        from ..stages.stats import reference_stats
+
         qdf = pq.read_table(os.path.join(rank_path, "qrank.parquet")).to_pandas()
         st = rank_stats(qdf)
+        # exact reference-format stats block (stats.go Median/Samples)
+        st["reference"] = reference_stats(
+            list(zip(qdf["qid"], qdf["rank_value"])), top_n=5, num_samples=50
+        )
         # content hash of the published CSV -- the ETag analogue the
         # reference's webserver derives per artifact (storage.go:75-233)
         with open(os.path.join(rank_path, "qrank.csv"), "rb") as f:

@@ -45,6 +45,46 @@ def rank_stats(qrank_df: pd.DataFrame, top_n: int = 5, max_samples: int = 50) ->
     return {"entity_count": int(n), "median": med, "samples": samples}
 
 
+def reference_stats(
+    rows: list[tuple[str, int]], top_n: int, num_samples: int
+) -> dict:
+    """Exact reference semantics of buildStats (stats.go:27-105), verified
+    against the stats_test.go:15-55 golden: rank-desc (id, value) rows ->
+    {"Median": <index into Samples>, "Samples": [[id, rank, value], ...]}.
+
+    - medianRank = n//2 + 1 (1-based position in rank order)
+    - curve sampling in (rank * S/n, log10(value) * S/log10(max)) space,
+      squared-distance threshold 4.0^2 to the LAST SAMPLED point
+    - top-N and the median rank always kept; a near-median predecessor is
+      dropped unless it is within the top-N; the final sample is always
+      replaced by the minimum (last) row
+    - "Median" is the INDEX of the median sample within Samples
+    """
+    n = len(rows)
+    if n == 0:
+        return {"Median": 0, "Samples": []}
+    median_rank = n // 2 + 1
+    scale_x = num_samples / n
+    scale_y = num_samples / math.log10(max(2.0, float(rows[0][1])))
+    samples: list[list] = []
+    last_x = last_y = 0.0
+    median_idx = 0
+    for i, (ident, value) in enumerate(rows):
+        rank = i + 1
+        x = rank * scale_x
+        y = math.log10(max(1.0, float(value))) * scale_y
+        near = (x - last_x) ** 2 + (y - last_y) ** 2 < 16.0
+        if rank == median_rank:
+            if near and len(samples) > top_n:
+                samples.pop()
+            median_idx = len(samples)
+        if (not near) or rank <= top_n or rank == median_rank:
+            samples.append([ident, rank, int(value)])
+            last_x, last_y = x, y
+    samples[-1] = [rows[-1][0], n, int(rows[-1][1])]
+    return {"Median": median_idx, "Samples": samples}
+
+
 def rank_stats_table(qrank_df: pd.DataFrame) -> pd.DataFrame:
     """Scalar stats as a one-row table for oracle comparison:
     (entity_count, median_value, max_value, min_value, total_mass)."""
