@@ -163,3 +163,18 @@ def unquote(s: str) -> str:
                 i += 2
     # Coerce any lone surrogates that survived decoding.
     return _SURROGATE_RE.sub("�", out)
+
+
+def parse_iso_week(s: str) -> tuple[int, int]:
+    """'2023-W07' -> (2023, 7) (util.go:407-420 semantics)."""
+    m = re.fullmatch(r"(\d{4})-W(\d{2})", s)
+    if not m:
+        raise ValueError(f"bad ISO week: {s!r}")
+    return int(m.group(1)), int(m.group(2))
+
+
+def iso_week_start(year: int, week: int):
+    """Monday of the given ISO week (util.go:422-435 semantics)."""
+    import datetime
+
+    return datetime.date.fromisocalendar(year, week, 1)
