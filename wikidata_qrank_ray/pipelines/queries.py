@@ -143,6 +143,22 @@ def q_normalize_turns(sf_dir: str):
     return ds.select_columns(["conv_id", "turn_idx", "norm_text"])
 
 
+def q_conversation_texts(sf_dir: str):
+    """Order restore made value-checkable: per conversation, concatenate
+    turn texts in restored (turn_idx) order -- the stable-turn-ordering
+    invariant (linemerger.go:112-131 determinism) encoded into a value the
+    order-insensitive oracle hash can verify."""
+
+    def sort_concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["turn_idx", "ts"], kind="mergesort")
+        return pd.DataFrame(
+            {"conv_id": [g["conv_id"].iloc[0]], "dialogue": [" | ".join(g["text"])]}
+        )
+
+    ds = derive_transcripts(sf_dir)
+    return ds.groupby("conv_id").map_groups(sort_concat, batch_format="pandas")
+
+
 def q_tool_turns(sf_dir: str):
     ds = derive_transcripts(sf_dir)
     import pyarrow.compute as pc
@@ -813,6 +829,7 @@ def queries():
         # KG pipeline (SURVEY.md §7 stages)
         "transcripts_ingest": q_transcripts_ingest,
         "normalize_turns": q_normalize_turns,
+        "conversation_texts": q_conversation_texts,
         "tool_turns": q_tool_turns,
         "gazetteer": q_gazetteer,
         "aliases": q_aliases,
@@ -895,6 +912,10 @@ GROUP BY subj, pred, obj"""
         "normalize_turns": _with(
             SQL_TURNS,
             select="SELECT conv_id, turn_idx, nfc_normalize(lower(text)) AS norm_text FROM turns",
+        ),
+        "conversation_texts": _with(
+            SQL_TURNS,
+            select="SELECT conv_id, string_agg(text, ' | ' ORDER BY turn_idx) AS dialogue FROM turns GROUP BY conv_id",
         ),
         "tool_turns": _with(
             SQL_TURNS, select="SELECT conv_id, turn_idx, tool FROM turns WHERE tool <> ''"
