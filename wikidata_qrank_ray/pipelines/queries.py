@@ -20,7 +20,6 @@ import ray.data
 
 from ..context import pool_size
 
-from ..functions.qid import qid_num
 from ..sources.gazetteer import GAZETTEER_TOP_N, build_aliases, build_gazetteer
 from ..sources.tables import read_table
 from ..sources.transcripts import derive_transcripts
