@@ -55,6 +55,13 @@ QUERY_NAMES = [
 ]
 
 
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
 def _consume(res) -> int:
     """Force execution; return row count without re-executing."""
     import pandas as pd
@@ -132,7 +139,7 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": qtimes,
-        "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1),
+        "sf": _sf_of(SF_DIR),
         "num_cpus": NUM_CPUS,
         "bench_turns": BENCH_TURNS,
         "turns_per_sec": round(BENCH_TURNS / headline, 1),

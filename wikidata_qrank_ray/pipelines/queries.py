@@ -498,6 +498,21 @@ def q_distinct_langs(sf_dir: str):
     return pd.DataFrame({"lang": sorted(docs.unique("lang"))})
 
 
+def q_distinct_user_count(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    return pd.DataFrame({"n_users": [np.int64(len(ev.unique("user_id")))]})
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL distinct-count sketch: one 4 KiB sketch per batch, register-max
+    merge -- data motion independent of row count (rows-only check; the
+    exact twin is distinct_user_count)."""
+    from ..stages.sketches import approx_distinct
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    return pd.DataFrame({"approx_users": [np.int64(round(approx_distinct(ev, "user_id")))]})
+
+
 # ---------------------------------------------------------------------------
 # Joins / windows / payload extraction
 # ---------------------------------------------------------------------------
@@ -860,6 +875,8 @@ def queries():
         "sessionize": q_sessionize,
         "event_type_counts": q_event_type_counts,
         "distinct_langs": q_distinct_langs,
+        "distinct_user_count": q_distinct_user_count,
+        "approx_distinct_users": q_approx_distinct_users,
         "doc_systematic_sample": q_doc_systematic_sample,
         # training-data ops
         "dedup_exact": q_dedup_exact,
@@ -1089,6 +1106,7 @@ GROUP BY user_id, session_id""",
         "event_type_counts": """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type""",
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "distinct_user_count": "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
         "doc_systematic_sample": "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
         "dedup_exact": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text""",
