@@ -255,7 +255,14 @@ def _round3(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
 
 
 def q_pricing_summary(sf_dir: str):
-    """TPC-H Q1 shape: filtered groupby-aggregate over lineitem."""
+    """TPC-H Q1 shape: filtered groupby-aggregate over lineitem.
+
+    Money math is EXACT: TPC-H prices/discounts have fixed decimal scale 2,
+    so all sums run in scaled int64 (price x100; disc_price = price_c x
+    (100 - disc_c), exact at scale 10^-4) and convert to double ONCE at the
+    end -- the result is order-independent and bitwise-identical to the
+    oracle's identical integer sums (float partial sums in nondeterministic
+    block order are what broke hash parity in round 1)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
@@ -268,14 +275,17 @@ def q_pricing_summary(sf_dir: str):
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"], pa.scalar(100.0))), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+        disc_price_c4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c))
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "l_quantity": t["l_quantity"],
-                "l_extendedprice": t["l_extendedprice"],
-                "disc_price": disc_price,
+                "qty_c": qty_c,
+                "price_c": price_c,
+                "disc_price_c4": disc_price_c4,
             }
         )
 
@@ -283,15 +293,18 @@ def q_pricing_summary(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("qty_c", alias_name="sum_qty"),
+            Sum("price_c", alias_name="sum_base_price"),
+            Sum("disc_price_c4", alias_name="sum_disc_price"),
             Count(alias_name="count_order"),
         )
     )
     df = agg.to_pandas()
+    df["sum_qty"] = df["sum_qty"].astype(np.int64) / 100.0
+    df["sum_base_price"] = df["sum_base_price"].astype(np.int64) / 100.0
+    df["sum_disc_price"] = df["sum_disc_price"].astype(np.int64) / 10000.0
     df["count_order"] = df["count_order"].astype(np.int64)
-    return _round3(df, ["sum_qty", "sum_base_price", "sum_disc_price"])
+    return df
 
 
 class _SegmentRevenue:
@@ -349,24 +362,29 @@ def q_top_orders_by_revenue(sf_dir: str):
 
 
 def q_brand_revenue(sf_dir: str):
-    """lineitem ⨝ part via broadcast dict lookup inside map_batches."""
+    """lineitem ⨝ part via broadcast dict lookup inside map_batches.
+    Revenue summed in exact scaled int64 (scale 10^-4), one final divide --
+    bitwise-deterministic regardless of block order (see q_pricing_summary)."""
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
     brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
 
     def add_brand(batch: pd.DataFrame) -> pd.DataFrame:
         brands = ray.get(brand_ref)
+        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
         out = pd.DataFrame(
             {
                 "p_brand": batch["l_partkey"].map(brands),
-                "revenue": batch["l_extendedprice"] * (1 - batch["l_discount"]),
+                "revenue_c4": price_c * (100 - disc_c),
             }
         )
-        return out.groupby("p_brand", as_index=False)["revenue"].sum()
+        return out.groupby("p_brand", as_index=False)["revenue_c4"].sum()
 
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
-    agg = li.map_batches(add_brand, batch_format="pandas").groupby("p_brand").sum("revenue")
-    df = agg.to_pandas().rename(columns={"sum(revenue)": "revenue"})
-    return _round3(df, ["revenue"])
+    agg = li.map_batches(add_brand, batch_format="pandas").groupby("p_brand").sum("revenue_c4")
+    df = agg.to_pandas().rename(columns={"sum(revenue_c4)": "revenue"})
+    df["revenue"] = df["revenue"].astype(np.int64) / 10000.0
+    return df
 
 
 def q_region_customers(sf_dir: str):
@@ -400,15 +418,17 @@ def q_events_hourly(sf_dir: str):
     ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        # value has fixed decimal scale 2 -> sum in exact scaled int64 and
+        # divide once at the end (order-independent; see q_pricing_summary)
         out = pd.DataFrame(
             {
                 "user_id": batch["user_id"],
-                "hour_us": batch["ts"].dt.floor("h").astype("int64") // 1000,
-                "value": batch["value"],
+                "hour_us": batch["ts"].dt.floor("h").astype("datetime64[us]").astype("int64"),
+                "value_c": np.round(batch["value"].to_numpy() * 100).astype(np.int64),
             }
         )
         g = out.groupby(["user_id", "hour_us"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+            n_events=("value_c", "size"), sum_value_c=("value_c", "sum")
         )
         return g
 
@@ -416,13 +436,13 @@ def q_events_hourly(sf_dir: str):
     agg = hash_partition_aggregate(
         partial,
         ["user_id", "hour_us"],
-        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+        {"n_events": ("n_events", "sum"), "sum_value_c": ("sum_value_c", "sum")},
         partial=False,
     )
     df = agg.to_pandas()
     df["hour"] = pd.to_datetime(df.pop("hour_us"), unit="us")
     df["n_events"] = df["n_events"].astype(np.int64)
-    df = _round3(df, ["sum_value"])
+    df["sum_value"] = df.pop("sum_value_c").astype(np.int64) / 100.0
     return df[["user_id", "hour", "n_events", "sum_value"]]
 
 
@@ -1045,11 +1065,14 @@ FROM events""",
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        # money sums in exact scaled integers (scale-2 inputs), one final
+        # division -- bitwise-deterministic on both engines
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 3) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1068,7 +1091,8 @@ ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10""",
         "brand_revenue": """
 SELECT p.p_brand AS p_brand,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand""",
         "region_customers": """
@@ -1080,7 +1104,7 @@ GROUP BY r.r_name""",
         "events_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 3) AS sum_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events
 GROUP BY user_id, date_trunc('hour', ts)""",
         "sessionize": """

@@ -101,20 +101,27 @@ def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> pd.DataFrame:
     """(band_id, band_hash) buckets -> doc-id pairs. Bucket count ~= doc
     count x bands (high cardinality), so buckets are co-located by a
     hash-partitioned shuffle and paired with one vectorized sweep per
-    partition; only the (small) pair set reaches the driver."""
+    partition; only the (small) pair set reaches the driver.
+
+    Each doc is paired with BOTH its bucket minimum and its sorted-order
+    predecessor (still O(n) edges per bucket, not O(n^2)): min-edges alone
+    lose recall after verification when the bucket min is dissimilar to two
+    docs that are near-dups of each other -- the consecutive edges keep
+    within-bucket chains connected through verification survivors."""
     from .groupby import hash_partition_apply
 
     def _pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized bucket sweep: pair each doc with its bucket minimum --
-        # enough edges for connected components, O(n) not O(n^2) per bucket
         g = g.drop_duplicates(["band_id", "band_hash", "doc_id"]).sort_values(
             ["band_id", "band_hash", "doc_id"], kind="mergesort"
         )
-        first = g.groupby(["band_id", "band_hash"], sort=False)["doc_id"].transform("first")
-        mask = g["doc_id"].to_numpy() != first.to_numpy()
-        return pd.DataFrame(
-            {"a": first.to_numpy()[mask], "b": g["doc_id"].to_numpy()[mask]}
-        )
+        grp = g.groupby(["band_id", "band_hash"], sort=False)["doc_id"]
+        first = grp.transform("first").to_numpy()
+        prev = grp.shift(1).to_numpy()
+        doc = g["doc_id"].to_numpy()
+        mask = doc != first
+        a = np.concatenate([first[mask], prev[mask].astype(np.int64)])
+        b = np.concatenate([doc[mask], doc[mask]])
+        return pd.DataFrame({"a": a, "b": b}).query("a != b")
 
     pairs = hash_partition_apply(band_rows, ["band_id", "band_hash"], _pairs_part)
     df = pairs.to_pandas()
