@@ -42,3 +42,65 @@ def test_simhash_identical_docs_same_signature():
     sigs = out["simhash"].tolist()
     assert sigs[0] == sigs[1]
     assert sigs[0] != sigs[2]
+
+
+def test_exact_jaccard_pairs_matches_bruteforce():
+    from wikidata_qrank_ray.functions.hashing import shingles
+    from wikidata_qrank_ray.stages.dedup import exact_jaccard_pairs
+
+    texts = [
+        "a b c d e f g",
+        "a b c d e f zz",      # high overlap with 0
+        "p q r s t u v",
+        "a b c x y z w",       # partial overlap with 0/1
+        "short",               # < k tokens -> whole-text shingle
+        "short",               # identical short doc
+        "",                    # empty: never pairs
+    ]
+    ds = _docs(texts)
+    got = (
+        exact_jaccard_pairs(ds, shingle_k=3, threshold=0.2)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # brute force over all pairs
+    sets = [set(shingles(t.split(), 3)) for t in texts]
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue
+            jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+            if jac >= 0.2:
+                want.append((i, j, jac))
+    want_df = pd.DataFrame(want, columns=["a", "b", "jaccard"])
+    assert got[["a", "b"]].to_numpy().tolist() == want_df[["a", "b"]].to_numpy().tolist()
+    assert np.allclose(got["jaccard"], want_df["jaccard"], rtol=0, atol=0)
+    # the identical short docs pair at jaccard 1.0
+    assert ((got["a"] == 4) & (got["b"] == 5) & (got["jaccard"] == 1.0)).any()
+
+
+def test_minhash_planted_dups_larger_corpus():
+    """Planted near-dups in a 2000-doc corpus: every planted pair is found
+    and clustered to its base; unrelated docs never join a cluster."""
+    rng = np.random.RandomState(3)
+    vocab = np.array([f"t{i}" for i in range(500)], dtype=object)
+    texts, planted = [], {}
+    for i in range(2000):
+        toks = vocab[rng.randint(0, len(vocab), size=30)]
+        texts.append(" ".join(toks))
+    for base in (17, 400, 1234):
+        dup = base + 500  # overwrite a later doc with a near-copy
+        toks = texts[base].split()
+        toks[-1] = "zz"
+        texts[dup] = " ".join(toks)
+        planted[dup] = base
+    ds = _docs(texts)
+    out = minhash_dedup(ds, threshold=0.8, concurrency=2)
+    got = dict(zip(out["doc_id"], out["dup_of"]))
+    for dup, base in planted.items():
+        assert got.get(dup) == base, (dup, base, got.get(dup))
+    # no false clusters: only planted pairs + their bases appear
+    assert set(got) <= set(planted) | set(planted.values())

@@ -1159,7 +1159,30 @@ SELECT pos, vec_id FROM (
   FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
 )
 WHERE pos <= 10""",
-        # ann_lsh / minhash_dedup / simhash / lang_id / fingerprints /
-        # sessionize-free ops: non-SQL-expressible or hash-seeded -> rows-only
+        # exact shared-shingle Jaccard: identical k=3 shingle definition on
+        # both sides (functions.hashing.shingles semantics: full text as the
+        # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
+        # single BIGINT division -> bitwise-identical doubles
+        "ngram_jaccard": r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+ds AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT i.a AS a, i.b AS b, i.i / (sa.sz + sb.sz - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.a = sa.doc_id
+JOIN sizes sb ON i.b = sb.doc_id
+WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5""",
+        # ann_lsh / minhash_dedup / simhash / lang_id / fingerprints:
+        # non-SQL-expressible or hash-seeded -> rows-only
         # (driver records the weaker check; see __ray_entry__.oracle_sql)
     }

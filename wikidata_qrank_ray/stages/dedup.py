@@ -135,6 +135,119 @@ def _jaccard(t1: str, t2: str, k: int) -> float:
     return len(s1 & s2) / max(1, len(s1 | s2))
 
 
+# ---------------------------------------------------------------------------
+# Exact distributed shingle-Jaccard (no LSH approximation anywhere)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_rows_batch(batch, k: int) -> pd.DataFrame:
+    """One batch of docs -> distinct (doc_id, s) shingle rows, fully
+    vectorized: Arrow whitespace split, positional k-gram join via numpy
+    object concat, per-doc whole-text fallback for short docs
+    (matching functions.hashing.shingles semantics exactly)."""
+    import pyarrow.compute as pc
+
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    parts = pc.ascii_split_whitespace(pc.fill_null(text, ""))
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(parts).to_numpy()
+    n = batch.num_rows
+    doc_ids = batch["doc_id"].to_numpy()
+    counts = np.bincount(parent, minlength=n)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+    # full k-grams (docs with >= k tokens)
+    valid = (pos + k) <= counts[parent]
+    base = np.nonzero(valid)[0]
+    sh = flat[base].copy() if len(base) else np.array([], dtype=object)
+    for j in range(1, k):
+        sh = sh + " "
+        sh = sh + flat[base + j]
+    out_doc = doc_ids[parent[base]] if len(base) else np.array([], dtype=np.int64)
+    # short docs (1..k-1 tokens): the whole text joined is the one shingle
+    short = np.nonzero((counts > 0) & (counts < k))[0]
+    if len(short):
+        joined = pc.binary_join(parts, " ").to_numpy(zero_copy_only=False)
+        sh = np.concatenate([sh, joined[short]])
+        out_doc = np.concatenate([out_doc, doc_ids[short]])
+    return pd.DataFrame({"doc_id": out_doc, "s": sh}).drop_duplicates()
+
+
+def shingle_rows(docs: ray.data.Dataset, shingle_k: int = 3) -> ray.data.Dataset:
+    """documents -> distinct (doc_id, s:str) token-k-shingle rows."""
+    return docs.map_batches(
+        lambda b, k=shingle_k: _shingle_rows_batch(b, k), batch_format="pyarrow"
+    )
+
+
+def exact_jaccard_pairs(
+    docs: ray.data.Dataset, shingle_k: int = 3, threshold: float = 0.5,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """EXACT all-pairs token-k-gram Jaccard >= threshold -> (a, b, jaccard),
+    with no LSH approximation and no driver-side loops: explode distinct
+    shingles, co-partition by shingle to generate shared-shingle pair
+    partials, hash-partition-aggregate pair intersection counts, join
+    per-doc shingle-set sizes (bucketed joins), then
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) as one exact int division.
+
+    Pairs with zero shared shingles (jaccard 0) never materialize anywhere.
+    Skew caveat: a shingle shared by m docs contributes O(m^2) pair
+    partials; stopword-like shingles on a real corpus need a document-
+    frequency cap upstream (drop shingles with df > cutoff) which trades
+    exactness for a bound -- left to the caller so the oracle stays exact.
+    """
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+    from .join import bucketed_hash_join
+
+    sh = shingle_rows(docs, shingle_k)
+    sizes = hash_partition_aggregate(
+        sh, ["doc_id"], {"sz": ("s", "count")}, num_partitions
+    )
+
+    def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="s")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False, sort=False).size()
+        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b", "size": "i"})
+
+    pair_partials = hash_partition_apply(sh, ["s"], _pair_partials, num_partitions)
+    inter = hash_partition_aggregate(
+        pair_partials, ["a", "b"], {"i": ("i", "sum")}, num_partitions
+    )
+
+    sizes_a = sizes.map_batches(
+        lambda df: df.rename(columns={"sz": "sz_a"}), batch_format="pandas"
+    )
+    sizes_b = sizes.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_id_b", "sz": "sz_b"}),
+        batch_format="pandas",
+    )
+    j1 = bucketed_hash_join(inter, sizes_a, "a", "doc_id", num_partitions=num_partitions)
+    j2 = bucketed_hash_join(j1, sizes_b, "b", "doc_id_b", num_partitions=num_partitions)
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["i"].to_numpy(dtype=np.int64)
+        union = (df["sz_a"].to_numpy(dtype=np.int64)
+                 + df["sz_b"].to_numpy(dtype=np.int64) - i)
+        jac = i / union
+        out = pd.DataFrame(
+            {
+                "a": df["a"].to_numpy(dtype=np.int64),
+                "b": df["b"].to_numpy(dtype=np.int64),
+                "jaccard": jac,
+            }
+        )
+        return out[jac >= threshold]
+
+    return j2.map_batches(_finalize, batch_format="pandas")
+
+
 def minhash_dedup(
     docs: ray.data.Dataset,
     num_perm: int = 64,
@@ -157,21 +270,7 @@ def minhash_dedup(
     cand = lsh_candidate_pairs(minhash_band_rows(sigs, bands, rows_per_band))
     if cand.empty:
         return pd.DataFrame({"doc_id": [], "dup_of": []}, dtype=np.int64)
-    need = set(cand["a"]) | set(cand["b"])
-    texts = (
-        docs.map_batches(
-            lambda df, need=need: df[df["doc_id"].isin(need)][["doc_id", "text"]],
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .set_index("doc_id")["text"]
-        .to_dict()
-    )
-    verified = [
-        (a, b)
-        for a, b in zip(cand["a"], cand["b"])
-        if _jaccard(texts[a], texts[b], shingle_k) >= threshold
-    ]
+    verified = verified_pairs(docs, cand, shingle_k, threshold)
     # union-find over the (small) verified edge set
     parent: dict[int, int] = {}
 
@@ -181,15 +280,49 @@ def minhash_dedup(
             x = parent[x]
         return x
 
-    for a, b in verified:
+    for a, b in zip(verified["a"], verified["b"]):
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
-    members = sorted({int(x) for e in verified for x in e})
+    members = sorted(
+        {int(x) for x in verified["a"]} | {int(x) for x in verified["b"]}
+    )
     return pd.DataFrame(
         {"doc_id": members, "dup_of": [find(m) for m in members]}, dtype=np.int64
     )
+
+
+def verified_pairs(
+    docs: ray.data.Dataset, cand: pd.DataFrame, shingle_k: int, threshold: float
+) -> pd.DataFrame:
+    """Distributed candidate verification: broadcast the candidate doc-id
+    set ONCE (ray.put, deserialized per actor -- never closure-captured per
+    task), semi-filter the corpus to candidate docs, run the exact
+    distributed shingle-Jaccard over that subset, and keep only edges that
+    were LSH candidates. No per-pair Python loop and no driver-built text
+    dict -- the round-1 scale-killer (dedup.py:153-167 then) is gone.
+    -> (a, b, jaccard) for candidate pairs with exact jaccard >= threshold.
+    """
+    need = np.sort(np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])))
+    need_ref = ray.put(need)
+
+    # elastic tasks, not an actor pool: the shingle subtree below consumes
+    # this dataset twice (sizes + pair partials), and two reserved actor
+    # pools can starve the shuffle stages on a small cluster; the task
+    # closure captures only the ObjectRef -- ray.get is a zero-copy local
+    # object-store read per task, not a per-task reshipment of the array
+    def _cand_filter(batch: pd.DataFrame, need_ref=need_ref) -> pd.DataFrame:
+        mask = np.isin(batch["doc_id"].to_numpy(), ray.get(need_ref))
+        return batch[mask][["doc_id", "text"]]
+
+    sub = docs.map_batches(_cand_filter, batch_format="pandas")
+    exact = exact_jaccard_pairs(sub, shingle_k, threshold).to_pandas()
+    # note: docs with zero shingles (empty text) can never verify here --
+    # shared-shingle pairing defines jaccard only over non-empty shingle
+    # sets; identical empty docs are exact_dedup's job, not near-dup's
+    merged = exact.merge(cand, on=["a", "b"], how="inner")
+    return merged[["a", "b", "jaccard"]].reset_index(drop=True)
 
 
 class SimHasher:
@@ -214,12 +347,10 @@ def simhash_signatures(docs: ray.data.Dataset, concurrency: int = 4) -> ray.data
 
 
 def ngram_jaccard_pairs(
-    docs: ray.data.Dataset, shingle_k: int = 3, threshold: float = 0.5, **mh_kwargs
-) -> pd.DataFrame:
-    """Doc pairs with token-k-gram Jaccard >= threshold, found via LSH
-    blocking then exact verification -> (a, b, jaccard)."""
-    res = minhash_dedup(docs, shingle_k=shingle_k, threshold=threshold, **mh_kwargs)
-    if res.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    # re-derive verified pairs as (member, rep) edges with their jaccard
-    return res.rename(columns={"dup_of": "a", "doc_id": "b"})[["a", "b"]].query("a != b")
+    docs: ray.data.Dataset, shingle_k: int = 3, threshold: float = 0.5
+) -> ray.data.Dataset:
+    """ALL doc pairs with token-k-gram Jaccard >= threshold -> Dataset
+    (a, b, jaccard) -- exact (shared-shingle co-partitioning, not LSH), so
+    a SQL oracle over the same shingle definition matches value-for-value.
+    For blocking-based near-dup clustering use minhash_dedup instead."""
+    return exact_jaccard_pairs(docs, shingle_k=shingle_k, threshold=threshold)

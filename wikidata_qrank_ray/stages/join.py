@@ -89,6 +89,15 @@ def _pad_union(
     right_dtypes). Key columns are both renamed to ``__key__``."""
     import pyarrow as pa
 
+    def _as_arrow(ds):
+        # upstream stages that emit pandas blocks (e.g. map_groups finals)
+        # report a PandasBlockSchema; force Arrow blocks so the join's
+        # typed-null padding has a real pyarrow schema to work from
+        if isinstance(ds.schema().base_schema, pa.Schema):
+            return ds
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    left, right = _as_arrow(left), _as_arrow(right)
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     lcols = [c for c in lschema.names if c != left_key]
