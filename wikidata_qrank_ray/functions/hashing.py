@@ -146,8 +146,38 @@ class BloomFilter:
 
 
 def rolling_fingerprint(text: str, base: int = 257, mod: int = (1 << 61) - 1) -> int:
-    """Polynomial rolling hash over the whole text (document fingerprint)."""
+    """Polynomial rolling hash over the text's CODEPOINTS (document
+    fingerprint). Codepoints, not utf-8 bytes, so the identical recurrence
+    is expressible in ANSI-ish SQL (DuckDB unicode() + list_reduce) for the
+    value-exact oracle."""
     h = 0
-    for b in text.encode("utf-8"):
-        h = (h * base + b) % mod
+    for ch in text:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+_POLY_BASE = np.uint64(1000003)
+
+
+def polyhash64(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized per-token codepoint-polynomial hash in uint64 wraparound:
+    h = fold(h * 1000003 + codepoint). Deterministic, seedless, and exactly
+    reproducible in SQL via HUGEINT list_reduce mod 2^64 -- the token-hash
+    kernel for SimHash parity. ~max-token-length vectorized steps per batch,
+    no per-token Python."""
+    n = len(tokens)
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    joined = "".join(tokens)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.cumsum(lens)[:-1]
+    h = np.zeros(n, dtype=np.uint64)
+    maxlen = int(lens.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            alive = lens > j
+            idx = starts[alive] + j
+            h[alive] = h[alive] * _POLY_BASE + codes[idx]
     return h

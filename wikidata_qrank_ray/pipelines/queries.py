@@ -914,6 +914,68 @@ def queries():
     }
 
 
+def _lang_id_sql() -> str:
+    """DuckDB twin of stages.textstats.LangId, generated from the SAME
+    profile table: non-overlapping substring counts via length-replace,
+    first-max tie-break in profile order, CJK codepoint override."""
+    from ..stages.textstats import _LANG_PROFILES
+
+    profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+
+    def cnt(g: str) -> str:
+        gq = g.replace("'", "''")
+        return f"(length(t) - length(replace(t, '{gq}', ''))) / {len(g)}"
+
+    score_cols = ",\n       ".join(
+        f"{' + '.join(cnt(g) for g in grams)} AS {lang}"
+        for lang, grams in profiles.items()
+    )
+    langs = list(profiles)
+    tie = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lang} >= {o}" for o in langs[i + 1:])
+        tie.append(f"WHEN {conds} THEN '{lang}'")
+    return f"""
+WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+sc AS (SELECT doc_id, regexp_matches(t, '[一-鿿]') AS cjk,
+       {score_cols}
+       FROM lowered)
+SELECT doc_id,
+  CASE WHEN cjk THEN 'zh'
+       WHEN greatest({", ".join(langs)}) = 0 THEN 'und'
+       {" ".join(tie)}
+       ELSE '{langs[-1]}' END AS pred_lang
+FROM sc"""
+
+
+def _ann_lsh_sql(bits: int = 6, seed: int = 11, dim: int = 64, k: int = 10) -> str:
+    """DuckDB twin of stages.similarity.ann_lsh_topk: the seeded random
+    hyperplanes depend only on (dim, bits, seed) -- all fixed -- so they are
+    embedded as literal double arrays; bucket ids and the bucket-restricted
+    cosine top-k are then plain SQL."""
+    from ..stages.similarity import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(dim, bits, seed)
+    rows = ",\n".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[j])}])"
+        for j in range(bits)
+    )
+    return f"""
+WITH planes(j, v) AS (VALUES {rows}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT SUM(CASE WHEN list_dot_product(q.qv, p.v) > 0 THEN 1 << p.j ELSE 0 END) AS b
+       FROM q, planes p),
+eb AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding,
+              SUM(CASE WHEN list_dot_product(e.embedding, p.v) > 0 THEN 1 << p.j ELSE 0 END) AS b
+       FROM embeddings e, planes p GROUP BY e.vec_id, e.embedding)
+SELECT pos, vec_id FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(eb.embedding, q.qv) DESC, eb.vec_id ASC) AS BIGINT) AS pos,
+         eb.vec_id AS vec_id
+  FROM eb, q, qb WHERE eb.b = qb.b
+) WHERE pos <= {k}"""
+
+
 def oracle_sql():
     qrank_select = """
 SELECT qid, mention_count AS rank_value,
@@ -1182,7 +1244,44 @@ FROM inter i
 JOIN sizes sa ON i.a = sa.doc_id
 JOIN sizes sb ON i.b = sb.doc_id
 WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5""",
-        # ann_lsh / minhash_dedup / simhash / lang_id / fingerprints:
-        # non-SQL-expressible or hash-seeded -> rows-only
-        # (driver records the weaker check; see __ray_entry__.oracle_sql)
+        "lang_id": _lang_id_sql(),
+        "ann_lsh": _ann_lsh_sql(),
+        # codepoint-polynomial rolling hash, identical recurrence both sides
+        "fingerprints": """
+SELECT doc_id,
+  CAST(CASE WHEN length(text) = 0 THEN 0
+       ELSE list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(text, '')],
+                        (acc, x) -> (acc * 257 + x) % 2305843009213693951)
+  END AS BIGINT) AS fingerprint
+FROM documents""",
+        # 64-bit SimHash: per-token codepoint-polynomial hash (HUGEINT
+        # list_reduce mod 2^64), per-bit majority vote, two's-complement
+        # reinterpretation to match the int64 view
+        "simhash": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
+th AS (
+  SELECT doc_id,
+         list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(t, '')],
+                     (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) AS h
+  FROM tok),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (h // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM votes GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(CASE WHEN s.s IS NULL THEN 0
+            WHEN s.s >= 9223372036854775808 THEN s.s - 18446744073709551616
+            ELSE s.s END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id""",
+        # ann_ivf (data-dependent k-means quantizer) / minhash_dedup
+        # (LSH-blocked clustering) / approx_distinct_users (HLL estimate):
+        # approximate by design -> rows-only here, value-checked against
+        # their exact twins in tests (ann_topk recall, planted-dup corpus,
+        # distinct_user_count bound)
     }

@@ -326,13 +326,19 @@ def verified_pairs(
 
 
 class SimHasher:
+    """Token hash = seedless codepoint-polynomial (functions.hashing.polyhash64)
+    so the DuckDB oracle can recompute the identical 64-bit signature
+    (HUGEINT list_reduce per token + per-bit vote aggregate)."""
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import polyhash64
+
         all_t: list[str] = []
         starts = np.empty(len(batch), dtype=np.int64)
         for i, t in enumerate(batch["text"]):
             starts[i] = len(all_t)
             all_t.extend(t.split())
-        hashes = stable_hash64(all_t) if all_t else np.array([], dtype=np.uint64)
+        hashes = polyhash64(np.array(all_t, dtype=object))
         sigs = simhash64_batch(hashes, starts)
         out = batch[["doc_id"]].copy()
         out["simhash"] = sigs.view(np.int64)
