@@ -42,13 +42,67 @@ def test_matcher_occurrence_counts():
 
 
 def test_multi_token_greedy_match():
-    m = GazetteerMatcher(
+    from wikidata_qrank_ray.stages.mentions import PhraseGazetteerMatcher
+
+    m = PhraseGazetteerMatcher(
         pd.DataFrame(
             {"qid": ["Q9", "Q1"], "surface": ["new york", "york"], "prior": [5, 50]}
         )
     )
-    got = m.match_multi(["in", "new", "york", "today", "york"])
-    assert got == [(1, "new york", "Q9"), (4, "york", "Q1")]
+    t = pa.table(
+        {
+            "conv_id": ["c0"],
+            "turn_idx": pa.array([0], type=pa.int32()),
+            "text": ["in new york today york"],
+        }
+    )
+    out = m(t).to_pandas()
+    got = set(map(tuple, out[["qid", "surface"]].to_numpy()))
+    # greedy: "new york" consumes york at pos 2; the trailing bare "york"
+    # still matches the unigram
+    assert got == {("Q9", "new york"), ("Q1", "york")}
+
+
+def test_phrase_run_parity_overlap():
+    """Overlapping bigram candidates: 'a b', 'b c', 'c d' are all phrases;
+    greedy left-to-right takes 'a b' then 'c d' (run parity), never 'b c'."""
+    from wikidata_qrank_ray.stages.mentions import PhraseGazetteerMatcher
+
+    m = PhraseGazetteerMatcher(
+        pd.DataFrame(
+            {
+                "qid": ["Q1", "Q2", "Q3"],
+                "surface": ["a b", "b c", "c d"],
+                "prior": [1, 1, 1],
+            }
+        )
+    )
+    t = pa.table(
+        {
+            "conv_id": ["c0", "c0"],
+            "turn_idx": pa.array([0, 1], type=pa.int32()),
+            "text": ["a b c d", "x b c y"],
+        }
+    )
+    out = m(t).to_pandas()
+    got = set(map(tuple, out[["turn_idx", "qid"]].to_numpy()))
+    assert got == {(0, "Q1"), (0, "Q3"), (1, "Q2")}
+
+
+def test_phrase_not_across_turn_boundary():
+    from wikidata_qrank_ray.stages.mentions import PhraseGazetteerMatcher
+
+    m = PhraseGazetteerMatcher(
+        pd.DataFrame({"qid": ["Q1"], "surface": ["new york"], "prior": [1]})
+    )
+    t = pa.table(
+        {
+            "conv_id": ["c0", "c0"],
+            "turn_idx": pa.array([0, 1], type=pa.int32()),
+            "text": ["ends with new", "york starts here"],
+        }
+    )
+    assert len(m(t)) == 0
 
 
 def test_linking_prior_tiebreak():

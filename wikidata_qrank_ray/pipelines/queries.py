@@ -91,6 +91,57 @@ resolve AS (
   LEFT JOIN alias a2 ON COALESCE(a1.to_qid, g.qid) = a2.from_qid
 )"""
 
+SQL_GAZ2 = r"""
+gaz2 AS (
+  SELECT 'Q' || CAST(100 + rnk AS VARCHAR) AS qid, surface, CAST(cnt AS BIGINT) AS prior FROM (
+    SELECT surface, COUNT(*) AS cnt,
+           row_number() OVER (ORDER BY COUNT(*) DESC, surface ASC) AS rnk
+    FROM (
+      SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS surface
+      FROM (SELECT regexp_extract_all(text, '\S+') AS t FROM documents)
+    )
+    GROUP BY surface
+  ) WHERE rnk <= 15
+)"""
+
+# greedy longest-match phrase semantics in SQL: bigram candidates at
+# adjacent positions; within each maximal run of consecutive candidate
+# positions the even offsets are taken (gaps-and-islands + run parity --
+# exactly what a left-to-right greedy scanner with max span 2 does);
+# unigrams match only at positions no taken bigram covers
+SQL_PHRASE_MATCH = r"""
+ptoks AS (
+  SELECT conv_id, turn_idx,
+         unnest([{'pos': i, 's': t[i]} FOR i IN range(1, len(t) + 1)], recursive := true)
+  FROM (SELECT conv_id, turn_idx, regexp_extract_all(text, '\S+') AS t FROM turns)),
+bc AS (
+  SELECT a.conv_id AS conv_id, a.turn_idx AS turn_idx, a.pos AS pos,
+         a.s || ' ' || b.s AS surface, g2.qid AS qid
+  FROM ptoks a
+  JOIN ptoks b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND b.pos = a.pos + 1
+  JOIN gaz2 g2 ON g2.surface = a.s || ' ' || b.s),
+runs AS (
+  SELECT *, pos - row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS island
+  FROM bc),
+taken AS (
+  SELECT * FROM (
+    SELECT *, (pos - MIN(pos) OVER (PARTITION BY conv_id, turn_idx, island)) % 2 AS par
+    FROM runs) WHERE par = 0),
+covered AS (
+  SELECT conv_id, turn_idx, pos FROM taken
+  UNION ALL
+  SELECT conv_id, turn_idx, pos + 1 FROM taken),
+uni AS (
+  SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx, g.qid AS qid, t.s AS surface
+  FROM ptoks t JOIN gaz g ON g.surface = t.s
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.conv_id = t.conv_id AND c.turn_idx = t.turn_idx AND c.pos = t.pos)),
+phits AS (
+  SELECT DISTINCT conv_id, turn_idx, qid, surface FROM (
+    SELECT conv_id, turn_idx, qid, surface FROM taken
+    UNION ALL
+    SELECT conv_id, turn_idx, qid, surface FROM uni))"""
+
 SQL_TRIPLES = """
 m AS (SELECT DISTINCT conv_id, turn_idx, qid FROM hits),
 co AS (
@@ -175,6 +226,45 @@ def q_gazetteer(sf_dir: str):
 def q_mentions(sf_dir: str):
     ds = derive_transcripts(sf_dir)
     return detect_mentions(ds, _gaz_ref(sf_dir), mode="mentions")
+
+
+def _phrase_gaz(sf_dir: str) -> pd.DataFrame:
+    from ..sources.gazetteer import build_bigram_gazetteer
+
+    return pd.concat(
+        [build_gazetteer(sf_dir), build_bigram_gazetteer(sf_dir)], ignore_index=True
+    )
+
+
+def q_gazetteer_phrases(sf_dir: str):
+    from ..sources.gazetteer import build_bigram_gazetteer
+
+    return build_bigram_gazetteer(sf_dir)
+
+
+def q_mentions_phrases(sf_dir: str):
+    """Multi-token mention detection (greedy longest-match over unigram +
+    bigram surfaces) -- the Aho-Corasick step of SURVEY.md §7.2, oracle-
+    gated; see stages.mentions.PhraseGazetteerMatcher."""
+    from ..stages.mentions import detect_mentions_phrases
+
+    ds = derive_transcripts(sf_dir)
+    return detect_mentions_phrases(ds, ray.put(_phrase_gaz(sf_dir)))
+
+
+def q_phrase_rank(sf_dir: str):
+    """Entity rank over phrase-aware mentions: distinct-per-turn hits
+    rolled up per (possibly multi-token) entity."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    mentions = q_mentions_phrases(sf_dir)
+    agg = hash_partition_aggregate(
+        mentions, ["qid"], {"mention_count": ("surface", "count")}
+    )
+    return agg.map_batches(
+        lambda df: df[["qid", "mention_count"]].astype({"mention_count": np.int64}),
+        batch_format="pandas",
+    )
 
 
 def q_entity_rank(sf_dir: str):
@@ -868,6 +958,9 @@ def queries():
         "gazetteer": q_gazetteer,
         "aliases": q_aliases,
         "mentions": q_mentions,
+        "gazetteer_phrases": q_gazetteer_phrases,
+        "mentions_phrases": q_mentions_phrases,
+        "phrase_rank": q_phrase_rank,
         "entity_rank": q_entity_rank,
         "entity_rank_salted": q_entity_rank_salted,
         "qrank": q_qrank,
@@ -1023,6 +1116,17 @@ GROUP BY subj, pred, obj"""
         "mentions": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS,
             select="SELECT DISTINCT conv_id, turn_idx, qid, surface FROM hits",
+        ),
+        "gazetteer_phrases": _with(
+            SQL_GAZ2, select="SELECT qid, surface, prior FROM gaz2"
+        ),
+        "mentions_phrases": _with(
+            SQL_TURNS, SQL_GAZ, SQL_GAZ2, SQL_PHRASE_MATCH,
+            select="SELECT conv_id, turn_idx, qid, surface FROM phits",
+        ),
+        "phrase_rank": _with(
+            SQL_TURNS, SQL_GAZ, SQL_GAZ2, SQL_PHRASE_MATCH,
+            select="SELECT qid, CAST(COUNT(*) AS BIGINT) AS mention_count FROM phits GROUP BY qid",
         ),
         "entity_rank": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK,

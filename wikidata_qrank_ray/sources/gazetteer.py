@@ -78,6 +78,62 @@ def build_gazetteer(sf_dir: str, top_n: int = GAZETTEER_TOP_N) -> pd.DataFrame:
     return merge_token_partials(partial.to_pandas(), top_n)
 
 
+BIGRAM_TOP_N = 15
+BIGRAM_QID_OFFSET = 100
+
+
+def _partial_bigram_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch adjacent-token-pair counts (map-side combine), vectorized:
+    one whitespace split, one object-array concat over same-doc positions."""
+    parts = pc.ascii_split_whitespace(batch["text"])
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(parts).to_numpy()
+    if len(flat) < 2:
+        return pa.table({"surface": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    toks = np.asarray(flat, dtype=object)
+    same = parent[:-1] == parent[1:]
+    cand = toks[:-1][same] + " "
+    cand = cand + toks[1:][same]
+    vc = pd.Series(cand).value_counts()
+    return pa.table(
+        {
+            "surface": pa.array(vc.index.to_numpy(), type=pa.string()),
+            "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def merge_bigram_partials(
+    partial_df: pd.DataFrame, top_n: int = BIGRAM_TOP_N, offset: int = BIGRAM_QID_OFFSET
+) -> pd.DataFrame:
+    """Driver-side merge of the (vocabulary-sized) bigram partials; qid
+    space offset so phrase entities never collide with unigram qids."""
+    df = partial_df.groupby("surface", as_index=False)["cnt"].sum()
+    df = df.sort_values(["cnt", "surface"], ascending=[False, True], kind="mergesort")
+    df = df.head(top_n).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "qid": ["Q" + str(offset + i + 1) for i in range(len(df))],
+            "surface": df["surface"].to_numpy(),
+            "prior": df["cnt"].astype("int64").to_numpy(),
+        }
+    )
+
+
+def build_bigram_gazetteer(
+    sf_dir: str, top_n: int = BIGRAM_TOP_N, offset: int = BIGRAM_QID_OFFSET
+) -> pd.DataFrame:
+    """Top-N adjacent-token bigram surfaces -> (qid, surface, prior) with
+    qid = 'Q' + (offset + rank) -- the multi-word dictionary analogue of the
+    reference's multi-word titles (titles.go:26-115)."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    partial = docs.map_batches(_partial_bigram_counts, batch_format="pyarrow")
+    return merge_bigram_partials(partial.to_pandas(), top_n, offset)
+
+
 def build_aliases(gazetteer: pd.DataFrame) -> pd.DataFrame:
     """Deterministic redirect/alias chains over the derived qid space
     (analogue of redirects, titles.go:394-483): for qid number n,

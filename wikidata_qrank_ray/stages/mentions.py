@@ -53,12 +53,6 @@ def _tokenize_arrow(text_col) -> tuple[pa.Array, np.ndarray]:
     return flat, parent.to_numpy()
 
 
-# kept for the multi-token/unit-test path
-def _tokenize_with_parents(text_col) -> tuple[np.ndarray, np.ndarray]:
-    flat, parent = _tokenize_arrow(text_col)
-    return flat.to_numpy(zero_copy_only=False), parent
-
-
 def gazetteer_to_dict(gaz: pd.DataFrame) -> dict[str, list[tuple[str, int]]]:
     """surface -> candidate list [(qid, prior), ...] sorted best-first
     (prior desc, numeric qid asc)."""
@@ -89,7 +83,6 @@ class GazetteerMatcher:
         self.cands = gazetteer_to_dict(gaz)
         # best (linked) candidate per surface, precomputed once per actor
         self.best = {s: c[0] for s, c in self.cands.items()}
-        self.max_len = max((len(s.split(" ")) for s in self.cands), default=1)
         self.mode = mode
         self.text_col = text_col
         # integer entity ordinals, ordered by numeric qid (the rank /
@@ -163,24 +156,104 @@ class GazetteerMatcher:
             }
         )
 
-    # -- multi-token path (library semantics; unit-tested, not oracle-gated) --
-    def match_multi(self, tokens: list[str]) -> list[tuple[int, str, str]]:
-        """Greedy longest-match over one turn's token list.
-        -> [(start_token_idx, surface, qid)]"""
-        out = []
-        i, n = 0, len(tokens)
-        while i < n:
-            matched = False
-            for span in range(min(self.max_len, n - i), 0, -1):
-                surface = " ".join(tokens[i:i + span])
-                if surface in self.best:
-                    out.append((i, surface, self.best[surface][0]))
-                    i += span
-                    matched = True
-                    break
-            if not matched:
-                i += 1
-        return out
+class PhraseGazetteerMatcher:
+    """Multi-token (phrase) gazetteer matching -- greedy longest-match over
+    the token stream, fully vectorized (the Aho-Corasick step of SURVEY.md
+    §7.2; reference dictionary keys are multi-word titles, titles.go:26-115).
+
+    Semantics (what a left-to-right greedy scanner does with max phrase
+    length 2): a bigram candidate at token position p is TAKEN iff p is not
+    consumed by a taken bigram at p-1 -- equivalently, within each maximal
+    run of consecutive bigram-candidate positions, the even offsets are
+    taken (run parity, no sequential loop). A unigram matches at p iff no
+    taken bigram covers p. The identical rule is expressible in SQL with
+    one gaps-and-islands window, so this path is oracle-gated.
+    """
+
+    def __init__(self, gaz_ref, text_col: str = "text"):
+        gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
+        cands = gazetteer_to_dict(gaz)
+        best = {s: c[0][0] for s, c in cands.items()}
+        self.uni = {s: q for s, q in best.items() if " " not in s}
+        self.bi = {s: q for s, q in best.items() if s.count(" ") == 1}
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, parent = _tokenize_arrow(batch[self.text_col])
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        n = len(toks)
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        tix = batch["turn_idx"].to_numpy()
+        if n == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], type=pa.string()),
+                    "turn_idx": pa.array([], type=pa.int32()),
+                    "qid": pa.array([], type=pa.string()),
+                    "surface": pa.array([], type=pa.string()),
+                }
+            )
+        # bigram candidates at positions where p and p+1 share a turn
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[:-1] = parent[:-1] == parent[1:]
+        bsurf = np.empty(n, dtype=object)
+        bqid = np.full(n, None, dtype=object)
+        sp = np.nonzero(same)[0]
+        if len(sp):
+            cand = toks[sp] + " "
+            cand = cand + toks[sp + 1]
+            bsurf[sp] = cand
+            bqid[sp] = pd.Series(cand).map(self.bi).to_numpy()
+        B = pd.notna(bqid)
+        # run-parity greedy: even offsets within each consecutive-B run
+        bpos = np.nonzero(B)[0]
+        covered = np.zeros(n, dtype=bool)
+        tb = np.array([], dtype=np.int64)
+        if len(bpos):
+            new_run = np.ones(len(bpos), dtype=bool)
+            new_run[1:] = np.diff(bpos) != 1
+            run_id = np.cumsum(new_run) - 1
+            run_first = bpos[new_run]
+            taken = ((bpos - run_first[run_id]) % 2) == 0
+            tb = bpos[taken]
+            covered[tb] = True
+            covered[tb + 1] = True
+        uqid = pd.Series(toks).map(self.uni).to_numpy()
+        up = np.nonzero(pd.notna(uqid) & ~covered)[0]
+        out = pd.DataFrame(
+            {
+                "parent": np.concatenate([parent[tb], parent[up]]),
+                "qid": np.concatenate([bqid[tb], uqid[up]]),
+                "surface": np.concatenate([bsurf[tb], toks[up]]),
+            }
+        ).drop_duplicates(["parent", "qid", "surface"])
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[out["parent"].to_numpy()], type=pa.string()),
+                "turn_idx": pa.array(tix[out["parent"].to_numpy()], type=pa.int32()),
+                "qid": pa.array(out["qid"].to_numpy(), type=pa.string()),
+                "surface": pa.array(out["surface"].to_numpy(), type=pa.string()),
+            }
+        )
+
+
+def detect_mentions_phrases(
+    ds: ray.data.Dataset,
+    gaz_ref,
+    concurrency: int = 4,
+    batch_size: int = 8192,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Phrase-aware mention detection (unigram + bigram surfaces, greedy
+    longest-match): actor pool, dictionary broadcast once."""
+    return ds.map_batches(
+        PhraseGazetteerMatcher,
+        fn_constructor_kwargs={"gaz_ref": gaz_ref, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+    )
 
 
 def detect_mentions(
