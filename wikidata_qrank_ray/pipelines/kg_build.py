@@ -25,6 +25,40 @@ from ..stages.stats import rank_stats
 from ..state.checkpoint import CheckpointManager, lineage_fingerprint
 
 
+# above this many gazetteer surfaces the entity-space-sized partials stop
+# being "tiny" and the final combine moves off the driver into a
+# hash-partitioned shuffle (stages/groupby.hash_partition_aggregate); the
+# reference's extsort-backed rollup (qviews.go:94-121) likewise never holds
+# the full set in one process
+DRIVER_COMBINE_MAX_SURFACES = 2048
+
+
+def _combine_triple_partials(
+    partial, n_surfaces: int, distributed: bool | None = None
+) -> pd.DataFrame:
+    """Global merge of per-batch canonical (subj, pred, obj, w) partials.
+
+    distributed=None -> auto: driver-side pandas combine while the entity
+    vocabulary is small (partials are <= vocab^2-bounded), hash-partitioned
+    distributed aggregate beyond DRIVER_COMBINE_MAX_SURFACES (where a
+    driver combine would hold vocab^2 x blocks rows). Both paths compute
+    the identical groupby-sum."""
+    if distributed is None:
+        distributed = n_surfaces > DRIVER_COMBINE_MAX_SURFACES
+    if distributed:
+        from ..stages.groupby import hash_partition_aggregate
+
+        agg = hash_partition_aggregate(
+            partial, ["subj", "pred", "obj"], {"w": ("w", "sum")}
+        )
+        return agg.to_pandas()
+    return (
+        partial.to_pandas()
+        .groupby(["subj", "pred", "obj"], as_index=False)["w"]
+        .sum()
+    )
+
+
 def _gazetteer_from_turns(
     turns: ray.data.Dataset, top_n: int = 30, text_col: str = "text"
 ) -> pd.DataFrame:
@@ -126,19 +160,17 @@ def run(
     gaz = pq.read_table(gaz_file).to_pandas()
     aliases = build_aliases(gaz)
     mapping = resolve_aliases(aliases)
-    gaz_ref = ray.put(gaz)
-    mapping_ref = ray.put(mapping)
 
-    # Stage 3 (fused): ONE actor-pool pass over the corpus emits canonical
-    # triple partials AND occurrence-count partials (tagged MENTIONS_PRED);
-    # ONE groupby shuffle dedups/sums both. Canonicalization is folded into
-    # the automaton (alias closure known up front), which is weight-identical
-    # to rewrite-then-merge and avoids a second shuffle. Map-side combine
-    # already collapses hot keys to one row per batch -- stronger than
-    # reducer-side salting (salted_rollup remains the documented skew path
-    # for pre-aggregated inputs, stages/rank.py).
-    import pyarrow.compute as pc
-
+    # Stage 3 (fused): ONE actor/task pass over the corpus emits PER-BATCH
+    # canonical triple partials AND occurrence-count partials (tagged
+    # MENTIONS_PRED); ONE aggregate dedups/sums both. The alias closure is
+    # applied per batch AFTER raw per-turn pair generation (post-pair
+    # rewrite == rewrite-then-merge semantics exactly; pre-pair ordinal
+    # folding would silently change co_occurs weights -- see
+    # GazetteerMatcher note). Map-side combine already collapses hot keys
+    # to one row per batch -- stronger than reducer-side salting
+    # (salted_rollup remains the documented skew path for pre-aggregated
+    # inputs, stages/rank.py).
     from ..stages.triples import MENTIONS_PRED, TripleExtractor
 
     def write_graph(tmp: str) -> int:
@@ -153,35 +185,56 @@ def run(
         partial = ray.data.read_parquet(
             norm_path, columns=["norm_text", "tool"]
         ).map_batches(extractor, batch_format="pyarrow", batch_size=batch_size)
-        # final combine on the driver: partials are entity-space sized
-        # (<= vocab^2/2 + vocab rows per batch), so the merged table is tiny.
-        # At larger entity vocabularies this becomes
-        # stages.groupby.hash_partition_aggregate -- Ray's Aggregate operator
-        # costs ~0.2s per input BLOCK and would dominate these tiny partials.
-        adf = (
-            partial.to_pandas()
-            .groupby(["subj", "pred", "obj"], as_index=False)["w"]
-            .sum()
-            .rename(columns={"w": "weight"})
-        )
-        is_cnt = adf["pred"] == MENTIONS_PRED
-        triples_df = (
-            adf[~is_cnt]
-            .sort_values(["subj", "pred", "obj"], kind="mergesort")
-            .reset_index(drop=True)
-        )
-        # partitioned sink (one directory per predicate): a rerun or a
-        # downstream consumer can address predicates independently -- the
-        # resumable-output layout scaled down to this corpus
-        ray.data.from_pandas(triples_df).write_parquet(
-            os.path.join(tmp, "triples"), partition_cols=["pred"]
-        )
-        ranks = ray.data.from_pandas(
-            adf[is_cnt][["subj", "weight"]].rename(
+        distributed = len(gaz) > DRIVER_COMBINE_MAX_SURFACES
+        if distributed:
+            # hash-partitioned final combine; the aggregate (the smallest
+            # representation of the graph) stays in the object store, and
+            # triples are written straight from the Dataset -- the driver
+            # only ever holds the vocab-sized rank counts
+            from ..stages.groupby import hash_partition_aggregate
+
+            agg = hash_partition_aggregate(
+                partial, ["subj", "pred", "obj"], {"w": ("w", "sum")}
+            ).materialize()
+            triples_ds = agg.map_batches(
+                lambda df: df[df["pred"] != MENTIONS_PRED].rename(
+                    columns={"w": "weight"}
+                ),
+                batch_format="pandas",
+            )
+            triples_ds.sort(["subj", "pred", "obj"]).write_parquet(
+                os.path.join(tmp, "triples"), partition_cols=["pred"]
+            )
+            ranks_df = (
+                agg.map_batches(
+                    lambda df: df[df["pred"] == MENTIONS_PRED][["subj", "w"]],
+                    batch_format="pandas",
+                )
+                .to_pandas()
+                .rename(columns={"subj": "qid", "w": "mention_count"})
+            )
+        else:
+            # small vocabulary: entity-space-sized partials merge on the
+            # driver (Ray's Aggregate operator costs ~0.2s per input BLOCK
+            # and would dominate these tiny partials)
+            adf = _combine_triple_partials(partial, len(gaz), distributed=False)
+            adf = adf.rename(columns={"w": "weight"})
+            is_cnt = adf["pred"] == MENTIONS_PRED
+            triples_df = (
+                adf[~is_cnt]
+                .sort_values(["subj", "pred", "obj"], kind="mergesort")
+                .reset_index(drop=True)
+            )
+            # partitioned sink (one directory per predicate): a rerun or a
+            # downstream consumer can address predicates independently --
+            # the resumable-output layout scaled down to this corpus
+            ray.data.from_pandas(triples_df).write_parquet(
+                os.path.join(tmp, "triples"), partition_cols=["pred"]
+            )
+            ranks_df = adf[is_cnt][["subj", "weight"]].rename(
                 columns={"subj": "qid", "weight": "mention_count"}
             )
-        )
-        qdf = qrank_order(ranks)
+        qdf = qrank_order(ray.data.from_pandas(ranks_df))
         pq.write_table(
             pa.Table.from_pandas(qdf, preserve_index=False), os.path.join(tmp, "qrank.parquet")
         )
@@ -239,8 +292,6 @@ def run_streaming(
     resume). Two passes over the input total: one to build the gazetteer
     dictionary, one fused extraction pass. Returns in-memory results
     (entity-space sized)."""
-    import pyarrow.compute as pc
-
     from ..stages.triples import MENTIONS_PRED, TripleExtractor
 
     # block count ~ 2x the worker slots: fewer, bigger blocks keep the
@@ -269,14 +320,9 @@ def run_streaming(
             transcripts_path, columns=["text", "tool"], override_num_blocks=n_blocks
         )
     ).map_batches(extractor, batch_format="pyarrow", batch_size=batch_size)
-    # driver-side final combine of the entity-space-sized partials (see
-    # write_graph note; scale path = hash_partition_aggregate)
-    adf = (
-        partial.to_pandas()
-        .groupby(["subj", "pred", "obj"], as_index=False)["w"]
-        .sum()
-        .rename(columns={"w": "weight"})
-    )
+    # final combine: driver-side while the vocabulary is small, hash-
+    # partitioned shuffle beyond DRIVER_COMBINE_MAX_SURFACES (auto)
+    adf = _combine_triple_partials(partial, len(gaz)).rename(columns={"w": "weight"})
     is_cnt = adf["pred"] == MENTIONS_PRED
     triples = (
         adf[~is_cnt]

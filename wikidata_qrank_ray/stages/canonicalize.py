@@ -43,6 +43,26 @@ def _rewrite_col(arr: np.ndarray, mapping: dict[str, str]) -> np.ndarray:
     return mapped.fillna(s).to_numpy()
 
 
+def rewrite_triples_df(df: pd.DataFrame, mapping: dict[str, str]) -> pd.DataFrame:
+    """Vectorized canonical rewrite of one triple frame: subj/obj through
+    the closure, canonical undirected form (subj_qn < obj_qn) for
+    entity-entity edges, self-loops dropped (links.go:69-71 semantics).
+    Weights are NOT re-merged here -- callers follow with a groupby-sum
+    (shared by the Dataset op below and the flagship's fused combine, so
+    both paths have provably identical semantics)."""
+    df = df.copy()
+    df["subj"] = _rewrite_col(df["subj"].to_numpy(), mapping)
+    is_ent_obj = df["obj"].str.match(r"^Q\d+$")
+    df.loc[is_ent_obj, "obj"] = _rewrite_col(df.loc[is_ent_obj, "obj"].to_numpy(), mapping)
+    both = is_ent_obj
+    sn = df["subj"].str.slice(1)
+    on = df["obj"].where(both).str.slice(1)
+    sw = both & (pd.to_numeric(sn, errors="coerce") > pd.to_numeric(on, errors="coerce"))
+    s, o = df.loc[sw, "subj"].copy(), df.loc[sw, "obj"].copy()
+    df.loc[sw, "subj"], df.loc[sw, "obj"] = o.to_numpy(), s.to_numpy()
+    return df[df["subj"] != df["obj"]]
+
+
 def canonicalize_triples(triples: ray.data.Dataset, mapping_ref) -> ray.data.Dataset:
     """Rewrite subj/obj through the closure, restore canonical form
     (subj_qn < obj_qn for co_occurs), drop self-loops (links.go:69-71
@@ -50,18 +70,7 @@ def canonicalize_triples(triples: ray.data.Dataset, mapping_ref) -> ray.data.Dat
 
     def _rewrite(batch: pa.Table) -> pa.Table:
         mapping = ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
-        df = batch.to_pandas()
-        df["subj"] = _rewrite_col(df["subj"].to_numpy(), mapping)
-        is_ent_obj = df["obj"].str.match(r"^Q\d+$")
-        df.loc[is_ent_obj, "obj"] = _rewrite_col(df.loc[is_ent_obj, "obj"].to_numpy(), mapping)
-        # canonical undirected form for entity-entity edges
-        both = is_ent_obj
-        sn = df["subj"].str.slice(1)
-        on = df["obj"].where(both).str.slice(1)
-        sw = both & (pd.to_numeric(sn, errors="coerce") > pd.to_numeric(on, errors="coerce"))
-        s, o = df.loc[sw, "subj"].copy(), df.loc[sw, "obj"].copy()
-        df.loc[sw, "subj"], df.loc[sw, "obj"] = o.to_numpy(), s.to_numpy()
-        df = df[df["subj"] != df["obj"]]
+        df = rewrite_triples_df(batch.to_pandas(), mapping)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     rewritten = triples.map_batches(_rewrite, batch_format="pyarrow")

@@ -77,8 +77,7 @@ class GazetteerMatcher:
       pageviews.go:520-523)
     """
 
-    def __init__(self, gaz_ref, mode: str = "mentions", text_col: str = "text",
-                 mapping_ref=None):
+    def __init__(self, gaz_ref, mode: str = "mentions", text_col: str = "text"):
         gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
         self.cands = gazetteer_to_dict(gaz)
         # best (linked) candidate per surface, precomputed once per actor
@@ -86,27 +85,15 @@ class GazetteerMatcher:
         self.mode = mode
         self.text_col = text_col
         # integer entity ordinals, ordered by numeric qid (the rank /
-        # pair-canonicalization sort key)
+        # pair-canonicalization sort key). NOTE: alias canonicalization is
+        # deliberately NOT folded into these ordinals -- pre-pair folding
+        # dedups same-canonical surfaces per turn and silently diverges
+        # from rewrite-then-merge semantics (a turn mentioning two surfaces
+        # of one canonical entity plus a third gets co_occurs weight 1, not
+        # 2); TripleExtractor rewrites AFTER pair generation instead.
         qids = sorted({c[0] for c in self.best.values()}, key=lambda q: int(q[1:]))
         ord_of_qid = {q: i for i, q in enumerate(qids)}
         self.ord_of_surface = {s: ord_of_qid[c[0]] for s, c in self.best.items()}
-        if mapping_ref is not None:
-            # fold the alias closure into the automaton: surfaces resolve
-            # straight to canonical ordinals, so downstream pair generation /
-            # counting is already canonical (provably identical to
-            # rewrite-then-merge: weights sum per canonical key either way,
-            # and a turn whose aliases collapse yields no self-pair).
-            mapping = (
-                ray.get(mapping_ref)
-                if isinstance(mapping_ref, ray.ObjectRef)
-                else mapping_ref
-            )
-            canon = [mapping.get(q, q) for q in qids]
-            canon_names = sorted(set(canon), key=lambda q: int(q[1:]))
-            canon_ord = {q: i for i, q in enumerate(canon_names)}
-            remap = {i: canon_ord[canon[i]] for i in range(len(qids))}
-            self.ord_of_surface = {s: remap[o] for s, o in self.ord_of_surface.items()}
-            qids = canon_names
         self.ent_names = np.array(qids, dtype=object)
 
     def _lookup_ords(self, flat: pa.Array) -> np.ndarray:

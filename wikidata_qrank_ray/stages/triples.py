@@ -26,6 +26,7 @@ import ray.data
 
 from ..context import pool_size
 
+from .canonicalize import rewrite_triples_df
 from .mentions import GazetteerMatcher, _tokenize_arrow
 
 # reserved predicate tag for occurrence-count partials riding the triple
@@ -52,8 +53,15 @@ class TripleExtractor(GazetteerMatcher):
 
     def __init__(self, gaz_ref, text_col: str = "text", mapping_ref=None,
                  emit_counts: bool = False):
-        super().__init__(gaz_ref, mode="mentions", text_col=text_col,
-                         mapping_ref=mapping_ref)
+        super().__init__(gaz_ref, mode="mentions", text_col=text_col)
+        # alias closure applied AFTER per-turn pair generation (post-pair
+        # rewrite per batch == rewrite-then-merge semantics exactly; folding
+        # it into the token ordinals would dedup same-canonical surfaces per
+        # turn and change co_occurs weights -- see GazetteerMatcher note)
+        self.mapping = (
+            ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef)
+            else mapping_ref
+        )
         self.emit_counts = emit_counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
@@ -84,6 +92,12 @@ class TripleExtractor(GazetteerMatcher):
                 ],
                 ignore_index=True,
             )
+        if self.mapping is not None:
+            # per-batch canonical rewrite + local re-combine (map-side
+            # combine of keys the rewrite just merged); count rows rewrite
+            # their subj only (obj '' is not an entity) == canonicalize_ranks
+            out = rewrite_triples_df(out, self.mapping)
+            out = out.groupby(["subj", "pred", "obj"], as_index=False, sort=False)["w"].sum()
         out["w"] = out["w"].astype(np.int64)
         return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
