@@ -315,33 +315,38 @@ def q_rank_stats(sf_dir: str):
 
 def q_entity_degree(sf_dir: str):
     """Graph-materialize analysis: co-occurrence degree + total edge weight
-    per canonical entity (undirected edges count toward both endpoints)."""
-    ct = q_canonical_triples(sf_dir).to_pandas()
-    co = ct[ct["pred"] == "co_occurs"]
-    ends = pd.concat(
-        [
-            co[["subj", "weight"]].rename(columns={"subj": "qid"}),
-            co[["obj", "weight"]].rename(columns={"obj": "qid"}),
-        ],
-        ignore_index=True,
+    per canonical entity (undirected edges count toward both endpoints).
+    Stays in Dataset land end-to-end: edge-end explode in map_batches, then
+    a hash-partitioned count+sum aggregate -- no .to_pandas() on the edge
+    set."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    ct = q_canonical_triples(sf_dir)
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        co = df[df["pred"] == "co_occurs"]
+        return pd.concat(
+            [
+                co[["subj", "weight"]].rename(columns={"subj": "qid"}),
+                co[["obj", "weight"]].rename(columns={"obj": "qid"}),
+            ],
+            ignore_index=True,
+        )
+
+    exploded = ct.map_batches(ends, batch_format="pandas")
+    agg = hash_partition_aggregate(
+        exploded, ["qid"],
+        {"degree": ("weight", "count"), "weight_sum": ("weight", "sum")},
     )
-    out = ends.groupby("qid", as_index=False).agg(
-        degree=("weight", "size"), weight_sum=("weight", "sum")
+    return agg.map_batches(
+        lambda df: df.astype({"degree": np.int64, "weight_sum": np.int64}),
+        batch_format="pandas",
     )
-    out["degree"] = out["degree"].astype(np.int64)
-    out["weight_sum"] = out["weight_sum"].astype(np.int64)
-    return out
 
 
 # ---------------------------------------------------------------------------
 # Engine ops (TPC-H-ish) -- groupby-agg, joins, top-k, windows
 # ---------------------------------------------------------------------------
-
-
-def _round3(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
-    for c in cols:
-        df[c] = df[c].round(3)
-    return df
 
 
 def q_pricing_summary(sf_dir: str):
@@ -410,18 +415,20 @@ class _SegmentRevenue:
         ok = batch["l_orderkey"].to_numpy()
         if len(self.keys) == 0:
             return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
-                                 "revenue": pd.Series([], dtype=np.float64)})
+                                 "revenue_c4": pd.Series([], dtype=np.int64)})
         pos = np.searchsorted(self.keys, ok)
         pos[pos == len(self.keys)] = 0
         mask = self.keys[pos] == ok
         b = batch[mask]
+        price_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
         out = pd.DataFrame(
             {
                 "o_orderkey": b["l_orderkey"],
-                "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+                "revenue_c4": price_c * (100 - disc_c),
             }
         )
-        return out.groupby("o_orderkey", as_index=False)["revenue"].sum()
+        return out.groupby("o_orderkey", as_index=False)["revenue_c4"].sum()
 
 
 def q_top_orders_by_revenue(sf_dir: str):
@@ -444,11 +451,12 @@ def q_top_orders_by_revenue(sf_dir: str):
         concurrency=pool_size(4),
     )
     agg = hash_partition_aggregate(
-        partial, ["o_orderkey"], {"revenue": ("revenue", "sum")}, partial=False
+        partial, ["o_orderkey"], {"revenue_c4": ("revenue_c4", "sum")}, partial=False
     )
     df = agg.to_pandas()
-    df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
-    return _round3(df.reset_index(drop=True), ["revenue"])
+    df = df.sort_values(["revenue_c4", "o_orderkey"], ascending=[False, True]).head(10)
+    df["revenue"] = df.pop("revenue_c4").astype(np.int64) / 10000.0
+    return df.reset_index(drop=True)[["o_orderkey", "revenue"]]
 
 
 def q_brand_revenue(sf_dir: str):
@@ -696,33 +704,50 @@ def q_purchase_after_signup(sf_dir: str):
 
 
 def q_top_part_per_brand(sf_dir: str):
-    """Top-revenue part within each brand (per-group top-k window)."""
+    """Top-revenue part within each brand (per-group top-k window):
+    map-side partials, then one hash-partitioned shuffle keyed on p_brand
+    (every part of a brand lands in one partition) with a vectorized
+    per-partition sum + top-1 sweep -- no driver-side combine of the
+    partkey-cardinality partials. Exact int64 money sums."""
+    from ..stages.groupby import hash_partition_apply
+
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
     brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         brands = ray.get(brand_ref)
+        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
         out = pd.DataFrame(
             {
                 "p_partkey": batch["l_partkey"],
-                "revenue": batch["l_extendedprice"] * (1 - batch["l_discount"]),
+                "revenue_c4": price_c * (100 - disc_c),
             }
         )
-        g = out.groupby("p_partkey", as_index=False)["revenue"].sum()
+        g = out.groupby("p_partkey", as_index=False)["revenue_c4"].sum()
         g["p_brand"] = g["p_partkey"].map(brands)
         return g
 
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "p_brand": pd.Series([], dtype=object),
+                    "p_partkey": pd.Series([], dtype=np.int64),
+                    "revenue": pd.Series([], dtype=np.float64),
+                }
+            )
+        s = g.groupby(["p_brand", "p_partkey"], as_index=False)["revenue_c4"].sum()
+        s = s.sort_values(
+            ["p_brand", "revenue_c4", "p_partkey"], ascending=[True, False, True]
+        )
+        t = s.groupby("p_brand", as_index=False).head(1)
+        t["revenue"] = t.pop("revenue_c4").astype(np.int64) / 10000.0
+        return t[["p_brand", "p_partkey", "revenue"]]
+
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
-    df = (
-        li.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .to_pandas()
-        .groupby(["p_brand", "p_partkey"], as_index=False)["revenue"]
-        .sum()
-    )
-    df = df.sort_values(["p_brand", "revenue", "p_partkey"], ascending=[True, False, True])
-    top = df.groupby("p_brand", as_index=False).head(1).reset_index(drop=True)
-    top = _round3(top, ["revenue"])
-    return top[["p_brand", "p_partkey", "revenue"]]
+    partials = li.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return hash_partition_apply(partials, ["p_brand"], top1)
 
 
 def q_customer_cumulative_spend(sf_dir: str):
@@ -737,7 +762,11 @@ def q_customer_cumulative_spend(sf_dir: str):
 
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
-        g["cum_spend"] = g.groupby("o_custkey", sort=False)["o_totalprice"].cumsum().round(3)
+        price_c = np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g["cum_spend"] = (
+            g.assign(_pc=price_c).groupby("o_custkey", sort=False)["_pc"].cumsum()
+            .astype(np.int64) / 100.0
+        )
         return g[["o_orderkey", "o_custkey", "cum_spend"]]
 
     return hash_partition_apply(orders, ["o_custkey"], sweep)
@@ -770,32 +799,15 @@ def q_event_props_k(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (sim >= 0.4): per-batch rows x
-    broadcast matrix, emit ordered (a, b) int pairs. Scale path: LSH-bucket
-    both sides first (stages/similarity.lsh_bucket_ids)."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(m, axis=1)
-    mat_ref = ray.put((ids, m, norms))
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4), EXACT via the
+    block-pair cross product (one Ray task per block pair over zero-copy
+    block refs) -- no O(N) full-matrix broadcast, no driver-side embedding
+    materialization. The approximate scale path (LSH-bucket both sides,
+    verify in-bucket) lives in stages/similarity.lsh_bucket_ids."""
+    from ..stages.similarity import all_pairs_cosine
+
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    class NearDup:
-        def __init__(self):
-            self.ids, self.m, self.norms = ray.get(mat_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            rows = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            rid = batch["vec_id"].to_numpy()
-            sims = (rows @ self.m.T) / (
-                np.linalg.norm(rows, axis=1)[:, None] * self.norms[None, :]
-            )
-            ii, jj = np.nonzero((sims >= 0.4) & (rid[:, None] < self.ids[None, :]))
-            return pd.DataFrame(
-                {"a": rid[ii].astype(np.int64), "b": self.ids[jj].astype(np.int64)}
-            )
-
-    return emb.map_batches(NearDup, batch_format="pandas", batch_size=1024, concurrency=2)
+    return all_pairs_cosine(emb, threshold=0.4)
 
 
 def q_item_signals(sf_dir: str):
@@ -853,24 +865,33 @@ def q_item_signals(sf_dir: str):
             return pd.concat([sig, cp], ignore_index=True)
 
     partial = ds.map_batches(SignalPartials, batch_format="pyarrow", concurrency=2)
-    df = partial.to_pandas()
-    sums = (
-        df[df["conv_id"] == ""]
-        .groupby("qid", as_index=False)[["mentions", "n_turns", "tool_mentions"]]
-        .sum()
-    )
-    convs = (
-        df[df["conv_id"] != ""][["qid", "conv_id"]]
-        .drop_duplicates()
-        .groupby("qid", as_index=False)
-        .size()
-        .rename(columns={"size": "n_convs"})
-    )
-    out = sums.merge(convs, on="qid", how="left")
-    out["n_convs"] = out["n_convs"].fillna(0).astype(np.int64)
-    for c in ["mentions", "n_turns", "tool_mentions"]:
-        out[c] = out[c].astype(np.int64)
-    return out[["qid", "mentions", "n_turns", "n_convs", "tool_mentions"]]
+
+    # hash-partitioned final: all rows of one qid (signal partials AND
+    # (qid, conv) distinct-pairs) land in one partition, so per-partition
+    # sum + conv-dedup is exact -- nothing qid-cardinality-scaled reaches
+    # the driver (itemsignals.go two-level rollup, distributed)
+    from ..stages.groupby import hash_partition_apply
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        sums = (
+            df[df["conv_id"] == ""]
+            .groupby("qid", as_index=False)[["mentions", "n_turns", "tool_mentions"]]
+            .sum()
+        )
+        convs = (
+            df[df["conv_id"] != ""][["qid", "conv_id"]]
+            .drop_duplicates()
+            .groupby("qid", as_index=False)
+            .size()
+            .rename(columns={"size": "n_convs"})
+        )
+        out = sums.merge(convs, on="qid", how="left")
+        out["n_convs"] = out["n_convs"].fillna(0).astype(np.int64)
+        for c in ["mentions", "n_turns", "tool_mentions"]:
+            out[c] = out[c].astype(np.int64)
+        return out[["qid", "mentions", "n_turns", "n_convs", "tool_mentions"]]
+
+    return hash_partition_apply(partial, ["qid"], final)
 
 
 # ---------------------------------------------------------------------------
@@ -1207,18 +1228,21 @@ GROUP BY p.event_id""",
         "top_part_per_brand": """
 SELECT p_brand, p_partkey, revenue FROM (
   SELECT p.p_brand AS p_brand, p.p_partkey AS p_partkey,
-         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
          row_number() OVER (PARTITION BY p.p_brand
-                            ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                            ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                                         * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) DESC,
                                      p.p_partkey ASC) AS rn
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   GROUP BY p.p_brand, p.p_partkey
 ) WHERE rn = 1""",
         "customer_cumulative_spend": """
 SELECT o_orderkey, o_custkey,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS UNBOUNDED PRECEDING), 3) AS cum_spend
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS cum_spend
 FROM orders""",
         "names_union": """
 SELECT c_name AS name, 'customer' AS kind FROM customer
@@ -1246,7 +1270,8 @@ GROUP BY l_returnflag, l_linestatus""",
         "top_orders_by_revenue": """
 SELECT o_orderkey, revenue FROM (
   SELECT o.o_orderkey AS o_orderkey,
-         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
   FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
