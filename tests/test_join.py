@@ -81,3 +81,62 @@ def test_asof_join_backward():
     got = dict(zip(out["id"].astype(int), out["mark_r"]))
     assert got[1] == "x" and got[2] == "y"
     assert pd.isna(got[3]) and pd.isna(got[4])
+
+
+def test_right_outer_join_keeps_unmatched_right():
+    import pyarrow as pa
+
+    left = ray.data.from_arrow(
+        pa.table({"lk": pa.array([1, 1, 2], type=pa.int64()),
+                  "lval": pa.array([10, 11, 20], type=pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1, 3], type=pa.int64()),
+                  "rval": pa.array([100, 300], type=pa.int64())})
+    )
+    out = bucketed_hash_join(left, right, "lk", "rk", how="right").to_pandas()
+    # key 3 survives with null lval; key 2 (left-only) is dropped
+    assert set(out["lk"]) == {1, 3}
+    assert out[out["lk"] == 3]["lval"].isna().all()
+    assert len(out[out["lk"] == 1]) == 2
+
+
+def test_outer_join_keeps_both_sides():
+    import pyarrow as pa
+
+    left = ray.data.from_arrow(
+        pa.table({"lk": pa.array([1, 2], type=pa.int64()),
+                  "lval": pa.array([10, 20], type=pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 3], type=pa.int64()),
+                  "rval": pa.array([200, 300], type=pa.int64())})
+    )
+    out = bucketed_hash_join(left, right, "lk", "rk", how="outer").to_pandas()
+    assert set(out["lk"]) == {1, 2, 3}
+
+
+def test_salted_join_equals_unsalted():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.RandomState(5)
+    # hot key 7 dominates the left side
+    lk = np.where(rng.random_sample(500) < 0.8, 7, rng.randint(0, 20, size=500))
+    left = ray.data.from_arrow(
+        pa.table({"lk": pa.array(lk, type=pa.int64()),
+                  "lval": pa.array(np.arange(500), type=pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array(np.arange(20), type=pa.int64()),
+                  "rval": pa.array(np.arange(20) * 100, type=pa.int64())})
+    )
+    plain = (
+        bucketed_hash_join(left, right, "lk", "rk", how="inner")
+        .to_pandas().sort_values(["lk", "lval"]).reset_index(drop=True)
+    )
+    salted = (
+        bucketed_hash_join(left, right, "lk", "rk", how="inner", salt_buckets=4)
+        .to_pandas().sort_values(["lk", "lval"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted, check_dtype=False)

@@ -666,6 +666,29 @@ def q_customers_without_orders(sf_dir: str):
     return broadcast_semi_join(cust, "c_custkey", big, anti=True)
 
 
+def q_customer_order_counts(sf_dir: str):
+    """Right-outer bucketed hash join: every customer, with their order
+    count (0 for customers with no orders). The join co-locates complete
+    key groups per output block, so the per-block grouped count is exact
+    with no further shuffle."""
+    from ..stages.join import bucketed_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    joined = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey", how="right")
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False)["o_orderkey"].count()
+        return pd.DataFrame(
+            {
+                "c_custkey": g["o_custkey"].astype(np.int64),
+                "n_orders": g["o_orderkey"].astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(cnt, batch_format="pandas", batch_size=None)
+
+
 def q_purchase_after_signup(sf_dir: str):
     """As-of join: for each purchase, the latest signup at-or-before it by
     the same user (inner). Co-partitioned pd.merge_asof."""
@@ -996,6 +1019,7 @@ def queries():
         "pricing_summary": q_pricing_summary,
         "order_customer_join": q_order_customer_join,
         "customers_without_orders": q_customers_without_orders,
+        "customer_order_counts": q_customer_order_counts,
         "purchase_after_signup": q_purchase_after_signup,
         "top_part_per_brand": q_top_part_per_brand,
         "customer_cumulative_spend": q_customer_cumulative_spend,
@@ -1219,6 +1243,10 @@ GROUP BY c.c_mktsegment, o.o_orderpriority""",
         "customers_without_orders": """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)""",
+        "customer_order_counts": """
+SELECT c.c_custkey AS c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey""",
         "purchase_after_signup": """
 SELECT p.event_id AS event_id, MAX(s.ts) AS signup_ts
 FROM events p JOIN events s

@@ -83,10 +83,13 @@ def _pad_union(
     right: ray.data.Dataset,
     left_key: str,
     right_key: str,
+    shared: tuple[str, ...] = (),
 ) -> tuple[ray.data.Dataset, list[str], list[str], dict, dict]:
     """Union both sides under a shared superset schema (typed null padding,
     side tag); returns (union, left_cols, right_cols, left_dtypes,
-    right_dtypes). Key columns are both renamed to ``__key__``."""
+    right_dtypes). Key columns are both renamed to ``__key__``. Columns in
+    ``shared`` exist on BOTH sides with the same type (e.g. a salt) and are
+    carried through once, never null-padded."""
     import pyarrow as pa
 
     def _as_arrow(ds):
@@ -100,8 +103,8 @@ def _pad_union(
     left, right = _as_arrow(left), _as_arrow(right)
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
-    lcols = [c for c in lschema.names if c != left_key]
-    rcols = [c for c in rschema.names if c != right_key]
+    lcols = [c for c in lschema.names if c != left_key and c not in shared]
+    rcols = [c for c in rschema.names if c != right_key and c not in shared]
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"column collision in join: {overlap}")
@@ -109,7 +112,7 @@ def _pad_union(
     rtypes = {n: rschema.field(n).type for n in rcols}
 
     # identical column ORDER on both sides (union is positional-schema picky)
-    out_order = ["__key__", _SIDE] + lcols + rcols
+    out_order = ["__key__", _SIDE] + list(shared) + lcols + rcols
 
     def pad(side: int, own_key: str, other_types: dict):
         def _pad(batch: pa.Table) -> pa.Table:
@@ -146,22 +149,60 @@ def bucketed_hash_join(
     right_key: str,
     how: str = "inner",
     num_partitions: int = 64,
+    salt_buckets: int = 1,
 ) -> ray.data.Dataset:
     """Equi-join two large Datasets: co-partition by key hash, pandas merge
     per partition. Output columns: key (named ``left_key``) + both sides'
-    non-key columns. ``how``: inner | left."""
-    u, lcols, rcols, ltypes, rtypes = _pad_union(left, right, left_key, right_key)
+    non-key columns. ``how``: inner | left | right | outer.
+
+    Every key's rows land in exactly one output partition, so one output
+    BLOCK holds complete key groups -- downstream per-block grouped
+    aggregates over the join key are exact without another shuffle.
+
+    ``salt_buckets > 1`` is the hot-key recipe (inner/left only): left rows
+    take a deterministic round-robin salt, the (smaller) right side is
+    replicated once per salt value, and the shuffle key becomes
+    (key, salt) -- a pathological key's rows spread over ``salt_buckets``
+    partitions instead of melting one reducer."""
+    if salt_buckets > 1 and how not in ("inner", "left"):
+        raise ValueError("salted join supports how=inner|left only "
+                         "(replicating the right side would duplicate unmatched rows)")
+    if salt_buckets > 1:
+        import pyarrow as pa
+
+        def _salt_left(t: pa.Table) -> pa.Table:
+            salt = np.arange(t.num_rows, dtype=np.int64) % salt_buckets
+            return t.append_column("__salt__", pa.array(salt))
+
+        def _replicate_right(t: pa.Table) -> pa.Table:
+            reps = [t.append_column(
+                "__salt__", pa.array(np.full(t.num_rows, s, dtype=np.int64))
+            ) for s in range(salt_buckets)]
+            return pa.concat_tables(reps)
+
+        left = left.map_batches(_salt_left, batch_format="pyarrow")
+        right = right.map_batches(_replicate_right, batch_format="pyarrow")
+
+    shared = ("__salt__",) if salt_buckets > 1 else ()
+    u, lcols, rcols, ltypes, rtypes = _pad_union(
+        left, right, left_key, right_key, shared=shared
+    )
+    # merge on (key, salt) so each left row joins its own replica of the
+    # right side exactly once
+    merge_on = ["__key__", *shared]
 
     def _merge(part: pd.DataFrame) -> pd.DataFrame:
-        lf = part[part[_SIDE] == 0][["__key__"] + lcols]
-        rf = part[part[_SIDE] == 1][["__key__"] + rcols]
+        lf = part[part[_SIDE] == 0][merge_on + lcols]
+        rf = part[part[_SIDE] == 1][merge_on + rcols]
         # restore dtypes lost to null padding (int -> float upcast)
         lf = lf.astype({k: v for k, v in ltypes.items() if k in lf.columns})
         rf = rf.astype({k: v for k, v in rtypes.items() if k in rf.columns})
-        out = lf.merge(rf, on="__key__", how=how)
+        out = lf.merge(rf, on=merge_on, how=how)
+        if salt_buckets > 1:
+            out = out.drop(columns=["__salt__"])
         return out.rename(columns={"__key__": left_key})
 
-    return hash_partition_apply(u, ["__key__"], _merge, num_partitions)
+    return hash_partition_apply(u, merge_on, _merge, num_partitions)
 
 
 def bucketed_asof_join(
