@@ -68,3 +68,36 @@ def test_partitioned_lineage_invalidation(tmp_path):
     m2 = run_partitioned(out, parts, _make_copy_fn())
     assert m2["out-0.parquet"]["rows"] == 7
     assert m2["out-1.parquet"]["rows"] == 2
+
+
+def test_stale_partitions_garbage_collected(tmp_path):
+    """A deleted/renamed input shard must remove its output shard and
+    manifest entry on the next run (no stale data silently included)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.state.partitioned import run_partitioned
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for name in ("a.parquet", "b.parquet"):
+        pq.write_table(pa.table({"x": [1, 2]}), str(ind / name))
+    out = str(tmp_path / "out")
+
+    def fn(input_path, tmp_out):
+        t = pq.read_table(input_path)
+        pq.write_table(t, tmp_out)
+        return t.num_rows
+
+    parts = [(str(ind / n), n) for n in ("a.parquet", "b.parquet")]
+    m1 = run_partitioned(out, parts, fn)
+    assert set(m1) == {"a.parquet", "b.parquet"}
+    # drop input b -> rerun with only a
+    m2 = run_partitioned(out, parts[:1], fn)
+    assert set(m2) == {"a.parquet"}
+    assert not os.path.exists(os.path.join(out, "b.parquet"))
+    with open(os.path.join(out, "_PARTITIONS.json")) as f:
+        assert set(json.load(f)) == {"a.parquet"}

@@ -67,3 +67,36 @@ def test_unquote_lone_surrogate_coerced():
 def test_unquote_malformed():
     out = unquote("bad\\q")
     assert "bad" in out  # never raises
+
+
+def test_url_query_unescape_goldens():
+    """Go url.QueryUnescape semantics (pageviews.go:280-290): +
+
+    -> space, %XX decode, malformed escape -> raw fallback, invalid UTF-8
+    after decode -> None (row dropped)."""
+    from wikidata_qrank_ray.functions.textnorm import url_query_unescape
+
+    assert url_query_unescape("Fu%C3%9Fball") == "Fußball"
+    assert url_query_unescape("caf%C3%A9") == "café"
+    assert url_query_unescape("a+b") == "a b"
+    assert url_query_unescape("plain_title") == "plain_title"
+    assert url_query_unescape("%41%42c") == "ABc"
+    # malformed escapes fall back to the raw string
+    assert url_query_unescape("100%") == "100%"
+    assert url_query_unescape("%zz") == "%zz"
+    assert url_query_unescape("%4") == "%4"
+    # lone continuation byte decodes to invalid UTF-8 -> None
+    assert url_query_unescape("%C3") is None
+
+
+def test_format_line_does_not_remap_extension_codes():
+    """'no' / 'bh' / 'nah' are NOT formatLine cases -- format_line must
+    emit them verbatim (byte-parity with the reference), while remap_lang
+    still canonicalizes them as a documented extension."""
+    from wikidata_qrank_ray.functions.textnorm import format_line, remap_lang
+
+    assert format_line("no", "wikipedia", "Oslo", "7") == "no.wikipedia/oslo 7"
+    assert format_line("bh", "wikipedia", "X", "1") == "bh.wikipedia/x 1"
+    assert remap_lang("no") == "nb"
+    assert remap_lang("bh") == "bho"
+    assert remap_lang("als") == "gsw"

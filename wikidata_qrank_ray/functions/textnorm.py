@@ -21,7 +21,9 @@ import unicodedata
 
 # Language-code remap matching the reference's formatLine switch
 # (util.go:119-230, golden-tested at util_test.go:67-161). Keys accept both
-# dash and underscore spellings (normalized before lookup).
+# dash and underscore spellings (normalized before lookup). This table
+# contains ONLY the reference's cases -- format_line uses it verbatim so
+# its output stays byte-compatible with the reference's line format.
 _LANG_REMAP = {
     "als": "gsw",
     "bat-smg": "sgs",
@@ -36,7 +38,13 @@ _LANG_REMAP = {
     "zh-classical": "lzh",
     "zh-min-nan": "nan",
     "zh-yue": "yue",
-    # extensions beyond formatLine (general wiki-code canonicalization)
+}
+
+# Extensions BEYOND the reference's formatLine (general wiki-code
+# canonicalization); applied only by remap_lang, never by format_line --
+# 'no' is a major wiki code and remapping it inside format_line would give
+# every Norwegian-Wikipedia line a different sort key than the reference.
+_EXTENDED_REMAP = {
     "bh": "bho",
     "no": "nb",
     "nah": "nci",
@@ -59,9 +67,10 @@ _CTRL_RE = re.compile(r"[\x00-\x1f\x7f-\x9f]")
 
 
 def remap_lang(code: str) -> str:
-    """Canonicalize a wiki language code (util.go:119-230 semantics)."""
+    """Canonicalize a wiki language code: the reference's formatLine cases
+    (util.go:119-230) plus documented extensions (_EXTENDED_REMAP)."""
     code = code.strip().lower()
-    return _LANG_REMAP.get(code, code)
+    return _LANG_REMAP.get(code, _EXTENDED_REMAP.get(code, code))
 
 
 def _turkic_lower(s: str) -> str:
@@ -120,6 +129,39 @@ def format_line(lang: str, site: str, title: str, value: str) -> str:
     folded = unicodedata.normalize("NFC", title.casefold())
     norm_title = "".join("_" if c <= "\x20" else c for c in folded)
     return f"{lang}.{site}/{norm_title} {value}"
+
+
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def url_query_unescape(s: str) -> str | None:
+    """URL query unescape with the reference's exact semantics
+    (pageviews.go:280-290 + Go url.QueryUnescape): '+' -> space, %XX hex
+    decode over bytes; ANY malformed escape -> return the input unchanged
+    (the reference's fall-back-to-raw); a decode that yields invalid UTF-8
+    -> None (the reference drops such rows via utf8.ValidString)."""
+    if "%" not in s and "+" not in s:
+        return s
+    out = bytearray()
+    b = s.encode("utf-8")
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        if c == 0x25:  # '%'
+            if i + 2 >= n or chr(b[i + 1]) not in _HEX or chr(b[i + 2]) not in _HEX:
+                return s  # malformed escape: fall back to the raw string
+            out.append(int(b[i + 1:i + 3].decode("ascii"), 16))
+            i += 3
+        elif c == 0x2B:  # '+'
+            out.append(0x20)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    try:
+        return out.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
 
 
 _SURROGATE_RE = re.compile(r"[\ud800-\udfff]")

@@ -48,12 +48,23 @@ def _norm_full(batch: pa.Table) -> pa.Table:
 
 
 def _norm_sql(batch: pa.Table) -> pa.Table:
-    # utf8_lower is the vectorized Arrow kernel; NFC via python only for the
-    # (rare) strings that are not already NFC -- vectorized pre-check.
-    lowered = pc.utf8_lower(pc.fill_null(batch["text"], ""))
-    arr = lowered.to_numpy(zero_copy_only=False)
-    out = np.array([unicodedata.normalize("NFC", t) for t in arr], dtype=object)
-    return batch.append_column("norm_text", pa.array(out, type=pa.string()))
+    # utf8_lower is the vectorized Arrow kernel; for ASCII rows NFC is the
+    # identity, so the Python NFC fallback runs ONLY on the (rare)
+    # non-ASCII rows -- the same fast-path mask _norm_full uses.
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    lowered = pc.utf8_lower(col)
+    ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    if bool(ascii_mask.all()):
+        out_arr = lowered
+    else:
+        vals = np.asarray(lowered.to_numpy(zero_copy_only=False), dtype=object)
+        for i in np.nonzero(~ascii_mask)[0]:
+            vals[i] = unicodedata.normalize("NFC", vals[i])
+        out_arr = pa.array(vals, type=pa.string())
+    return batch.append_column("norm_text", out_arr)
 
 
 def normalize_stage(ds: ray.data.Dataset) -> ray.data.Dataset:

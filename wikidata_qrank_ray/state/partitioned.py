@@ -53,6 +53,19 @@ def run_partitioned(
     manifest_path = os.path.join(out_dir, "_PARTITIONS.json")
     manifest = _load(manifest_path)
 
+    # GC: drop manifest entries (and their output shards) whose input
+    # partition no longer exists -- downstream stages read the whole output
+    # directory, so a deleted/renamed input must not leave its stale output
+    # silently included (mirrors the reference's version GC,
+    # build.go:101-113)
+    current = {out_name for _, out_name in partitions}
+    stale_names = [k for k in manifest if k not in current]
+    for stale in stale_names:
+        del manifest[stale]
+        stale_path = os.path.join(out_dir, stale)
+        if os.path.exists(stale_path):
+            os.remove(stale_path)
+
     todo = []
     for input_path, out_name in partitions:
         lineage = lineage_fingerprint(input_path, extra_lineage)
@@ -77,6 +90,6 @@ def run_partitioned(
             "rows": int(rows),
             "wall_sec": round(wall, 3),
         }
-    if todo:
+    if todo or stale_names:
         _commit(manifest_path, manifest)
     return manifest
