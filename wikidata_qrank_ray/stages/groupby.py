@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 
@@ -30,6 +31,37 @@ def _stable_part(df: pd.DataFrame, keys: list[str], num_partitions: int) -> np.n
             df[k], index=False, hash_key="0123456789123456"
         ).to_numpy()
     return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _stable_part_arrow(t: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
+    """Partition id from the KEY columns only -- the value columns never
+    leave Arrow (the old pandas round-trip converted whole blocks)."""
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = t[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h ^= pd.util.hash_pandas_object(
+            pd.Series(col.to_pandas()), index=False, hash_key="0123456789123456"
+        ).to_numpy()
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+
+def _arrow_groupby(
+    t: pa.Table, keys: list[str], specs: dict[str, tuple[str, str]]
+) -> pa.Table:
+    """pa.TableGroupBy aggregate -> columns renamed/ordered keys-first as
+    ``specs`` (out -> (in_col, how)) names them. Vectorized Acero kernel,
+    no pandas."""
+    uniq_specs = list({(col, how) for col, how in specs.values()})
+    in_cols = [c for c in dict.fromkeys(c for c, _ in uniq_specs)]
+    g = pa.TableGroupBy(t.select(list(dict.fromkeys(keys + in_cols))), keys).aggregate(
+        uniq_specs
+    )
+    cols = {k: g[k] for k in keys}
+    for out, (col, how) in specs.items():
+        cols[out] = g[f"{col}_{how}"]
+    return pa.table(cols)
 
 
 def hash_partition_aggregate(
@@ -44,34 +76,32 @@ def hash_partition_aggregate(
     ``agg``: output_col -> (input_col, how) with how in
     {"sum", "count", "min", "max"}. Count/sum compose across the partial
     phase (count becomes sum of partial counts).
+
+    Arrow-native end to end: partial and final phases run as
+    pyarrow.TableGroupBy (Acero) over zero-copy blocks, and only the key
+    columns are materialized (for the stable partition hash) -- blocks
+    through the shuffle stay Arrow, cutting object-store page traffic vs a
+    pandas round trip.
     """
 
     named = {out: (col, how) for out, (col, how) in agg.items()}
-
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, as_index=False, sort=False).agg(
-            **{out: (col, how) for out, (col, how) in named.items()}
-        )
-        return g
-
     merged_how = {out: ("sum" if how in ("count", "sum") else how) for out, (_, how) in named.items()}
 
-    def _final(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.drop(columns=["part"])
-        return batch.groupby(keys, as_index=False, sort=False).agg(
-            **{out: (out, merged_how[out]) for out in named}
-        )
+    def _partial(t: pa.Table) -> pa.Table:
+        return _arrow_groupby(t, keys, named)
 
-    def _add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["part"] = _stable_part(batch, keys, num_partitions)
-        return batch
+    def _add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("part", _stable_part_arrow(t, keys, num_partitions))
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        return _arrow_groupby(t, keys, {out: (out, merged_how[out]) for out in named})
 
     stage = ds
     if partial:
-        stage = stage.map_batches(_partial, batch_format="pandas", batch_size=65536)
-    stage = stage.map_batches(_add_part, batch_format="pandas", batch_size=65536)
-    return stage.groupby("part").map_groups(_final, batch_format="pandas")
+        stage = stage.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+    stage = stage.map_batches(_add_part, batch_format="pyarrow", batch_size=65536)
+    return stage.groupby("part").map_groups(_final, batch_format="pyarrow")
 
 
 def hash_partition_apply(
