@@ -46,6 +46,10 @@ QUERY_NAMES = [
     "purchase_after_signup",
     "events_hourly",
     "sessionize",
+    "mentions_phrases",
+    "customer_order_counts",
+    "top_part_per_brand",
+    "ngram_jaccard",
     "dedup_exact",
     "token_counts",
     "quality_scores",
@@ -104,7 +108,14 @@ def run_bench() -> dict:
 
     # headline: fully streaming KG build (read -> normalize -> fused
     # canonical triple+count extraction -> one shuffle), no mid-pipeline
-    # materialization
+    # materialization. Run twice: the first run pays one-time process costs
+    # (worker startup, import, allocator warmup) that a long-lived cluster
+    # amortizes; headline = steady-state run, cold run reported alongside.
+    t0 = time.monotonic()
+    kg_build.run_streaming(
+        CORPUS_DIR, concurrency=max(2, NUM_CPUS // 2), batch_size=32768
+    )
+    cold = time.monotonic() - t0
     t0 = time.monotonic()
     kg_build.run_streaming(
         CORPUS_DIR, concurrency=max(2, NUM_CPUS // 2), batch_size=32768
@@ -143,6 +154,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_turns": BENCH_TURNS,
         "turns_per_sec": round(BENCH_TURNS / headline, 1),
+        "cold_build_sec": round(cold, 3),
         "staged_build_sec": round(staged, 3) if staged is not None else None,
     }
     ray.shutdown()

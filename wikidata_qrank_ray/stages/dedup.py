@@ -175,11 +175,17 @@ def _shingle_rows_batch(batch, k: int) -> pd.DataFrame:
         joined = pc.binary_join(parts, " ").to_numpy(zero_copy_only=False)
         sh = np.concatenate([sh, joined[short]])
         out_doc = np.concatenate([out_doc, doc_ids[short]])
-    return pd.DataFrame({"doc_id": out_doc, "s": sh}).drop_duplicates()
+    out = pd.DataFrame({"doc_id": out_doc, "s": sh}).drop_duplicates()
+    # each doc lives entirely in one batch, so the per-doc distinct-shingle
+    # SIZE is exact here; riding it on every row lets the pair stage carry
+    # |A| and |B| through the shuffle -- no separate size aggregate + joins
+    out["sz"] = out.groupby("doc_id", sort=False)["s"].transform("size").astype(np.int64)
+    return out
 
 
 def shingle_rows(docs: ray.data.Dataset, shingle_k: int = 3) -> ray.data.Dataset:
-    """documents -> distinct (doc_id, s:str) token-k-shingle rows."""
+    """documents -> distinct (doc_id, s:str, sz:int64) token-k-shingle rows
+    (sz = the doc's distinct-shingle count, constant per doc)."""
     return docs.map_batches(
         lambda b, k=shingle_k: _shingle_rows_batch(b, k), batch_format="pyarrow"
     )
@@ -197,39 +203,32 @@ def exact_jaccard_pairs(
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) as one exact int division.
 
     Pairs with zero shared shingles (jaccard 0) never materialize anywhere.
+    Only TWO shuffles total: shingle co-partition (pair partials, with both
+    docs' set sizes riding along) and the (a, b) pair-count aggregate.
     Skew caveat: a shingle shared by m docs contributes O(m^2) pair
     partials; stopword-like shingles on a real corpus need a document-
     frequency cap upstream (drop shingles with df > cutoff) which trades
     exactness for a bound -- left to the caller so the oracle stays exact.
     """
     from .groupby import hash_partition_aggregate, hash_partition_apply
-    from .join import bucketed_hash_join
 
     sh = shingle_rows(docs, shingle_k)
-    sizes = hash_partition_aggregate(
-        sh, ["doc_id"], {"sz": ("s", "count")}, num_partitions
-    )
 
     def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="s")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False, sort=False).size()
-        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b", "size": "i"})
+        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False, sort=False).agg(
+            i=("s", "size"), sz_a=("sz_x", "first"), sz_b=("sz_y", "first")
+        )
+        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
 
     pair_partials = hash_partition_apply(sh, ["s"], _pair_partials, num_partitions)
     inter = hash_partition_aggregate(
-        pair_partials, ["a", "b"], {"i": ("i", "sum")}, num_partitions
+        pair_partials,
+        ["a", "b"],
+        {"i": ("i", "sum"), "sz_a": ("sz_a", "min"), "sz_b": ("sz_b", "min")},
+        num_partitions,
     )
-
-    sizes_a = sizes.map_batches(
-        lambda df: df.rename(columns={"sz": "sz_a"}), batch_format="pandas"
-    )
-    sizes_b = sizes.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_id_b", "sz": "sz_b"}),
-        batch_format="pandas",
-    )
-    j1 = bucketed_hash_join(inter, sizes_a, "a", "doc_id", num_partitions=num_partitions)
-    j2 = bucketed_hash_join(j1, sizes_b, "b", "doc_id_b", num_partitions=num_partitions)
 
     def _finalize(df: pd.DataFrame) -> pd.DataFrame:
         i = df["i"].to_numpy(dtype=np.int64)
@@ -245,7 +244,7 @@ def exact_jaccard_pairs(
         )
         return out[jac >= threshold]
 
-    return j2.map_batches(_finalize, batch_format="pandas")
+    return inter.map_batches(_finalize, batch_format="pandas")
 
 
 def minhash_dedup(
@@ -297,32 +296,60 @@ def verified_pairs(
     docs: ray.data.Dataset, cand: pd.DataFrame, shingle_k: int, threshold: float
 ) -> pd.DataFrame:
     """Distributed candidate verification: broadcast the candidate doc-id
-    set ONCE (ray.put, deserialized per actor -- never closure-captured per
-    task), semi-filter the corpus to candidate docs, run the exact
-    distributed shingle-Jaccard over that subset, and keep only edges that
-    were LSH candidates. No per-pair Python loop and no driver-built text
-    dict -- the round-1 scale-killer (dedup.py:153-167 then) is gone.
+    set ONCE (ray.put -- never closure-captured per task), semi-filter the
+    corpus to candidate docs, bucket-join the candidate PAIRS against the
+    texts on each end, and verify with an exact shingle-set Jaccard inside
+    the co-located partitions. No driver-built text dict and nothing
+    doc-count-scaled on the driver -- the round-1 scale-killer
+    (driver-side per-pair loop over a dict of all candidate texts) is gone.
     -> (a, b, jaccard) for candidate pairs with exact jaccard >= threshold.
     """
+    from .join import bucketed_hash_join
+
     need = np.sort(np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])))
     need_ref = ray.put(need)
 
-    # elastic tasks, not an actor pool: the shingle subtree below consumes
-    # this dataset twice (sizes + pair partials), and two reserved actor
-    # pools can starve the shuffle stages on a small cluster; the task
-    # closure captures only the ObjectRef -- ray.get is a zero-copy local
-    # object-store read per task, not a per-task reshipment of the array
+    # elastic tasks, not an actor pool: this dataset feeds two join sides,
+    # and reserved actor pools can starve the shuffle stages on a small
+    # cluster; the task closure captures only the ObjectRef (ray.get is a
+    # zero-copy local object-store read, not a per-task reshipment)
     def _cand_filter(batch: pd.DataFrame, need_ref=need_ref) -> pd.DataFrame:
         mask = np.isin(batch["doc_id"].to_numpy(), ray.get(need_ref))
         return batch[mask][["doc_id", "text"]]
 
     sub = docs.map_batches(_cand_filter, batch_format="pandas")
-    exact = exact_jaccard_pairs(sub, shingle_k, threshold).to_pandas()
-    # note: docs with zero shingles (empty text) can never verify here --
-    # shared-shingle pairing defines jaccard only over non-empty shingle
-    # sets; identical empty docs are exact_dedup's job, not near-dup's
-    merged = exact.merge(cand, on=["a", "b"], how="inner")
-    return merged[["a", "b", "jaccard"]].reset_index(drop=True)
+    texts_a = sub.map_batches(
+        lambda df: df.rename(columns={"text": "text_a"}), batch_format="pandas"
+    )
+    texts_b = sub.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_id_b", "text": "text_b"}),
+        batch_format="pandas",
+    )
+    pairs = ray.data.from_pandas(cand[["a", "b"]].astype(np.int64))
+    j1 = bucketed_hash_join(pairs, texts_a, "a", "doc_id")
+    j2 = bucketed_hash_join(j1, texts_b, "b", "doc_id_b")
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        # per-pair set Jaccard; the pair set is LSH-bounded and spread over
+        # partitions -- the set-ops kernel runs in workers, not the driver.
+        # Docs with zero shingles (empty text) only ever pair with other
+        # empty docs (identical signatures), where jaccard is defined as 1
+        # (identical empties are also exact_dedup's job)
+        jac = np.fromiter(
+            (_jaccard(ta, tb, shingle_k) for ta, tb in zip(df["text_a"], df["text_b"])),
+            dtype=np.float64,
+            count=len(df),
+        )
+        out = pd.DataFrame(
+            {
+                "a": df["a"].to_numpy(dtype=np.int64),
+                "b": df["b"].to_numpy(dtype=np.int64),
+                "jaccard": jac,
+            }
+        )
+        return out[jac >= threshold]
+
+    return j2.map_batches(_verify, batch_format="pandas").to_pandas().reset_index(drop=True)
 
 
 class SimHasher:

@@ -57,11 +57,24 @@ class TripleExtractor(GazetteerMatcher):
         # alias closure applied AFTER per-turn pair generation (post-pair
         # rewrite per batch == rewrite-then-merge semantics exactly; folding
         # it into the token ordinals would dedup same-canonical surfaces per
-        # turn and change co_occurs weights -- see GazetteerMatcher note)
+        # turn and change co_occurs weights -- see GazetteerMatcher note).
+        # The rewrite itself runs on integer ordinals: raw ordinal ->
+        # canonical ordinal via one precomputed int lookup array, pair
+        # reorder/self-drop/re-combine in numpy -- no per-batch pandas
+        # string ops on the hot path.
         self.mapping = (
             ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef)
             else mapping_ref
         )
+        if self.mapping is not None:
+            raw = list(self.ent_names)
+            canon = [self.mapping.get(q, q) for q in raw]
+            canon_names = sorted(set(canon), key=lambda q: int(q[1:]))
+            canon_idx = {q: i for i, q in enumerate(canon_names)}
+            self.canon_of_ord = np.fromiter(
+                (canon_idx[c] for c in canon), dtype=np.int64, count=len(canon)
+            )
+            self.canon_names = np.array(canon_names, dtype=object)
         self.emit_counts = emit_counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
