@@ -821,6 +821,17 @@ def q_event_props_k(sf_dir: str):
     return ev.map_batches(extract, batch_format="pandas")
 
 
+def q_event_props_dynamic(sf_dir: str):
+    """Runtime-discovered payload schema -> typed columns (the SQL-dump
+    reader analogue done properly: keys and types come from the data, not
+    a hard-coded regex; consumers index by name across layout changes)."""
+    from ..stages.payload import discover_payload_schema, extract_payload
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "props"])
+    schema = discover_payload_schema(ev)
+    return extract_payload(ev, schema, keep_cols=("event_id",))
+
+
 def q_embedding_near_dups(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (sim >= 0.4), EXACT via the
     block-pair cross product (one Ray task per block pair over zero-copy
@@ -1025,6 +1036,7 @@ def queries():
         "customer_cumulative_spend": q_customer_cumulative_spend,
         "names_union": q_names_union,
         "event_props_k": q_event_props_k,
+        "event_props_dynamic": q_event_props_dynamic,
         "embedding_near_dups": q_embedding_near_dups,
         "top_orders_by_revenue": q_top_orders_by_revenue,
         "brand_revenue": q_brand_revenue,
@@ -1279,6 +1291,8 @@ SELECT s_name AS name, 'supplier' AS kind FROM supplier""",
         "event_props_k": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
 FROM events""",
+        "event_props_dynamic": """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events""",
         "embedding_near_dups": """
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
