@@ -317,7 +317,10 @@ def verified_pairs(
         mask = np.isin(batch["doc_id"].to_numpy(), ray.get(need_ref))
         return batch[mask][["doc_id", "text"]]
 
-    sub = docs.map_batches(_cand_filter, batch_format="pandas")
+    # materialize the candidate-text subset ONCE (bounded by the LSH
+    # candidate set, lives in the object store): both join sides and their
+    # schema fetches would otherwise each re-run the corpus filter pass
+    sub = docs.map_batches(_cand_filter, batch_format="pandas").materialize()
     texts_a = sub.map_batches(
         lambda df: df.rename(columns={"text": "text_a"}), batch_format="pandas"
     )
@@ -326,8 +329,11 @@ def verified_pairs(
         batch_format="pandas",
     )
     pairs = ray.data.from_pandas(cand[["a", "b"]].astype(np.int64))
-    j1 = bucketed_hash_join(pairs, texts_a, "a", "doc_id")
-    j2 = bucketed_hash_join(j1, texts_b, "b", "doc_id_b")
+    # partition count sized to the pair set: tiny candidate sets don't pay
+    # for a 64-way sort; large ones still spread
+    parts = int(min(64, max(4, len(cand) // 512)))
+    j1 = bucketed_hash_join(pairs, texts_a, "a", "doc_id", num_partitions=parts)
+    j2 = bucketed_hash_join(j1, texts_b, "b", "doc_id_b", num_partitions=parts)
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:
         # per-pair set Jaccard; the pair set is LSH-bounded and spread over
