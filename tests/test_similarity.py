@@ -40,3 +40,20 @@ def test_lsh_topk_returns_query_bucket_subset():
     assert out["vec_id"].iloc[0] == 0  # query's own vector shares its bucket
     # approximate: results are a subset of the full candidate set
     assert set(out["vec_id"]) <= set(range(50))
+
+
+def test_lsh_blocked_near_dups_recall_vs_exact():
+    """The approximate LSH-blocked pair finder is a strict subset of the
+    exact block-pair result (precision 1.0) with usable recall at 4 bits."""
+    from wikidata_qrank_ray.sources.tables import read_table
+    from wikidata_qrank_ray.stages.similarity import all_pairs_cosine, lsh_blocked_near_dups
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    exact = all_pairs_cosine(emb, threshold=0.4)
+    approx = lsh_blocked_near_dups(emb, threshold=0.4, bits=4).to_pandas()
+    eset = set(map(tuple, exact[["a", "b"]].to_numpy()))
+    aset = set(map(tuple, approx[["a", "b"]].to_numpy()))
+    assert aset <= eset  # no false positives: in-bucket verify is exact
+    recall = len(aset & eset) / max(1, len(eset))
+    assert recall >= 0.5, recall  # multi-table OR recovers recall

@@ -844,6 +844,17 @@ def q_embedding_near_dups(sf_dir: str):
     return all_pairs_cosine(emb, threshold=0.4)
 
 
+def q_embedding_near_dups_lsh(sf_dir: str):
+    """Approximate (LSH-bucket-blocked) twin of embedding_near_dups --
+    the 100 TB path: buckets co-locate, verification stays in-bucket.
+    Rows-only for the driver; recall vs the exact query is pinned in
+    tests/test_similarity.py."""
+    from ..stages.similarity import lsh_blocked_near_dups
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_blocked_near_dups(emb, threshold=0.4)
+
+
 def q_item_signals(sf_dir: str):
     """Per-entity multi-signal vector -- the item_signals analogue
     (itemsignals.go two-level rollup + ItemSignalsWriter sum): mention
@@ -1038,6 +1049,7 @@ def queries():
         "event_props_k": q_event_props_k,
         "event_props_dynamic": q_event_props_dynamic,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "top_orders_by_revenue": q_top_orders_by_revenue,
         "brand_revenue": q_brand_revenue,
         "region_customers": q_region_customers,

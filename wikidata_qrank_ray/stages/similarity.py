@@ -108,6 +108,73 @@ def all_pairs_cosine(
     return pd.concat(parts, ignore_index=True).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def lsh_blocked_near_dups(
+    emb: ray.data.Dataset,
+    threshold: float,
+    bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 11,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """APPROXIMATE near-dup pairs -> (a, b): rows hash into ``n_tables``
+    independent hyperplane tables inside map_batches, (table, bucket)
+    groups co-locate through one hash-partitioned shuffle, and exact
+    cosine verification runs only WITHIN each bucket; duplicate pairs
+    found by several tables collapse in a final pair aggregate. Multi-
+    table OR is the recall lever (miss probability ~(1-p^bits)^n_tables);
+    compute drops from O(N^2) to n_tables x sum of bucket^2 -- the scale
+    path next to the exact block-pair all_pairs_cosine."""
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+
+    def _bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        frames = []
+        for t in range(n_tables):
+            planes = lsh_hyperplanes(m.shape[1], bits, seed + 7919 * t)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "table": np.full(len(ids), t, dtype=np.int64),
+                        "bucket": lsh_bucket_ids(m, planes),
+                        "vec_id": ids,
+                        "embedding": batch["embedding"],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    bucketed = emb.map_batches(_bucket, batch_format="pandas")
+
+    def _within(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby(["table", "bucket"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            m = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+            sims = (m @ m.T) / (
+                np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(m, axis=1)[None, :]
+            )
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            if len(ii):
+                outs.append(pd.DataFrame({"a": ids[ii], "b": ids[jj]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    raw = hash_partition_apply(bucketed, ["table", "bucket"], _within, num_partitions)
+    # collapse pairs found by several tables (distinct (a, b))
+    dedup = hash_partition_aggregate(
+        raw.map_batches(lambda df: df.assign(n=np.int64(1)), batch_format="pandas"),
+        ["a", "b"],
+        {"n": ("n", "sum")},
+        num_partitions,
+    )
+    return dedup.map_batches(lambda df: df[["a", "b"]], batch_format="pandas")
+
+
 def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10, seed: int = 13) -> np.ndarray:
     """Deterministic k-means coarse quantizer (the IVF training step): runs
     driver-side on a SAMPLE of the embeddings, never the full set."""
