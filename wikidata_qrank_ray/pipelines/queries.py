@@ -666,6 +666,42 @@ def q_customers_without_orders(sf_dir: str):
     return broadcast_semi_join(cust, "c_custkey", big, anti=True)
 
 
+def q_nation_revenue_3way(sf_dir: str):
+    """3-way large-table join chain (pagelinksTitleJoiner analogue,
+    pagelinks.go:210-311): lineitem ⨝ orders ⨝ customer as two composed
+    bucketed hash joins, then exact int revenue per customer nation.
+    The per-block grouped partial after the second join feeds one tiny
+    final combine (nation cardinality is 25)."""
+    from ..stages.join import bucketed_hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue_c4": pc.multiply(price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c)),
+            }
+        )
+
+    li_c = li.map_batches(to_cents, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j1 = bucketed_hash_join(li_c, orders, "l_orderkey", "o_orderkey", how="inner")
+    j2 = bucketed_hash_join(j1, cust, "o_custkey", "c_custkey", how="inner")
+    partial = j2.map_batches(
+        lambda df: df.groupby("c_nationkey", as_index=False)["revenue_c4"].sum(),
+        batch_format="pandas",
+    )
+    df = partial.to_pandas().groupby("c_nationkey", as_index=False)["revenue_c4"].sum()
+    df["revenue"] = df.pop("revenue_c4").astype(np.int64) / 10000.0
+    return df
+
+
 def q_customer_order_counts(sf_dir: str):
     """Right-outer bucketed hash join: every customer, with their order
     count (0 for customers with no orders). The join co-locates complete
@@ -958,6 +994,40 @@ def q_bpe_token_counts(sf_dir: str):
     return bpe_token_counts(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_doc_quality_filter(sf_dir: str):
+    """Training-data quality gate: keep docs with >= 10 tokens and a
+    stopword ratio <= 1/3 -- the filter stage of a data-curation pipeline,
+    composed from the vectorized quality_scores signals."""
+    import pyarrow.compute as pc
+
+    qs = quality_scores(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater_equal(t["n_tokens"], 10),
+            pc.less_equal(pc.multiply(t["stopword_cnt"], pa.scalar(3, type=pa.int64())), t["n_tokens"]),
+        )
+        return t.filter(ok).select(["doc_id", "n_tokens", "stopword_cnt"])
+
+    return qs.map_batches(keep, batch_format="pyarrow")
+
+
+def q_token_length_histogram(sf_dir: str):
+    """Token-count distribution (bucket = n_tokens // 10): map-side partial
+    histogram per batch, tiny final combine -- the corpus-stats primitive."""
+    tc = token_counts(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["n_tokens"] // 10).astype(np.int64)
+        g = b.value_counts().rename_axis("bucket").reset_index(name="n_docs")
+        return g
+
+    df = tc.map_batches(partial, batch_format="pandas").to_pandas()
+    out = df.groupby("bucket", as_index=False)["n_docs"].sum()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
 def q_ann_ivf(sf_dir: str):
     from ..stages.similarity import ann_ivf_topk
 
@@ -1042,6 +1112,7 @@ def queries():
         "order_customer_join": q_order_customer_join,
         "customers_without_orders": q_customers_without_orders,
         "customer_order_counts": q_customer_order_counts,
+        "nation_revenue_3way": q_nation_revenue_3way,
         "purchase_after_signup": q_purchase_after_signup,
         "top_part_per_brand": q_top_part_per_brand,
         "customer_cumulative_spend": q_customer_cumulative_spend,
@@ -1066,6 +1137,8 @@ def queries():
         "bpe_token_counts": q_bpe_token_counts,
         "ann_ivf": q_ann_ivf,
         "quality_scores": q_quality_scores,
+        "doc_quality_filter": q_doc_quality_filter,
+        "token_length_histogram": q_token_length_histogram,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "minhash_dedup": q_minhash_dedup,
@@ -1271,6 +1344,14 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000
 SELECT c.c_custkey AS c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
 FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey""",
+        "nation_revenue_3way": """
+SELECT c.c_nationkey AS c_nationkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey""",
         "purchase_after_signup": """
 SELECT p.event_id AS event_id, MAX(s.ts) AS signup_ts
 FROM events p JOIN events s
@@ -1396,6 +1477,19 @@ SELECT doc_id,
        CAST(coalesce(array_length(list_filter(regexp_extract_all(text, '\S+'),
                                               x -> x IN ('the', 'a'))), 0) AS BIGINT) AS stopword_cnt
 FROM documents""",
+        "doc_quality_filter": r"""
+WITH qs AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(array_length(list_filter(regexp_extract_all(text, '\S+'),
+                                                x -> x IN ('the', 'a'))), 0) AS BIGINT) AS stopword_cnt
+  FROM documents)
+SELECT doc_id, n_tokens, stopword_cnt FROM qs
+WHERE n_tokens >= 10 AND stopword_cnt * 3 <= n_tokens""",
+        "token_length_histogram": r"""
+SELECT CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) // 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1""",
         "ann_topk": """
 SELECT pos, vec_id FROM (
   SELECT CAST(row_number() OVER (
