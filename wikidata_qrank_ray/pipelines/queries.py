@@ -994,6 +994,30 @@ def q_bpe_token_counts(sf_dir: str):
     return bpe_token_counts(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal pipeline end-to-end with a deterministic fake decode
+    kernel: documents become opaque binary payloads (utf-32-le bytes), an
+    actor-pool stage with small binary batches extracts a codepoint%8
+    histogram 'feature' -- the real decoder's plumbing (schema, batch size,
+    actor signature, typed output) with a kernel the SQL oracle can
+    recompute exactly."""
+    from ..stages.multimodal import extract_codepoint_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payloads = [s.encode("utf-32-le") for s in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", batch_size=64)
+    return extract_codepoint_features(media)
+
+
 def q_doc_quality_filter(sf_dir: str):
     """Training-data quality gate: keep docs with >= 10 tokens and a
     stopword ratio <= 1/3 -- the filter stage of a data-curation pipeline,
@@ -1138,6 +1162,7 @@ def queries():
         "ann_ivf": q_ann_ivf,
         "quality_scores": q_quality_scores,
         "doc_quality_filter": q_doc_quality_filter,
+        "media_features": q_media_features,
         "token_length_histogram": q_token_length_histogram,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1486,6 +1511,20 @@ WITH qs AS (
   FROM documents)
 SELECT doc_id, n_tokens, stopword_cnt FROM qs
 WHERE n_tokens >= 10 AND stopword_cnt * 3 <= n_tokens""",
+        "media_features": """
+WITH cp AS (
+  SELECT doc_id, unicode(c) % 8 AS r
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+  WHERE c <> ''),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM cp GROUP BY doc_id)
+SELECT d.doc_id AS media_id,
+"""
+        + ",\n".join(
+            f"       coalesce(CAST((SELECT COUNT(*) FROM cp WHERE cp.doc_id = d.doc_id AND cp.r = {j}) AS BIGINT), 0)"
+            f" / coalesce((SELECT n FROM tot WHERE tot.doc_id = d.doc_id), 1) * 1.0 AS f{j}"
+            for j in range(8)
+        )
+        + "\nFROM documents d",
         "token_length_histogram": r"""
 SELECT CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) // 10 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs

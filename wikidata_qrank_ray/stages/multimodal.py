@@ -105,6 +105,45 @@ def sample_frames(media: ray.data.Dataset, every_ms: int = 1000) -> ray.data.Dat
     )
 
 
+class CodepointHistogramExtractor:
+    """Deterministic FAKE feature kernel with a SQL twin: payload is the
+    utf-32-le encoding of a text (an opaque binary column as far as the
+    pipeline is concerned); the 'feature' is the codepoint%dim histogram
+    normalized by length, emitted as ``dim`` float64 columns. The Ray-side
+    plumbing -- binary column, small batches, actor pool, typed output --
+    is exactly what a real decoder stage uses; only the kernel is fake
+    (and honest about it)."""
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        feats = np.zeros((n, self.dim), dtype=np.float64)
+        for i, buf in enumerate(batch["payload"].to_pylist()):
+            if not buf:
+                continue
+            codes = np.frombuffer(buf, dtype=np.uint32)
+            h = np.bincount(codes % np.uint32(self.dim), minlength=self.dim)
+            feats[i] = h.astype(np.int64) / np.int64(len(codes))
+        cols = {"media_id": batch["media_id"]}
+        for j in range(self.dim):
+            cols[f"f{j}"] = pa.array(feats[:, j])
+        return pa.table(cols)
+
+
+def extract_codepoint_features(
+    media: ray.data.Dataset, dim: int = 8, concurrency: int = 2
+) -> ray.data.Dataset:
+    return media.map_batches(
+        CodepointHistogramExtractor,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
 def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
     """Deterministic fake media rows for tests (payload = seeded bytes)."""
     rng = np.random.RandomState(seed)
