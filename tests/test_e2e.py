@@ -90,3 +90,16 @@ def test_resume_after_stage_loss(build):
     out2 = kg_build.run(transcripts_path=None, run_dir=run_dir, sf_dir=SF, concurrency=2)
     q2 = pd.read_csv(os.path.join(out2["qrank"], "qrank.csv"))
     pd.testing.assert_frame_equal(q1, q2)
+
+
+def test_registry_keys_consistent():
+    """Every oracle key names a registered query; the approximate rows-only
+    set is exactly the documented four."""
+    import __ray_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q)
+    assert set(q) - set(o) == {
+        "ann_ivf", "approx_distinct_users", "embedding_near_dups_lsh", "minhash_dedup",
+    }
+    assert len(q) >= 58
