@@ -333,6 +333,9 @@ def verified_pairs(
     # for a 64-way sort; large ones still spread
     parts = int(min(64, max(4, len(cand) // 512)))
     j1 = bucketed_hash_join(pairs, texts_a, "a", "doc_id", num_partitions=parts)
+    # pair-set-sized: materialize so the second join's schema probe and
+    # execution don't re-run the first join's shuffle
+    j1 = j1.materialize()
     j2 = bucketed_hash_join(j1, texts_b, "b", "doc_id_b", num_partitions=parts)
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:

@@ -34,17 +34,15 @@ def ann_brute_topk(
 ) -> pd.DataFrame:
     """-> (pos, vec_id) of the k nearest by cosine (ties: vec_id asc).
     Only integer columns are returned so the result is exactly comparable
-    against a SQL oracle (float sims differ in ulps across engines)."""
-    q_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    against a SQL oracle (float sims differ in ulps across engines).
+    The query vector is a few hundred bytes -- closure-captured on elastic
+    tasks (no actor-pool startup; scales to every CPU)."""
+    q = np.asarray(query_vec, dtype=np.float64)
 
-    class PartialTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)
+    def _partial(batch: pd.DataFrame, q=q) -> pd.DataFrame:
+        return _cosine_partial_topk(batch, q, k)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return _cosine_partial_topk(batch, self.q, k)
-
-    partial = emb.map_batches(PartialTopK, batch_format="pandas", batch_size=4096, concurrency=2)
+    partial = emb.map_batches(_partial, batch_format="pandas", batch_size=4096)
     df = partial.to_pandas()  # tiny: k rows per batch
     order = np.lexsort((df["vec_id"].to_numpy(), -df["sim"].to_numpy()))[:k]
     out = df.iloc[order].reset_index(drop=True)
@@ -212,25 +210,21 @@ def ann_ivf_topk(
     cent = kmeans_centroids(np.stack(sample), n_lists, seed=seed)
     q = np.asarray(query_vec, dtype=np.float64)
     qd = ((cent - q[None, :]) ** 2).sum(axis=1)
-    probe = set(np.argsort(qd)[:n_probe].tolist())
-    refs = ray.put((cent, probe))
+    probe_arr = np.sort(np.argsort(qd)[:n_probe])
 
-    class ListScan:
-        def __init__(self):
-            self.cent, self.probe = ray.get(refs)
+    # centroids + probe list are KBs -- closure-captured on elastic tasks
+    def _list_scan(batch: pd.DataFrame, cent=cent, probe=probe_arr, q=q) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        keep = np.isin(assign, probe)
+        if not keep.any():
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype=np.int64), "sim": pd.Series([], dtype=np.float64)}
+            )
+        return _cosine_partial_topk(batch[keep], q, k)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            d = ((m[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            keep = np.isin(assign, list(self.probe))
-            if not keep.any():
-                return pd.DataFrame(
-                    {"vec_id": pd.Series([], dtype=np.int64), "sim": pd.Series([], dtype=np.float64)}
-                )
-            return _cosine_partial_topk(batch[keep], q, k)
-
-    partial = emb.map_batches(ListScan, batch_format="pandas", batch_size=4096, concurrency=2)
+    partial = emb.map_batches(_list_scan, batch_format="pandas", batch_size=4096)
     df = partial.to_pandas()
     if df.empty:
         return pd.DataFrame({"pos": pd.Series([], dtype=np.int64), "vec_id": pd.Series([], dtype=np.int64)})
@@ -264,22 +258,16 @@ def ann_lsh_topk(
     dim = q.shape[0]
     planes = lsh_hyperplanes(dim, bits, seed)
     qbucket = int(lsh_bucket_ids(q[None, :], planes)[0])
-    refs = ray.put((planes, qbucket))
 
-    class BucketScan:
-        def __init__(self):
-            self.planes, self.qbucket = ray.get(refs)
+    # planes are bits x dim doubles (KBs) -- closure-captured elastic tasks
+    def _bucket_scan(batch: pd.DataFrame, planes=planes, qbucket=qbucket, q=q) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        keep = lsh_bucket_ids(m, planes) == qbucket
+        if not keep.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64), "sim": pd.Series([], dtype=np.float64)})
+        return _cosine_partial_topk(batch[keep], q, k)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            buckets = lsh_bucket_ids(m, self.planes)
-            keep = buckets == self.qbucket
-            if not keep.any():
-                return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64), "sim": pd.Series([], dtype=np.float64)})
-            sub = batch[keep]
-            return _cosine_partial_topk(sub, q, k)
-
-    partial = emb.map_batches(BucketScan, batch_format="pandas", batch_size=4096, concurrency=2)
+    partial = emb.map_batches(_bucket_scan, batch_format="pandas", batch_size=4096)
     df = partial.to_pandas()
     if df.empty:
         return pd.DataFrame({"pos": pd.Series([], dtype=np.int64), "vec_id": pd.Series([], dtype=np.int64)})

@@ -124,7 +124,10 @@ class LangId:
 
 
 def lang_id(docs: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
-    return docs.map_batches(LangId, batch_format="pandas", concurrency=pool_size(concurrency))
+    # profiles are a handful of strings: prebuilt instance on elastic tasks
+    # (no actor-pool startup; the class stays the API for big real models,
+    # pass it with concurrency=N then)
+    return docs.map_batches(LangId(), batch_format="pandas")
 
 
 def _fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
