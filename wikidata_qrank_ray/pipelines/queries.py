@@ -199,14 +199,26 @@ def q_conversation_texts(sf_dir: str):
     invariant (linemerger.go:112-131 determinism) encoded into a value the
     order-insensitive oracle hash can verify."""
 
-    def sort_concat(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["turn_idx", "ts"], kind="mergesort")
-        return pd.DataFrame(
-            {"conv_id": [g["conv_id"].iloc[0]], "dialogue": [" | ".join(g["text"])]}
-        )
+    from ..stages.groupby import hash_partition_apply
+
+    def sort_concat(part: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition vectorized sweep (conversation cardinality scales
+        # with rows; Ray's per-group aggregate degrades there -- shuffle by
+        # the low-cardinality partition id instead, one sort + one grouped
+        # join per partition)
+        part = part.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+        g = part.groupby("conv_id", sort=False)["text"].agg(" | ".join)
+        return g.rename("dialogue").reset_index()
 
     ds = derive_transcripts(sf_dir)
-    return ds.groupby("conv_id").map_groups(sort_concat, batch_format="pandas")
+    return hash_partition_apply(
+        ds.map_batches(
+            lambda t: t.select(["conv_id", "turn_idx", "ts", "text"]),
+            batch_format="pyarrow",
+        ),
+        ["conv_id"],
+        sort_concat,
+    )
 
 
 def q_tool_turns(sf_dir: str):

@@ -233,7 +233,14 @@ def detect_mentions_phrases(
     text_col: str = "text",
 ) -> ray.data.Dataset:
     """Phrase-aware mention detection (unigram + bigram surfaces, greedy
-    longest-match): actor pool, dictionary broadcast once."""
+    longest-match); same size-based execution tier as detect_mentions."""
+    gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
+    if len(gaz) <= ELASTIC_MAX_SURFACES:
+        return ds.map_batches(
+            PhraseGazetteerMatcher(gaz, text_col=text_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         PhraseGazetteerMatcher,
         fn_constructor_kwargs={"gaz_ref": gaz_ref, "text_col": text_col},
@@ -241,6 +248,12 @@ def detect_mentions_phrases(
         batch_size=batch_size,
         concurrency=pool_size(concurrency),
     )
+
+
+# below this many surfaces a prebuilt matcher instance on elastic tasks
+# beats an actor pool (no pool startup, scales to every CPU); above it the
+# dictionary is built once per actor instead of shipped per task
+ELASTIC_MAX_SURFACES = 2048
 
 
 def detect_mentions(
@@ -251,8 +264,17 @@ def detect_mentions(
     batch_size: int = 8192,
     text_col: str = "text",
 ) -> ray.data.Dataset:
-    """Actor-pool mention detection: gazetteer broadcast once (ray.put),
-    automaton built once per actor in __init__."""
+    """Mention detection; execution tier picked by dictionary size:
+    small gazetteer -> prebuilt matcher instance on elastic tasks,
+    large gazetteer -> actor pool (automaton built once per actor from the
+    broadcast ref in __init__)."""
+    gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
+    if len(gaz) <= ELASTIC_MAX_SURFACES:
+        return ds.map_batches(
+            GazetteerMatcher(gaz, mode=mode, text_col=text_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         GazetteerMatcher,
         fn_constructor_kwargs={"gaz_ref": gaz_ref, "mode": mode, "text_col": text_col},
