@@ -123,9 +123,21 @@ def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> pd.DataFrame:
         b = np.concatenate([doc[mask], doc[mask]])
         return pd.DataFrame({"a": a, "b": b}).query("a != b")
 
+    # distributed pair dedup BEFORE the driver collect: a pair matching in
+    # many bands (near-identical docs) arrives once, so driver traffic is
+    # bounded by distinct candidate pairs, not band hits
+    from .groupby import hash_partition_aggregate
+
     pairs = hash_partition_apply(band_rows, ["band_id", "band_hash"], _pairs_part)
-    df = pairs.to_pandas()
-    return df.drop_duplicates().reset_index(drop=True)
+    deduped = hash_partition_aggregate(
+        pairs.map_batches(
+            lambda df: df.assign(n=np.int64(1)), batch_format="pandas"
+        ),
+        ["a", "b"],
+        {"n": ("n", "sum")},
+    )
+    df = deduped.map_batches(lambda d: d[["a", "b"]], batch_format="pandas").to_pandas()
+    return df.reset_index(drop=True)
 
 
 def _jaccard(t1: str, t2: str, k: int) -> float:

@@ -117,9 +117,9 @@ def hash_partition_apply(
     sessionization / bucket joins at high key cardinality."""
 
     def _add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["part"] = _stable_part(batch, keys, num_partitions)
-        return batch
+        # assign() builds a new frame sharing the existing column buffers --
+        # no deep copy of the batch
+        return batch.assign(part=_stable_part(batch, keys, num_partitions))
 
     def _per_part(part_df: pd.DataFrame) -> pd.DataFrame:
         return part_fn(part_df.drop(columns=["part"]))
