@@ -957,7 +957,8 @@ def q_item_signals(sf_dir: str):
             )
             return pd.concat([sig, cp], ignore_index=True)
 
-    partial = ds.map_batches(SignalPartials, batch_format="pyarrow", concurrency=2)
+    # tiny gazetteer: prebuilt instance on elastic tasks (no pool startup)
+    partial = ds.map_batches(SignalPartials(), batch_format="pyarrow")
 
     # hash-partitioned final: all rows of one qid (signal partials AND
     # (qid, conv) distinct-pairs) land in one partition, so per-partition

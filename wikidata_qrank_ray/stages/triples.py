@@ -218,13 +218,24 @@ def extract_triples(
     (links.go:60-77 semantics: duplicates collapse; self-links cannot occur
     by construction since subj ordinal < obj ordinal and tool names are not
     qids)."""
-    partial = turns.map_batches(
-        TripleExtractor,
-        fn_constructor_kwargs={"gaz_ref": gaz_ref, "text_col": text_col},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=pool_size(concurrency),
-    )
+    from .mentions import ELASTIC_MAX_SURFACES
+
+    gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
+    if len(gaz) <= ELASTIC_MAX_SURFACES:
+        # small dictionary: prebuilt extractor on elastic tasks
+        partial = turns.map_batches(
+            TripleExtractor(gaz, text_col=text_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        partial = turns.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs={"gaz_ref": gaz_ref, "text_col": text_col},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool_size(concurrency),
+        )
     agg = partial.groupby(["subj", "pred", "obj"]).sum("w")
     return agg.map_batches(
         lambda t: t.rename_columns(["subj", "pred", "obj", "weight"]),
