@@ -239,6 +239,11 @@ def run(
             pa.Table.from_pandas(qdf, preserve_index=False), os.path.join(tmp, "qrank.parquet")
         )
         qdf.to_csv(os.path.join(tmp, "qrank.csv"), index=False)
+        # reference-format publish artifact (Entity,QRank gzip CSV,
+        # qrank.go:66-99 layout)
+        from ..sources.text import publish_qrank_csv_gz
+
+        publish_qrank_csv_gz(qdf, os.path.join(tmp, "qrank.csv.gz"))
         return _rows_in_dir(os.path.join(tmp, "triples")) + len(qdf)
 
     graph_path = ckpt.run_stage(

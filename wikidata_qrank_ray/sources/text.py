@@ -1,0 +1,87 @@
+"""Text-format sources/sinks -- the reference ingests line-oriented text
+dumps (bz2 pageview logs, SQL dumps) and publishes gzip CSV
+(qrank.go:66-99). A user migrating from it may still hold JSONL / CSV
+inputs, so the engine reads those natively (Ray Data readers + schema
+coercion with the lenient-parse policy) and publishes the byte-compatible
+final CSV artifact.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _coerce_transcripts(batch: pa.Table) -> pa.Table:
+    """Coerce a read batch to the input_hint schema, leniently
+    (wikisites.go:273-330 stance: tolerate, coerce, continue):
+    missing optional columns materialize as defaults, nulls coerce to
+    ''/0, ts parses from string if needed."""
+    n = batch.num_rows
+    cols = {}
+    names = set(batch.schema.names)
+    cols["conv_id"] = pc.cast(pc.fill_null(batch["conv_id"], ""), pa.string())
+    cols["turn_idx"] = pc.cast(pc.fill_null(batch["turn_idx"], 0), pa.int32())
+    cols["role"] = (
+        pc.cast(pc.fill_null(batch["role"], ""), pa.string())
+        if "role" in names else pa.array([""] * n, type=pa.string())
+    )
+    cols["text"] = pc.cast(pc.fill_null(batch["text"], ""), pa.string())
+    cols["tool"] = (
+        pc.cast(pc.fill_null(batch["tool"], ""), pa.string())
+        if "tool" in names else pa.array([""] * n, type=pa.string())
+    )
+    if "ts" in names:
+        ts = batch["ts"]
+        if pa.types.is_string(ts.type) or pa.types.is_large_string(ts.type):
+            ts = pc.strptime(pc.fill_null(ts, "1970-01-01T00:00:00"),
+                             format="%Y-%m-%dT%H:%M:%S", unit="us")
+        cols["ts"] = pc.cast(ts, pa.timestamp("us"))
+    else:
+        cols["ts"] = pa.array([0] * n, type=pa.timestamp("us"))
+    return pa.table(cols)
+
+
+def read_jsonl_transcripts(path: str) -> ray.data.Dataset:
+    """JSONL transcript shards -> input_hint-schema Dataset (parallel file
+    reads are native to read_json; coercion is a stateless Arrow map)."""
+    return ray.data.read_json(path).map_batches(
+        _coerce_transcripts, batch_format="pyarrow"
+    )
+
+
+def read_csv_transcripts(path: str) -> ray.data.Dataset:
+    """CSV transcript shards -> input_hint-schema Dataset."""
+    return ray.data.read_csv(path).map_batches(
+        _coerce_transcripts, batch_format="pyarrow"
+    )
+
+
+def publish_qrank_csv_gz(qdf: pd.DataFrame, out_path: str) -> str:
+    """Write the reference's final artifact format (qrank.go:66-99):
+    gzip CSV with header ``Entity,QRank`` and rows in rank order
+    (value desc, numeric qid asc -- the qrank.go:45-53 comparator, which
+    ``qrank_order`` already applied). Atomic tmp+rename."""
+    tmp = out_path + f".tmp{os.getpid()}"
+    with gzip.open(tmp, "wt", newline="") as f:
+        f.write("Entity,QRank\n")
+        for qid, val in zip(qdf["qid"], qdf["rank_value"]):
+            f.write(f"{qid},{int(val)}\n")
+    os.replace(tmp, out_path)
+    return out_path
