@@ -29,3 +29,38 @@ def test_approx_distinct_dataset():
     ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
     est = approx_distinct(ds, "user_id")
     assert abs(est - 737) / 737 < 0.06
+
+
+def test_misra_gries_guarantee_and_merge():
+    """Every item with frequency > n/(k+1) survives the sketch, and the
+    estimate underestimates by at most n/(k+1)."""
+    import numpy as np
+
+    from wikidata_qrank_ray.stages.sketches import (
+        merge_misra_gries,
+        misra_gries_summary,
+    )
+
+    rng = np.random.RandomState(2)
+    # heavy item 'h' at ~30%, long tail
+    vals = np.where(rng.random_sample(10000) < 0.3, "h",
+                    np.char.add("t", rng.randint(0, 2000, 10000).astype(str)))
+    k = 20
+    halves = [misra_gries_summary(vals[:5000], k), misra_gries_summary(vals[5000:], k)]
+    merged = merge_misra_gries(halves[0], halves[1], k)
+    true_h = int((vals == "h").sum())
+    assert "h" in merged
+    assert 0 <= true_h - merged["h"] <= len(vals) // (k + 1) * 2 + k
+
+
+def test_approx_heavy_hitters_dataset():
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from wikidata_qrank_ray.stages.sketches import approx_heavy_hitters
+
+    df = pd.DataFrame({"text": ["spark spark table", "spark merge", "table row"] * 500})
+    ds = ray.data.from_pandas(df)
+    out = approx_heavy_hitters(ds, "text", k=8, tokenize=True)
+    assert out["item"].iloc[0] == "spark"  # dominant token surfaces first

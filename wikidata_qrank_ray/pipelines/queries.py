@@ -556,6 +556,109 @@ def q_events_hourly(sf_dir: str):
     return df[["user_id", "hour", "n_events", "sum_value"]]
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (2h windows, 1h hop): each event lands in
+    two windows -- per-batch window explode + partial sums (exact cents),
+    hash-partitioned final. The overlapping-window twin of events_hourly."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["ts"].dt.floor("h").astype("datetime64[us]").astype("int64")
+        vc = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        et = batch["event_type"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "ws_us": np.concatenate([h.to_numpy(), h.to_numpy() - HOUR_US]),
+                "event_type": np.concatenate([et, et]),
+                "value_c": np.concatenate([vc, vc]),
+            }
+        )
+        return out.groupby(["ws_us", "event_type"], as_index=False).agg(
+            n_events=("value_c", "size"), sum_value_c=("value_c", "sum")
+        )
+
+    partial = ev.map_batches(explode, batch_format="pandas", batch_size=65536)
+    agg = hash_partition_aggregate(
+        partial,
+        ["ws_us", "event_type"],
+        {"n_events": ("n_events", "sum"), "sum_value_c": ("sum_value_c", "sum")},
+        partial=False,
+    )
+    df = agg.to_pandas()
+    df["window_start"] = pd.to_datetime(df.pop("ws_us"), unit="us")
+    df["n_events"] = df["n_events"].astype(np.int64)
+    df["sum_value"] = df.pop("sum_value_c").astype(np.int64) / 100.0
+    return df[["window_start", "event_type", "n_events", "sum_value"]]
+
+
+def q_top_tokens(sf_dir: str):
+    """Exact global top-20 tokens (count desc, token asc): map-side
+    value_counts partials -> hash-partitioned token aggregate -> per-
+    partition top-20 (each token wholly in one partition, so the global
+    top-20 survives) -> tiny driver merge of P x 20 rows."""
+    from ..stages.groupby import hash_partition_apply
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from ..sources.gazetteer import tokens_of_batch
+
+        vc = tokens_of_batch(t["text"]).value_counts()
+        return pd.DataFrame(
+            {
+                "token": vc.field("values").to_numpy(zero_copy_only=False),
+                "cnt": vc.field("counts").to_numpy().astype(np.int64),
+            }
+        )
+
+    def part_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["cnt"].sum()
+        s = s.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+        return s.head(20)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    tops = hash_partition_apply(partials, ["token"], part_top).to_pandas()
+    tops = tops.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+    out = tops.head(20).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+def q_value_percentiles(sf_dir: str):
+    """Exact p50/p90/p99 of events.value WITHOUT a global sort: value has
+    fixed decimal scale 2, so a distributed histogram over cent values
+    (bounded cardinality) + a tiny driver scan yields exact order
+    statistics (k = ceil(p*n), 1-indexed)."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["value"])
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        u, n = np.unique(c, return_counts=True)
+        return pd.DataFrame({"value_c": u, "n": n.astype(np.int64)})
+
+    partial = ev.map_batches(hist, batch_format="pandas", batch_size=65536)
+    agg = hash_partition_aggregate(
+        partial, ["value_c"], {"n": ("n", "sum")}, partial=False
+    ).to_pandas()
+    agg = agg.sort_values("value_c").reset_index(drop=True)
+    total = int(agg["n"].sum())
+    cum = agg["n"].cumsum().to_numpy()
+
+    def pick(p: float) -> float:
+        k = int(np.ceil(p * total))
+        i = int(np.searchsorted(cum, k))
+        return int(agg["value_c"].iloc[i]) / 100.0
+
+    return pd.DataFrame(
+        {"p50": [pick(0.5)], "p90": [pick(0.9)], "p99": [pick(0.99)]}
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (30 min inactivity gap) per user: hash-partitioned
     vectorized window sweep -- the streaming-shaped operator. Shuffle key is
@@ -1162,6 +1265,9 @@ def queries():
         "brand_revenue": q_brand_revenue,
         "region_customers": q_region_customers,
         "events_hourly": q_events_hourly,
+        "events_hopping": q_events_hopping,
+        "top_tokens": q_top_tokens,
+        "value_percentiles": q_value_percentiles,
         "sessionize": q_sessionize,
         "event_type_counts": q_event_type_counts,
         "distinct_langs": q_distinct_langs,
@@ -1471,6 +1577,31 @@ SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events
 GROUP BY user_id, date_trunc('hour', ts)""",
+        "events_hopping": """
+SELECT ws AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM (SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             event_type, value
+      FROM events)
+GROUP BY ws, event_type""",
+        "top_tokens": r"""
+SELECT token, CAST(cnt AS BIGINT) AS cnt FROM (
+  SELECT token, COUNT(*) AS cnt,
+         row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+  GROUP BY token
+) WHERE rn <= 20""",
+        "value_percentiles": """
+WITH o AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events)
+SELECT MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+FROM o""",
         "sessionize": """
 WITH flagged AS (
   SELECT user_id, event_id, ts,

@@ -74,3 +74,63 @@ def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
         other.registers = np.frombuffer(buf, dtype=np.uint8).copy()
         merged.merge(other)
     return merged.estimate()
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_summary(values: np.ndarray, k: int) -> dict:
+    """One-pass Misra-Gries summary with k counters: every item with true
+    frequency > n/(k+1) is guaranteed present; counts underestimate by at
+    most n/(k+1). Vectorized: exact value_counts of the batch, then one
+    decrement step to shrink to k counters."""
+    s = pd.Series(values).value_counts()
+    if len(s) <= k:
+        return s.to_dict()
+    cut = int(s.iloc[k])  # (k+1)-th largest count
+    s = s - cut
+    return s[s > 0].head(k).to_dict()
+
+
+def merge_misra_gries(a: dict, b: dict, k: int) -> dict:
+    """Mergeable-summary combine (Agarwal et al.): sum counters, then if
+    more than k remain subtract the (k+1)-th largest and drop <= 0 -- the
+    error bound adds across merges, staying <= n_total/(k+1)."""
+    out = dict(a)
+    for key, cnt in b.items():
+        out[key] = out.get(key, 0) + cnt
+    if len(out) <= k:
+        return out
+    counts = sorted(out.values(), reverse=True)
+    cut = counts[k]
+    return {key: c - cut for key, c in out.items() if c - cut > 0}
+
+
+def approx_heavy_hitters(
+    ds: ray.data.Dataset, column: str, k: int = 50, tokenize: bool = False
+) -> pd.DataFrame:
+    """Approximate top items of a column (or of its whitespace tokens):
+    one k-counter Misra-Gries summary PER BATCH (map-side, k-bounded data
+    motion regardless of cardinality), driver-side mergeable combine.
+    -> (item, est) sorted desc; est is a lower bound within n/(k+1) of the
+    true count. The exact twin is the top_tokens query."""
+
+    def _summary(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[column].to_numpy()
+        if tokenize:
+            vals = np.concatenate([str(v).split() for v in vals]) if len(vals) else vals
+        mg = misra_gries_summary(vals, k)
+        return pd.DataFrame({"item": list(mg.keys()), "cnt": list(mg.values())})
+
+    parts = ds.map_batches(_summary, batch_format="pandas", batch_size=65536).to_pandas()
+    merged: dict = {}
+    for item, cnt in zip(parts["item"], parts["cnt"]):
+        merged[item] = merged.get(item, 0) + int(cnt)
+    if len(merged) > k:
+        counts = sorted(merged.values(), reverse=True)
+        cut = counts[k]
+        merged = {key: c - cut for key, c in merged.items() if c - cut > 0}
+    out = pd.DataFrame({"item": list(merged.keys()), "est": list(merged.values())})
+    return out.sort_values(["est", "item"], ascending=[False, True]).reset_index(drop=True)
