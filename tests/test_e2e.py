@@ -100,6 +100,7 @@ def test_registry_keys_consistent():
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q)
     assert set(q) - set(o) == {
-        "ann_ivf", "approx_distinct_users", "embedding_near_dups_lsh", "minhash_dedup",
+        "ann_ivf", "approx_distinct_users", "embedding_near_dups_lsh",
+        "minhash_dedup", "graph_pagerank",
     }
-    assert len(q) >= 58
+    assert len(q) >= 62

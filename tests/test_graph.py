@@ -1,0 +1,71 @@
+"""PageRank: analytic golden on a star graph, probability-mass invariant,
+and driver-tier == distributed-tier equality."""
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from wikidata_qrank_ray.stages.graph import (
+    _index_edges,
+    pagerank_distributed,
+    pagerank_edges,
+)
+
+
+def _star_edges():
+    # hub Q1 connected to Q2..Q5, unit weights
+    return pd.DataFrame(
+        {
+            "subj": ["Q1"] * 4,
+            "obj": [f"Q{i}" for i in range(2, 6)],
+            "weight": [1] * 4,
+        }
+    )
+
+
+def test_pagerank_star_graph_analytic():
+    """Star graph stationary point: leaves are symmetric; the hub holds
+    the analytically computable share. With damping d and n=5:
+    r_hub = (1-d)/n + d * sum(leaf) and each leaf = (1-d)/n + d*r_hub/4.
+    Verify the fixed point is (near-)satisfied after 50 iterations."""
+    d = 0.85
+    pr = pagerank_edges(_star_edges(), damping=d, iters=300).set_index("qid")["pagerank"]
+    leaves = [pr[f"Q{i}"] for i in range(2, 6)]
+    assert np.allclose(leaves, leaves[0])
+    assert np.isclose(pr["Q1"], (1 - d) / 5 + d * sum(leaves), atol=1e-9)
+    assert np.isclose(leaves[0], (1 - d) / 5 + d * pr["Q1"] / 4, atol=1e-9)
+    assert np.isclose(pr.sum(), 1.0, atol=1e-9)
+    assert pr["Q1"] > leaves[0]
+
+
+def test_pagerank_weight_sensitivity():
+    # heavier edge pulls more rank toward its endpoint
+    e = pd.DataFrame(
+        {"subj": ["Q1", "Q1"], "obj": ["Q2", "Q3"], "weight": [10, 1]}
+    )
+    pr = pagerank_edges(e).set_index("qid")["pagerank"]
+    assert pr["Q2"] > pr["Q3"]
+
+
+def test_pagerank_distributed_equals_driver():
+    rng = np.random.RandomState(4)
+    n_e = 300
+    edges = pd.DataFrame(
+        {
+            "subj": [f"Q{i}" for i in rng.randint(1, 40, n_e)],
+            "obj": [f"Q{i}" for i in rng.randint(40, 80, n_e)],
+            "weight": rng.randint(1, 5, n_e),
+        }
+    ).drop_duplicates(["subj", "obj"])
+    driver = pagerank_edges(edges, iters=10).sort_values("qid").reset_index(drop=True)
+    _, _, _, names = _index_edges(edges)
+    dist = (
+        pagerank_distributed(
+            ray.data.from_pandas(edges).repartition(4), names, iters=10
+        )
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    assert driver["qid"].tolist() == dist["qid"].tolist()
+    assert np.allclose(driver["pagerank"], dist["pagerank"], rtol=0, atol=1e-12)

@@ -877,6 +877,49 @@ def q_purchase_after_signup(sf_dir: str):
     return joined.map_batches(finalize, batch_format="pandas")
 
 
+def q_purchases_within_week(sf_dir: str):
+    """Range (interval) join: purchases falling in [signup_ts,
+    signup_ts + 7d] for the same user, counted per signup. Co-partitioned
+    searchsorted interval sweep (stages/join.bucketed_range_join); the
+    per-block grouped count is exact because the join co-locates whole
+    user key groups."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import bucketed_range_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+
+    def signup_windows(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["event_type"], "signup"))
+        week = pa.scalar(7 * 24 * 3600 * 1_000_000, type=pa.duration("us"))
+        return pa.table(
+            {
+                "user_id": s["user_id"],
+                "s_id": s["event_id"],
+                "lo": s["ts"],
+                "hi": pc.add(s["ts"], week),
+            }
+        )
+
+    signups = ev.map_batches(signup_windows, batch_format="pyarrow")
+    joined = bucketed_range_join(
+        purchases, signups, "user_id", "user_id", on_left="ts",
+        lo_right="lo", hi_right="hi",
+    )
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("s_id", as_index=False).size().rename(columns={"size": "n_purchases"})
+        g["s_id"] = g["s_id"].astype(np.int64)
+        g["n_purchases"] = g["n_purchases"].astype(np.int64)
+        return g
+
+    return joined.map_batches(cnt, batch_format="pandas", batch_size=None)
+
+
 def q_top_part_per_brand(sf_dir: str):
     """Top-revenue part within each brand (per-group top-k window):
     map-side partials, then one hash-partitioned shuffle keyed on p_brand
@@ -1004,6 +1047,22 @@ def q_embedding_near_dups_lsh(sf_dir: str):
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_blocked_near_dups(emb, threshold=0.4)
+
+
+def q_graph_pagerank(sf_dir: str):
+    """Weighted PageRank over the canonical co-occurrence graph (20
+    deterministic power iterations, damping 0.85) -- the iterative,
+    non-SQL-expressible operator family; rows-only for the driver, pinned
+    by golden/invariant/tier-equality tests in tests/test_graph.py.
+    Emitted with an exact rank_pos ordering so the row set is stable."""
+    from ..stages.graph import pagerank_edges
+
+    ct = q_canonical_triples(sf_dir).to_pandas()
+    edges = ct[ct["pred"] == "co_occurs"][["subj", "obj", "weight"]]
+    pr = pagerank_edges(edges)
+    pr = pr.sort_values(["pagerank", "qid"], ascending=[False, True], kind="mergesort")
+    pr["rank_pos"] = np.arange(1, len(pr) + 1, dtype=np.int64)
+    return pr.reset_index(drop=True)
 
 
 def q_item_signals(sf_dir: str):
@@ -1246,6 +1305,7 @@ def queries():
         "canonical_triples": q_canonical_triples,
         "rank_stats": q_rank_stats,
         "entity_degree": q_entity_degree,
+        "graph_pagerank": q_graph_pagerank,
         "item_signals": q_item_signals,
         # engine ops
         "pricing_summary": q_pricing_summary,
@@ -1254,6 +1314,7 @@ def queries():
         "customer_order_counts": q_customer_order_counts,
         "nation_revenue_3way": q_nation_revenue_3way,
         "purchase_after_signup": q_purchase_after_signup,
+        "purchases_within_week": q_purchases_within_week,
         "top_part_per_brand": q_top_part_per_brand,
         "customer_cumulative_spend": q_customer_cumulative_spend,
         "names_union": q_names_union,
@@ -1502,6 +1563,13 @@ FROM events p JOIN events s
   ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id""",
+        "purchases_within_week": """
+SELECT s.event_id AS s_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM events p JOIN events s
+  ON p.user_id = s.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+GROUP BY s.event_id""",
         "top_part_per_brand": """
 SELECT p_brand, p_partkey, revenue FROM (
   SELECT p.p_brand AS p_brand, p.p_partkey AS p_partkey,

@@ -205,6 +205,93 @@ def bucketed_hash_join(
     return hash_partition_apply(u, merge_on, _merge, num_partitions)
 
 
+def bucketed_range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by_left: str,
+    by_right: str,
+    on_left: str,
+    lo_right: str,
+    hi_right: str,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Range (interval) join: pair each left row with every right row of
+    the same ``by`` key whose [lo, hi] interval contains the left ``on``
+    value (lo inclusive, hi inclusive). Co-partition both sides by the
+    by-key hash; within a partition the join runs as one sort +
+    per-interval searchsorted slice sweep -- no per-row Python comparisons
+    against the whole partition. The custom-operator tier for semantics
+    Ray Data lacks (SURVEY.md §1.4): composition of map_batches + one
+    hash shuffle."""
+    import pyarrow as pa
+
+    lsel = left.map_batches(
+        lambda t: t.rename_columns(["__by__" if c == by_left else c for c in t.schema.names]),
+        batch_format="pyarrow",
+    )
+    rsel = right.map_batches(
+        lambda t: t.rename_columns(["__by__" if c == by_right else c for c in t.schema.names]),
+        batch_format="pyarrow",
+    )
+    lcols = [c for c in left.schema().base_schema.names if c != by_left]
+    rcols = [c for c in right.schema().base_schema.names if c != by_right]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column collision in range join: {overlap}")
+
+    def pad(side: int, own_cols: list[str], other: ray.data.Dataset, other_cols: list[str]):
+        oschema = other.schema().base_schema
+
+        def _pad(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {"__by__": t["__by__"], _SIDE: pa.array(np.full(n, side, dtype=np.int8))}
+            for c in own_cols:
+                cols[c] = t[c]
+            for c in other_cols:
+                cols[c] = pa.nulls(n, type=oschema.field(c).type)
+            return pa.table({k: cols[k] for k in ["__by__", _SIDE] + lcols + rcols})
+
+        return _pad
+
+    u = lsel.map_batches(pad(0, lcols, right, rcols), batch_format="pyarrow").union(
+        rsel.map_batches(pad(1, rcols, left, lcols), batch_format="pyarrow")
+    )
+
+    def _range(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("__by__", sort=False):
+            lf = g[g[_SIDE] == 0]
+            rf = g[g[_SIDE] == 1]
+            if len(lf) == 0 or len(rf) == 0:
+                continue
+            lv = lf[on_left].to_numpy()
+            order = np.argsort(lv, kind="mergesort")
+            lv_s = lv[order]
+            lf_s = lf.iloc[order]
+            starts = np.searchsorted(lv_s, rf[lo_right].to_numpy(), side="left")
+            ends = np.searchsorted(lv_s, rf[hi_right].to_numpy(), side="right")
+            n_match = np.maximum(0, ends - starts)
+            if n_match.sum() == 0:
+                continue
+            r_idx = np.repeat(np.arange(len(rf)), n_match)
+            l_idx = np.concatenate(
+                [np.arange(s, e) for s, e, m in zip(starts, ends, n_match) if m > 0]
+            )
+            lo = lf_s.iloc[l_idx][["__by__"] + lcols].reset_index(drop=True)
+            ro = rf.iloc[r_idx][rcols].reset_index(drop=True)
+            outs.append(pd.concat([lo, ro], axis=1))
+        if not outs:
+            cols = {"__by__": pd.Series([], dtype=object)}
+            return pd.DataFrame(cols).reindex(columns=["__by__"] + lcols + rcols)
+        return pd.concat(outs, ignore_index=True)
+
+    joined = hash_partition_apply(u.map_batches(lambda df: df, batch_format="pandas"),
+                                  ["__by__"], _range, num_partitions)
+    return joined.map_batches(
+        lambda df: df.rename(columns={"__by__": by_left}), batch_format="pandas"
+    )
+
+
 def bucketed_asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
