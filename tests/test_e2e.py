@@ -103,4 +103,4 @@ def test_registry_keys_consistent():
         "ann_ivf", "approx_distinct_users", "embedding_near_dups_lsh",
         "minhash_dedup", "graph_pagerank",
     }
-    assert len(q) >= 62
+    assert len(q) >= 63

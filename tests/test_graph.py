@@ -28,7 +28,8 @@ def test_pagerank_star_graph_analytic():
     """Star graph stationary point: leaves are symmetric; the hub holds
     the analytically computable share. With damping d and n=5:
     r_hub = (1-d)/n + d * sum(leaf) and each leaf = (1-d)/n + d*r_hub/4.
-    Verify the fixed point is (near-)satisfied after 50 iterations."""
+    Verify the fixed point is satisfied to 1e-9 after 300 iterations
+    (convergence rate is d^k)."""
     d = 0.85
     pr = pagerank_edges(_star_edges(), damping=d, iters=300).set_index("qid")["pagerank"]
     leaves = [pr[f"Q{i}"] for i in range(2, 6)]

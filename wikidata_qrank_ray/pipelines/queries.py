@@ -1234,6 +1234,16 @@ def q_ann_ivf(sf_dir: str):
     return ann_ivf_topk(emb, _query_vec(sf_dir), k=10)
 
 
+def q_embedding_class(sf_dir: str):
+    """Batched 'model inference': integer-exact linear multi-head
+    classifier over the embedding column (weights broadcast once, batch
+    matmul) -- see stages/scoring.py; fully oracle-gated."""
+    from ..stages.scoring import classify_embeddings
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return classify_embeddings(emb)
+
+
 def q_quality_scores(sf_dir: str):
     return quality_scores(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -1343,6 +1353,7 @@ def queries():
         "quality_scores": q_quality_scores,
         "doc_quality_filter": q_doc_quality_filter,
         "media_features": q_media_features,
+        "embedding_class": q_embedding_class,
         "token_length_histogram": q_token_length_histogram,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1414,6 +1425,12 @@ SELECT pos, vec_id FROM (
          eb.vec_id AS vec_id
   FROM eb, q, qb WHERE eb.b = qb.b
 ) WHERE pos <= {k}"""
+
+
+def _classify_sql() -> str:
+    from ..stages.scoring import classify_sql
+
+    return classify_sql()
 
 
 def oracle_sql():
@@ -1773,6 +1790,7 @@ JOIN sizes sa ON i.a = sa.doc_id
 JOIN sizes sb ON i.b = sb.doc_id
 WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5""",
         "lang_id": _lang_id_sql(),
+        "embedding_class": _classify_sql(),
         "ann_lsh": _ann_lsh_sql(),
         # codepoint-polynomial rolling hash, identical recurrence both sides
         "fingerprints": """
