@@ -101,3 +101,45 @@ def test_stale_partitions_garbage_collected(tmp_path):
     assert not os.path.exists(os.path.join(out, "b.parquet"))
     with open(os.path.join(out, "_PARTITIONS.json")) as f:
         assert set(json.load(f)) == {"a.parquet"}
+
+
+def test_incremental_append_recomputes_only_new_shard(tmp_path):
+    """Appending an input shard to a completed run recomputes ONLY the new
+    partition (existing partition outputs untouched, byte-identical)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.state.partitioned import run_partitioned
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    pq.write_table(pa.table({"x": [1, 2]}), str(ind / "a.parquet"))
+    out = str(tmp_path / "out")
+
+    def fn(input_path, tmp_out):
+        t = pq.read_table(input_path)
+        pq.write_table(t, tmp_out)
+        return t.num_rows
+
+    run_partitioned(out, [(str(ind / "a.parquet"), "a.parquet")], fn)
+    mtime_a = os.path.getmtime(os.path.join(out, "a.parquet"))
+
+    # append shard b, rerun with both -> a's output untouched
+    time.sleep(0.05)
+    pq.write_table(pa.table({"x": [3]}), str(ind / "b.parquet"))
+    parts = [(str(ind / n), n) for n in ("a.parquet", "b.parquet")]
+    m = run_partitioned(out, parts, fn)
+    assert os.path.getmtime(os.path.join(out, "a.parquet")) == mtime_a
+    assert set(m) == {"a.parquet", "b.parquet"}
+
+    # mutate shard a's content -> lineage change -> a recomputes, b doesn't
+    mtime_b = os.path.getmtime(os.path.join(out, "b.parquet"))
+    time.sleep(0.05)
+    pq.write_table(pa.table({"x": [9, 9]}), str(ind / "a.parquet"))
+    run_partitioned(out, parts, fn)
+    assert os.path.getmtime(os.path.join(out, "a.parquet")) > mtime_a
+    assert os.path.getmtime(os.path.join(out, "b.parquet")) == mtime_b
+    assert pq.read_table(os.path.join(out, "a.parquet"))["x"].to_pylist() == [9, 9]

@@ -116,15 +116,16 @@ def hash_partition_apply(
     multiple keys at once -- this is the workhorse for windowing /
     sessionization / bucket joins at high key cardinality."""
 
-    def _add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        # assign() builds a new frame sharing the existing column buffers --
-        # no deep copy of the batch
-        return batch.assign(part=_stable_part(batch, keys, num_partitions))
+    def _add_part(t: pa.Table) -> pa.Table:
+        # partition id computed from the KEY columns only; value columns
+        # ride through as zero-copy Arrow until the per-partition pandas
+        # sweep (the one place a pandas conversion is inherent)
+        return t.append_column("part", _stable_part_arrow(t, keys, num_partitions))
 
     def _per_part(part_df: pd.DataFrame) -> pd.DataFrame:
         return part_fn(part_df.drop(columns=["part"]))
 
-    staged = ds.map_batches(_add_part, batch_format="pandas", batch_size=65536)
+    staged = ds.map_batches(_add_part, batch_format="pyarrow", batch_size=65536)
     return staged.groupby("part").map_groups(_per_part, batch_format="pandas")
 
 
