@@ -281,8 +281,8 @@ def bucketed_range_join(
             ro = rf.iloc[r_idx][rcols].reset_index(drop=True)
             outs.append(pd.concat([lo, ro], axis=1))
         if not outs:
-            cols = {"__by__": pd.Series([], dtype=object)}
-            return pd.DataFrame(cols).reindex(columns=["__by__"] + lcols + rcols)
+            # dtype-stable empty frame (blocks must share a schema)
+            return part.iloc[0:0][["__by__"] + lcols + rcols]
         return pd.concat(outs, ignore_index=True)
 
     joined = hash_partition_apply(u.map_batches(lambda df: df, batch_format="pandas"),
