@@ -78,3 +78,25 @@ def test_qrank_csv_gz_reference_golden(tmp_path):
         got = f.read()
     assert got == "Entity,QRank\nQ4,77\nQ2,42\nQ5,42\nQ1,1\nQ3,1\n"
     assert not any(n.endswith(".tmp") for n in os.listdir(tmp_path))
+
+
+def test_lenient_missing_required_and_bad_ts(tmp_path):
+    """Shards missing required columns or carrying nonconforming
+    timestamps coerce to defaults instead of raising."""
+    rows = [
+        {"text": "only text"},                                   # no conv/turn/ts
+        {"conv_id": "c1", "turn_idx": None, "text": "bad turn",
+         "ts": "2024-01-01T00:00:00.123Z"},                      # fractional+Z
+        {"conv_id": "c2", "turn_idx": 2, "text": "bad ts", "ts": "not a time"},
+    ]
+    p = tmp_path / "weird.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    df = read_jsonl_transcripts(str(p)).to_pandas().sort_values("text").reset_index(drop=True)
+    assert len(df) == 3
+    assert set(df.columns) == {f.name for f in TRANSCRIPT_SCHEMA}
+    bad_ts = df[df["text"] == "bad ts"].iloc[0]
+    assert str(bad_ts["ts"]) == "1970-01-01 00:00:00"
+    frac = df[df["text"] == "bad turn"].iloc[0]
+    assert str(frac["ts"]).startswith("2024-01-01 00:00:00")

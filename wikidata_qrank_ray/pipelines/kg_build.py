@@ -171,20 +171,38 @@ def run(
     # to one row per batch -- stronger than reducer-side salting
     # (salted_rollup remains the documented skew path for pre-aggregated
     # inputs, stages/rank.py).
+    from ..stages.mentions import ELASTIC_MAX_SURFACES
     from ..stages.triples import MENTIONS_PRED, TripleExtractor
 
-    def write_graph(tmp: str) -> int:
-        # dictionary is small here -> prebuilt matcher instance on elastic
-        # TASKS (scales to every CPU, no actor-pool startup). For large
-        # gazetteers pass the CLASS with fn_constructor_kwargs +
-        # concurrency=N instead (actor pool: dictionary built once per
-        # actor, not shipped per task) -- both paths share TripleExtractor.
-        extractor = TripleExtractor(
-            gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True
+    def _extract(ds_in: ray.data.Dataset) -> ray.data.Dataset:
+        """Extractor execution tier by dictionary size: small -> prebuilt
+        instance on elastic tasks (no pool startup, scales to every CPU);
+        large -> actor pool built once per actor from broadcast refs
+        (never shipped per task)."""
+        if len(gaz) <= ELASTIC_MAX_SURFACES:
+            fn = TripleExtractor(
+                gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True
+            )
+            return ds_in.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+        from ..context import pool_size
+
+        return ds_in.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs={
+                "gaz_ref": ray.put(gaz),
+                "text_col": "norm_text",
+                "mapping_ref": ray.put(mapping),
+                "emit_counts": True,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool_size(concurrency),
         )
-        partial = ray.data.read_parquet(
-            norm_path, columns=["norm_text", "tool"]
-        ).map_batches(extractor, batch_format="pyarrow", batch_size=batch_size)
+
+    def write_graph(tmp: str) -> int:
+        partial = _extract(
+            ray.data.read_parquet(norm_path, columns=["norm_text", "tool"])
+        )
         distributed = len(gaz) > DRIVER_COMBINE_MAX_SURFACES
         if distributed:
             # hash-partitioned final combine; the aggregate (the smallest
@@ -315,16 +333,37 @@ def run_streaming(
     aliases = build_aliases(gaz)
     mapping = resolve_aliases(aliases)
 
-    # prebuilt matcher on elastic tasks (small dictionary; see write_graph
-    # note for the actor-pool variant used with large gazetteers)
-    extractor = TripleExtractor(
-        gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True
-    )
-    partial = normalize_stage(
+    # extractor tier by dictionary size (mentions.ELASTIC_MAX_SURFACES):
+    # prebuilt instance on elastic tasks for small dictionaries, actor pool
+    # from broadcast refs for large ones (never shipped per task)
+    from ..stages.mentions import ELASTIC_MAX_SURFACES
+
+    extract_src = normalize_stage(
         ray.data.read_parquet(
             transcripts_path, columns=["text", "tool"], override_num_blocks=n_blocks
         )
-    ).map_batches(extractor, batch_format="pyarrow", batch_size=batch_size)
+    )
+    if len(gaz) <= ELASTIC_MAX_SURFACES:
+        partial = extract_src.map_batches(
+            TripleExtractor(gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        from ..context import pool_size
+
+        partial = extract_src.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs={
+                "gaz_ref": ray.put(gaz),
+                "text_col": "norm_text",
+                "mapping_ref": ray.put(mapping),
+                "emit_counts": True,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool_size(concurrency),
+        )
     # final combine: driver-side while the vocabulary is small, hash-
     # partitioned shuffle beyond DRIVER_COMBINE_MAX_SURFACES (auto)
     adf = _combine_triple_partials(partial, len(gaz)).rename(columns={"w": "weight"})

@@ -819,16 +819,18 @@ def q_nation_revenue_3way(sf_dir: str):
 
 def q_customer_order_counts(sf_dir: str):
     """Right-outer bucketed hash join: every customer, with their order
-    count (0 for customers with no orders). The join co-locates complete
-    key groups per output block, so the per-block grouped count is exact
-    with no further shuffle."""
+    count (0 for customers with no orders). Per-block counts are treated
+    as PARTIALS and finished with a hash-partitioned sum -- Ray may split
+    an oversized partition output into several blocks, so per-block
+    grouped results are never assumed complete."""
+    from ..stages.groupby import hash_partition_aggregate
     from ..stages.join import bucketed_hash_join
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey"])
     joined = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey", how="right")
 
-    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("o_custkey", as_index=False)["o_orderkey"].count()
         return pd.DataFrame(
             {
@@ -837,7 +839,14 @@ def q_customer_order_counts(sf_dir: str):
             }
         )
 
-    return joined.map_batches(cnt, batch_format="pandas", batch_size=None)
+    partials = joined.map_batches(partial, batch_format="pandas")
+    agg = hash_partition_aggregate(
+        partials, ["c_custkey"], {"n_orders": ("n_orders", "sum")}, partial=False
+    )
+    return agg.map_batches(
+        lambda df: df.astype({"c_custkey": np.int64, "n_orders": np.int64}),
+        batch_format="pandas",
+    )
 
 
 def q_purchase_after_signup(sf_dir: str):
@@ -911,13 +920,24 @@ def q_purchases_within_week(sf_dir: str):
         lo_right="lo", hi_right="hi",
     )
 
-    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+    # per-block counts are PARTIALS (Ray may split oversized partition
+    # outputs into several blocks); a hash-partitioned sum finishes them
+    from ..stages.groupby import hash_partition_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("s_id", as_index=False).size().rename(columns={"size": "n_purchases"})
         g["s_id"] = g["s_id"].astype(np.int64)
         g["n_purchases"] = g["n_purchases"].astype(np.int64)
         return g
 
-    return joined.map_batches(cnt, batch_format="pandas", batch_size=None)
+    partials = joined.map_batches(partial, batch_format="pandas")
+    agg = hash_partition_aggregate(
+        partials, ["s_id"], {"n_purchases": ("n_purchases", "sum")}, partial=False
+    )
+    return agg.map_batches(
+        lambda df: df.astype({"s_id": np.int64, "n_purchases": np.int64}),
+        batch_format="pandas",
+    )
 
 
 def q_top_part_per_brand(sf_dir: str):

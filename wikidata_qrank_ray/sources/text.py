@@ -11,6 +11,7 @@ from __future__ import annotations
 import gzip
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -30,29 +31,47 @@ TRANSCRIPT_SCHEMA = pa.schema(
 
 def _coerce_transcripts(batch: pa.Table) -> pa.Table:
     """Coerce a read batch to the input_hint schema, leniently
-    (wikisites.go:273-330 stance: tolerate, coerce, continue):
-    missing optional columns materialize as defaults, nulls coerce to
-    ''/0, ts parses from string if needed."""
+    (wikisites.go:273-330 stance: tolerate, coerce, continue): ANY missing
+    column materializes as its default, nulls coerce to ''/0, string
+    timestamps parse leniently (ISO variants incl. fractional seconds /
+    timezone suffixes; unparseable -> epoch) -- a malformed shard must
+    never kill the pipeline."""
     n = batch.num_rows
     cols = {}
     names = set(batch.schema.names)
-    cols["conv_id"] = pc.cast(pc.fill_null(batch["conv_id"], ""), pa.string())
-    cols["turn_idx"] = pc.cast(pc.fill_null(batch["turn_idx"], 0), pa.int32())
-    cols["role"] = (
-        pc.cast(pc.fill_null(batch["role"], ""), pa.string())
-        if "role" in names else pa.array([""] * n, type=pa.string())
-    )
-    cols["text"] = pc.cast(pc.fill_null(batch["text"], ""), pa.string())
-    cols["tool"] = (
-        pc.cast(pc.fill_null(batch["tool"], ""), pa.string())
-        if "tool" in names else pa.array([""] * n, type=pa.string())
-    )
+
+    def _str_col(name: str):
+        if name not in names:
+            return pa.array([""] * n, type=pa.string())
+        return pc.cast(pc.fill_null(batch[name], ""), pa.string())
+
+    cols["conv_id"] = _str_col("conv_id")
+    if "turn_idx" in names:
+        try:
+            cols["turn_idx"] = pc.cast(pc.fill_null(batch["turn_idx"], 0), pa.int32())
+        except pa.ArrowInvalid:
+            ti = pd.to_numeric(batch["turn_idx"].to_pandas(), errors="coerce")
+            cols["turn_idx"] = pa.array(
+                ti.fillna(0).astype("int32").to_numpy(), type=pa.int32()
+            )
+    else:
+        cols["turn_idx"] = pa.array(np.zeros(n, dtype=np.int32), type=pa.int32())
+    cols["role"] = _str_col("role")
+    cols["text"] = _str_col("text")
+    cols["tool"] = _str_col("tool")
     if "ts" in names:
         ts = batch["ts"]
         if pa.types.is_string(ts.type) or pa.types.is_large_string(ts.type):
-            ts = pc.strptime(pc.fill_null(ts, "1970-01-01T00:00:00"),
-                             format="%Y-%m-%dT%H:%M:%S", unit="us")
-        cols["ts"] = pc.cast(ts, pa.timestamp("us"))
+            parsed = pd.to_datetime(ts.to_pandas(), errors="coerce", utc=True)
+            parsed = parsed.dt.tz_localize(None).fillna(pd.Timestamp(0))
+            cols["ts"] = pa.array(
+                parsed.astype("datetime64[us]").to_numpy(), type=pa.timestamp("us")
+            )
+        else:
+            try:
+                cols["ts"] = pc.cast(pc.fill_null(ts, 0), pa.timestamp("us"))
+            except pa.ArrowInvalid:
+                cols["ts"] = pa.array([0] * n, type=pa.timestamp("us"))
     else:
         cols["ts"] = pa.array([0] * n, type=pa.timestamp("us"))
     return pa.table(cols)

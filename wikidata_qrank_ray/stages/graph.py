@@ -97,17 +97,21 @@ def pagerank_distributed(
     deg = np.zeros(n)
     for buf in indexed.map_batches(_deg, batch_format="pandas").to_pandas()["vec"]:
         deg += np.frombuffer(buf)
+    # deg is |V|-sized like the rank vector: broadcast ONCE, not
+    # closure-shipped with every task of every iteration
+    deg_ref = ray.put(deg)
 
     r = np.full(n, 1.0 / n)
     for _ in range(iters):
         r_ref = ray.put(r)
 
-        def _contrib(df: pd.DataFrame, r_ref=r_ref) -> pd.DataFrame:
+        def _contrib(df: pd.DataFrame, r_ref=r_ref, deg_ref=deg_ref) -> pd.DataFrame:
             rv = ray.get(r_ref)
+            dg = ray.get(deg_ref)
             c = np.zeros(n)
             s, o, w = df["s"].to_numpy(), df["o"].to_numpy(), df["w"].to_numpy()
-            np.add.at(c, o, rv[s] / deg[s] * w)
-            np.add.at(c, s, rv[o] / deg[o] * w)
+            np.add.at(c, o, rv[s] / dg[s] * w)
+            np.add.at(c, s, rv[o] / dg[o] * w)
             return pd.DataFrame({"vec": [c.tobytes()]})
 
         contrib = np.zeros(n)

@@ -24,15 +24,6 @@ import pyarrow as pa
 import ray.data
 
 
-def _stable_part(df: pd.DataFrame, keys: list[str], num_partitions: int) -> np.ndarray:
-    h = np.zeros(len(df), dtype=np.uint64)
-    for k in keys:
-        h ^= pd.util.hash_pandas_object(
-            df[k], index=False, hash_key="0123456789123456"
-        ).to_numpy()
-    return (h % np.uint64(num_partitions)).astype(np.int64)
-
-
 def _stable_part_arrow(t: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
     """Partition id from the KEY columns only -- the value columns never
     leave Arrow (the old pandas round-trip converted whole blocks)."""

@@ -155,9 +155,10 @@ def bucketed_hash_join(
     per partition. Output columns: key (named ``left_key``) + both sides'
     non-key columns. ``how``: inner | left | right | outer.
 
-    Every key's rows land in exactly one output partition, so one output
-    BLOCK holds complete key groups -- downstream per-block grouped
-    aggregates over the join key are exact without another shuffle.
+    Every key's rows land in exactly one output PARTITION -- but Ray may
+    split an oversized partition output into several physical blocks, so
+    downstream per-block grouped aggregates must treat their results as
+    partials and finish with a (small) keyed aggregate.
 
     ``salt_buckets > 1`` is the hot-key recipe (inner/left only): left rows
     take a deterministic round-robin salt, the (smaller) right side is
@@ -233,11 +234,22 @@ def bucketed_range_join(
         lambda t: t.rename_columns(["__by__" if c == by_right else c for c in t.schema.names]),
         batch_format="pyarrow",
     )
-    lcols = [c for c in left.schema().base_schema.names if c != by_left]
-    rcols = [c for c in right.schema().base_schema.names if c != by_right]
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = [c for c in lschema.names if c != by_left]
+    rcols = [c for c in rschema.names if c != by_right]
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"column collision in range join: {overlap}")
+
+    def _np_dtype(t):
+        try:
+            return np.dtype(t.to_pandas_dtype())
+        except (TypeError, NotImplementedError):
+            return np.dtype(object)
+
+    ltypes = {c: _np_dtype(lschema.field(c).type) for c in lcols}
+    rtypes = {c: _np_dtype(rschema.field(c).type) for c in rcols}
 
     def pad(side: int, own_cols: list[str], other: ray.data.Dataset, other_cols: list[str]):
         oschema = other.schema().base_schema
@@ -264,6 +276,10 @@ def bucketed_range_join(
             rf = g[g[_SIDE] == 1]
             if len(lf) == 0 or len(rf) == 0:
                 continue
+            # restore dtypes lost to typed-null padding (int64 -> float64
+            # upcast would silently corrupt ids > 2^53 downstream)
+            lf = lf.astype(ltypes)
+            rf = rf.astype(rtypes)
             lv = lf[on_left].to_numpy()
             order = np.argsort(lv, kind="mergesort")
             lv_s = lv[order]
@@ -281,8 +297,9 @@ def bucketed_range_join(
             ro = rf.iloc[r_idx][rcols].reset_index(drop=True)
             outs.append(pd.concat([lo, ro], axis=1))
         if not outs:
-            # dtype-stable empty frame (blocks must share a schema)
-            return part.iloc[0:0][["__by__"] + lcols + rcols]
+            # dtype-stable empty frame (blocks must share a schema,
+            # including the restored-from-padding dtypes)
+            return part.iloc[0:0][["__by__"] + lcols + rcols].astype({**ltypes, **rtypes})
         return pd.concat(outs, ignore_index=True)
 
     joined = hash_partition_apply(u.map_batches(lambda df: df, batch_format="pandas"),

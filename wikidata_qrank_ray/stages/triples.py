@@ -26,7 +26,6 @@ import ray.data
 
 from ..context import pool_size
 
-from .canonicalize import rewrite_triples_df
 from .mentions import GazetteerMatcher, _tokenize_arrow
 
 # reserved predicate tag for occurrence-count partials riding the triple
@@ -54,14 +53,13 @@ class TripleExtractor(GazetteerMatcher):
     def __init__(self, gaz_ref, text_col: str = "text", mapping_ref=None,
                  emit_counts: bool = False):
         super().__init__(gaz_ref, mode="mentions", text_col=text_col)
-        # alias closure applied AFTER per-turn pair generation (post-pair
-        # rewrite per batch == rewrite-then-merge semantics exactly; folding
-        # it into the token ordinals would dedup same-canonical surfaces per
-        # turn and change co_occurs weights -- see GazetteerMatcher note).
-        # The rewrite itself runs on integer ordinals: raw ordinal ->
-        # canonical ordinal via one precomputed int lookup array, pair
-        # reorder/self-drop/re-combine in numpy -- no per-batch pandas
-        # string ops on the hot path.
+        # alias closure applied AFTER per-turn pair generation in RAW
+        # ordinal space (post-pair remap == rewrite-then-merge semantics
+        # exactly; folding it into the token ordinals would dedup
+        # same-canonical surfaces per turn and change co_occurs weights --
+        # see GazetteerMatcher note). The remap is one precomputed int
+        # lookup (canon_of_ord) + numpy reorder/self-drop/packed-key
+        # bincount in __call__ -- no pandas string ops on the hot path.
         self.mapping = (
             ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef)
             else mapping_ref
@@ -83,43 +81,75 @@ class TripleExtractor(GazetteerMatcher):
         m = tok >= 0
         parent, tok = parent[m], tok[m]
         if len(self.ent_names) <= self.DENSE_MAX_ENTITIES:
-            out = self._dense(batch, parent, tok)
+            ia, ja, w, tools = self._dense_ord(batch, parent, tok)
         else:
-            out = self._sparse(batch, parent, tok)
-        if self.emit_counts:
+            ia, ja, w, tools = self._sparse_ord(batch, parent, tok)
+        names = self.ent_names
+        counts = (
+            np.bincount(tok, minlength=len(self.ent_names))
+            if self.emit_counts else None
+        )
+        if self.mapping is not None:
+            # ordinal-space canonical rewrite: map raw -> canonical ordinal
+            # (one int lookup), restore lo < hi order, drop self-loops, and
+            # re-combine merged pair keys with one packed-key bincount
+            e2 = len(self.canon_names)
+            ca, cb = self.canon_of_ord[ia], self.canon_of_ord[ja]
+            lo, hi = np.minimum(ca, cb), np.maximum(ca, cb)
+            keep = lo != hi
+            key = lo[keep] * e2 + hi[keep]
+            uk, inv = np.unique(key, return_inverse=True)
+            w = np.bincount(inv, weights=w[keep]).astype(np.int64)
+            ia, ja = uk // e2, uk % e2
+            tools = [
+                (tname, *self._combine_ord(self.canon_of_ord[tj], tw, e2))
+                for tname, tj, tw in tools
+            ]
+            if counts is not None:
+                cc = np.zeros(e2, dtype=np.int64)
+                np.add.at(cc, self.canon_of_ord, counts)
+                counts = cc
+            names = self.canon_names
+        frames = [
+            pd.DataFrame(
+                {"subj": names[ia], "pred": "co_occurs", "obj": names[ja], "w": w}
+            )
+        ]
+        for tname, tj, tw in tools:
+            frames.append(
+                pd.DataFrame(
+                    {"subj": names[tj], "pred": "observed_via_tool",
+                     "obj": tname, "w": tw}
+                )
+            )
+        if counts is not None:
             # occurrence-count partials ride the same shuffle, tagged with a
             # reserved predicate; split out after the global aggregate
-            counts = np.bincount(tok, minlength=len(self.ent_names))
             nz = np.nonzero(counts)[0]
-            out = pd.concat(
-                [
-                    out,
-                    pd.DataFrame(
-                        {
-                            "subj": self.ent_names[nz],
-                            "pred": MENTIONS_PRED,
-                            "obj": "",
-                            "w": counts[nz],
-                        }
-                    ),
-                ],
-                ignore_index=True,
+            frames.append(
+                pd.DataFrame(
+                    {"subj": names[nz], "pred": MENTIONS_PRED, "obj": "",
+                     "w": counts[nz]}
+                )
             )
-        if self.mapping is not None:
-            # per-batch canonical rewrite + local re-combine (map-side
-            # combine of keys the rewrite just merged); count rows rewrite
-            # their subj only (obj '' is not an entity) == canonicalize_ranks
-            out = rewrite_triples_df(out, self.mapping)
-            out = out.groupby(["subj", "pred", "obj"], as_index=False, sort=False)["w"].sum()
+        out = pd.concat(frames, ignore_index=True)
         out["w"] = out["w"].astype(np.int64)
         return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
-    def _dense(self, batch: pa.Table, parent: np.ndarray, tok: np.ndarray) -> pd.DataFrame:
-        """Presence-matrix co-occurrence: pair weight = #turns where both
-        entities appear = upper triangle of P^T P for the 0/1 turn x entity
-        matrix. O(rows x ents) memory, one int matmul per batch -- no
-        quadratic pair explosion. Entity columns are ordered by numeric qid,
-        so column i < j directly yields the canonical (subj, obj) form."""
+    @staticmethod
+    def _combine_ord(ords: np.ndarray, w: np.ndarray, size: int) -> tuple[np.ndarray, np.ndarray]:
+        """Sum weights of duplicate ordinals (post-remap combine)."""
+        acc = np.zeros(size, dtype=np.int64)
+        np.add.at(acc, ords, w)
+        nz = np.nonzero(acc)[0]
+        return nz, acc[nz]
+
+    def _dense_ord(self, batch: pa.Table, parent: np.ndarray, tok: np.ndarray):
+        """Presence-matrix co-occurrence in RAW ordinals: pair weight =
+        #turns where both entities appear = upper triangle of P^T P for the
+        0/1 turn x entity matrix. O(rows x ents) memory, one int matmul per
+        batch -- no quadratic pair explosion. Returns (ia, ja, w, tools)
+        with ia < ja (ordinals are numeric-qid ordered)."""
         n, e = batch.num_rows, len(self.ent_names)
         pres = np.zeros((n, e), dtype=np.int64)
         if len(parent):
@@ -128,22 +158,14 @@ class TripleExtractor(GazetteerMatcher):
         iu, ju = np.triu_indices(e, k=1)
         w = co_mat[iu, ju]
         nz = w > 0
-        co = pd.DataFrame(
-            {
-                "subj": self.ent_names[iu[nz]],
-                "pred": "co_occurs",
-                "obj": self.ent_names[ju[nz]],
-                "w": w[nz],
-            }
-        )
-        frames = [co]
+        ia, ja, w = iu[nz], ju[nz], w[nz]
         tool_arr = batch["tool"]
         if isinstance(tool_arr, pa.ChunkedArray):
             tool_arr = tool_arr.combine_chunks()
         tenc = tool_arr.dictionary_encode()
         tool_names = tenc.dictionary.to_pylist()
         tool_idx = tenc.indices.to_numpy(zero_copy_only=False)
-        rows_of = []
+        tools = []
         for tname_i, tname in enumerate(tool_names):
             if tname == "":
                 continue
@@ -153,56 +175,30 @@ class TripleExtractor(GazetteerMatcher):
             tw = pres[rows].sum(axis=0)  # per-entity count of this tool's turns
             tj = np.nonzero(tw)[0]
             if len(tj):
-                rows_of.append((tname, tj, tw[tj]))
-        if rows_of:
-            frames.append(
-                pd.concat(
-                    [
-                        pd.DataFrame(
-                            {
-                                "subj": self.ent_names[tj],
-                                "pred": "observed_via_tool",
-                                "obj": tname,
-                                "w": w,
-                            }
-                        )
-                        for tname, tj, w in rows_of
-                    ],
-                    ignore_index=True,
-                )
-            )
-        return pd.concat(frames, ignore_index=True) if len(frames) > 1 else co
+                tools.append((tname, tj, tw[tj]))
+        return ia, ja, w, tools
 
-    def _sparse(self, batch: pa.Table, parent: np.ndarray, tok: np.ndarray) -> pd.DataFrame:
+    def _sparse_ord(self, batch: pa.Table, parent: np.ndarray, tok: np.ndarray):
         """Sparse fallback for very large entity vocabularies: per-turn
-        distinct (row, ord) pairs, vectorized self-merge."""
+        distinct (row, ord) pairs, vectorized self-merge; RAW ordinals."""
         m = pd.DataFrame({"row": parent, "t": tok}).drop_duplicates()
         pairs = m.merge(m, on="row", suffixes=("_a", "_b"))
         pairs = pairs[pairs["t_a"] < pairs["t_b"]]
         co = pairs.groupby(["t_a", "t_b"], sort=False).size().reset_index(name="w")
-        co = pd.DataFrame(
-            {
-                "subj": self.ent_names[co["t_a"].to_numpy()],
-                "pred": "co_occurs",
-                "obj": self.ent_names[co["t_b"].to_numpy()],
-                "w": co["w"],
-            }
-        )
+        ia = co["t_a"].to_numpy(dtype=np.int64)
+        ja = co["t_b"].to_numpy(dtype=np.int64)
+        w = co["w"].to_numpy(dtype=np.int64)
         tool = np.asarray(batch["tool"].to_numpy(zero_copy_only=False), dtype=object)
+        tools = []
         mt = m[tool[m["row"].to_numpy()] != ""]
         if len(mt):
             mt = pd.DataFrame({"t": mt["t"].to_numpy(), "tool": tool[mt["row"].to_numpy()]})
-            tt = mt.groupby(["t", "tool"], sort=False).size().reset_index(name="w")
-            tt = pd.DataFrame(
-                {
-                    "subj": self.ent_names[tt["t"].to_numpy()],
-                    "pred": "observed_via_tool",
-                    "obj": tt["tool"],
-                    "w": tt["w"],
-                }
-            )
-            return pd.concat([co, tt], ignore_index=True)
-        return co
+            tt = mt.groupby(["tool", "t"], sort=False).size().reset_index(name="w")
+            for tname, g in tt.groupby("tool", sort=False):
+                tools.append(
+                    (tname, g["t"].to_numpy(dtype=np.int64), g["w"].to_numpy(dtype=np.int64))
+                )
+        return ia, ja, w, tools
 
 
 def extract_triples(

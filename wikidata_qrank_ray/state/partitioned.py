@@ -44,22 +44,26 @@ def run_partitioned(
     partitions: list[tuple[str, str]],
     fn: Callable[[str, str], int],
     extra_lineage: str = "",
+    full_listing: bool = True,
 ) -> dict:
     """Run ``fn(input_path, tmp_output_path) -> row_count`` once per
     (input_path, output_name) partition, in parallel Ray tasks, skipping
     partitions already committed with matching lineage. Returns the
-    partition manifest {output_name: {lineage, rows, wall_sec}}."""
+    partition manifest {output_name: {lineage, rows, wall_sec}}.
+
+    Contract: with ``full_listing=True`` (default), ``partitions`` is the
+    COMPLETE current partition list and committed outputs whose input no
+    longer appears are garbage-collected (a deleted/renamed input shard
+    must not leave its stale output silently included downstream --
+    reference version-GC stance, build.go:101-113). A caller submitting a
+    deliberate SUBSET (incremental drip of new shards) must pass
+    ``full_listing=False`` so untouched partitions are preserved."""
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_PARTITIONS.json")
     manifest = _load(manifest_path)
 
-    # GC: drop manifest entries (and their output shards) whose input
-    # partition no longer exists -- downstream stages read the whole output
-    # directory, so a deleted/renamed input must not leave its stale output
-    # silently included (mirrors the reference's version GC,
-    # build.go:101-113)
     current = {out_name for _, out_name in partitions}
-    stale_names = [k for k in manifest if k not in current]
+    stale_names = [k for k in manifest if k not in current] if full_listing else []
     for stale in stale_names:
         del manifest[stale]
         stale_path = os.path.join(out_dir, stale)
