@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--dir", required=True)
     g.add_argument("--keep", type=int, default=3)
 
+    q = sub.add_parser("query", help="run a registry query against an sf dir")
+    q.add_argument("name", nargs="?", default=None,
+                   help="query name (omit to list all)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None, help="write result parquet here")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.add_argument("--head", type=int, default=10)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gc":
@@ -62,6 +70,39 @@ def main(argv: list[str] | None = None) -> int:
         deleted = gc_versions(args.dir, keep=args.keep)
         print(json.dumps({"deleted": deleted}))
         return 0
+
+    if args.cmd == "query":
+        from .pipelines.queries import queries as all_queries
+
+        qs = all_queries()
+        if not args.name:
+            print(json.dumps(sorted(qs)))
+            return 0
+        if args.name not in qs:
+            print(json.dumps({"error": f"unknown query {args.name!r}"}))
+            return 2
+        ray = _init_ray(args.num_cpus)
+        try:
+            import pandas as pd
+            import pyarrow as pa
+            import ray.data as rd
+
+            res = qs[args.name](args.sf_dir)
+            if isinstance(res, rd.Dataset):
+                df = res.to_pandas()
+            elif isinstance(res, pa.Table):
+                df = res.to_pandas()
+            else:
+                df = res
+            if args.out:
+                df.to_parquet(args.out, index=False)
+            print(json.dumps({"query": args.name, "rows": len(df),
+                              "columns": list(map(str, df.columns))}))
+            with pd.option_context("display.width", 200):
+                print(df.head(args.head).to_string(index=False))
+            return 0
+        finally:
+            ray.shutdown()
 
     ray = _init_ray(args.num_cpus)
     try:

@@ -120,7 +120,7 @@ def run(
         def _norm_shard(input_path: str, tmp_out: str) -> int:
             t = pq.read_table(input_path)
             nt = _norm_full(t)
-            pq.write_table(nt, tmp_out)
+            pq.write_table(nt, tmp_out, compression="zstd")
             return nt.num_rows
 
         pm = run_partitioned(
@@ -139,7 +139,9 @@ def run(
     else:
 
         def write_norm(tmp: str) -> int:
-            normalize_stage(turns).write_parquet(tmp)
+            # zstd intermediates (the reference's compressed-intermediate
+            # choice under constrained I/O, doc/design.md:202-230)
+            normalize_stage(turns).write_parquet(tmp, compression="zstd")
             return _rows_in_dir(tmp)
 
         norm_path = ckpt.run_stage(
@@ -221,7 +223,8 @@ def run(
                 batch_format="pandas",
             )
             triples_ds.sort(["subj", "pred", "obj"]).write_parquet(
-                os.path.join(tmp, "triples"), partition_cols=["pred"]
+                os.path.join(tmp, "triples"), partition_cols=["pred"],
+                compression="zstd",
             )
             ranks_df = (
                 agg.map_batches(
@@ -247,7 +250,8 @@ def run(
             # downstream consumer can address predicates independently --
             # the resumable-output layout scaled down to this corpus
             ray.data.from_pandas(triples_df).write_parquet(
-                os.path.join(tmp, "triples"), partition_cols=["pred"]
+                os.path.join(tmp, "triples"), partition_cols=["pred"],
+                compression="zstd",
             )
             ranks_df = adf[is_cnt][["subj", "weight"]].rename(
                 columns={"subj": "qid", "weight": "mention_count"}
