@@ -100,3 +100,17 @@ def test_lenient_missing_required_and_bad_ts(tmp_path):
     assert str(bad_ts["ts"]) == "1970-01-01 00:00:00"
     frac = df[df["text"] == "bad turn"].iloc[0]
     assert str(frac["ts"]).startswith("2024-01-01 00:00:00")
+
+
+def test_lenient_numeric_conv_id_and_huge_turn_idx(tmp_path):
+    rows = [
+        {"conv_id": 123, "turn_idx": 4000000000, "text": "weird types"},
+        {"conv_id": 124, "turn_idx": 1, "text": "fine"},
+    ]
+    p = tmp_path / "types.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    df = read_jsonl_transcripts(str(p)).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert df["conv_id"].tolist() == ["123", "124"]   # numeric id -> string
+    assert df["turn_idx"].tolist() == [0, 1]           # overflow -> default, no wraparound

@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser("query", help="run a registry query against an sf dir")
     q.add_argument("name", nargs="?", default=None,
                    help="query name (omit to list all)")
-    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--sf-dir", required=True, help="directory with the parquet tables")
     q.add_argument("--out", default=None, help="write result parquet here")
     q.add_argument("--num-cpus", type=int, default=None)
     q.add_argument("--head", type=int, default=10)

@@ -173,37 +173,13 @@ def run(
     # to one row per batch -- stronger than reducer-side salting
     # (salted_rollup remains the documented skew path for pre-aggregated
     # inputs, stages/rank.py).
-    from ..stages.mentions import ELASTIC_MAX_SURFACES
-    from ..stages.triples import MENTIONS_PRED, TripleExtractor
-
-    def _extract(ds_in: ray.data.Dataset) -> ray.data.Dataset:
-        """Extractor execution tier by dictionary size: small -> prebuilt
-        instance on elastic tasks (no pool startup, scales to every CPU);
-        large -> actor pool built once per actor from broadcast refs
-        (never shipped per task)."""
-        if len(gaz) <= ELASTIC_MAX_SURFACES:
-            fn = TripleExtractor(
-                gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True
-            )
-            return ds_in.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
-        from ..context import pool_size
-
-        return ds_in.map_batches(
-            TripleExtractor,
-            fn_constructor_kwargs={
-                "gaz_ref": ray.put(gaz),
-                "text_col": "norm_text",
-                "mapping_ref": ray.put(mapping),
-                "emit_counts": True,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=pool_size(concurrency),
-        )
+    from ..stages.triples import MENTIONS_PRED, triple_partials
 
     def write_graph(tmp: str) -> int:
-        partial = _extract(
-            ray.data.read_parquet(norm_path, columns=["norm_text", "tool"])
+        partial = triple_partials(
+            ray.data.read_parquet(norm_path, columns=["norm_text", "tool"]),
+            gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True,
+            concurrency=concurrency, batch_size=batch_size,
         )
         distributed = len(gaz) > DRIVER_COMBINE_MAX_SURFACES
         if distributed:
@@ -319,7 +295,7 @@ def run_streaming(
     resume). Two passes over the input total: one to build the gazetteer
     dictionary, one fused extraction pass. Returns in-memory results
     (entity-space sized)."""
-    from ..stages.triples import MENTIONS_PRED, TripleExtractor
+    from ..stages.triples import MENTIONS_PRED, triple_partials
 
     # block count ~ 2x the worker slots: fewer, bigger blocks keep the
     # driver's per-task coordination (~10-30ms/task) off the critical path;
@@ -337,37 +313,17 @@ def run_streaming(
     aliases = build_aliases(gaz)
     mapping = resolve_aliases(aliases)
 
-    # extractor tier by dictionary size (mentions.ELASTIC_MAX_SURFACES):
-    # prebuilt instance on elastic tasks for small dictionaries, actor pool
-    # from broadcast refs for large ones (never shipped per task)
-    from ..stages.mentions import ELASTIC_MAX_SURFACES
-
-    extract_src = normalize_stage(
-        ray.data.read_parquet(
-            transcripts_path, columns=["text", "tool"], override_num_blocks=n_blocks
-        )
+    # extractor tier by dictionary size -- the shared dispatch in
+    # stages.triples.triple_partials (elastic instance vs actor pool)
+    partial = triple_partials(
+        normalize_stage(
+            ray.data.read_parquet(
+                transcripts_path, columns=["text", "tool"], override_num_blocks=n_blocks
+            )
+        ),
+        gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True,
+        concurrency=concurrency, batch_size=batch_size,
     )
-    if len(gaz) <= ELASTIC_MAX_SURFACES:
-        partial = extract_src.map_batches(
-            TripleExtractor(gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        )
-    else:
-        from ..context import pool_size
-
-        partial = extract_src.map_batches(
-            TripleExtractor,
-            fn_constructor_kwargs={
-                "gaz_ref": ray.put(gaz),
-                "text_col": "norm_text",
-                "mapping_ref": ray.put(mapping),
-                "emit_counts": True,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=pool_size(concurrency),
-        )
     # final combine: driver-side while the vocabulary is small, hash-
     # partitioned shuffle beyond DRIVER_COMBINE_MAX_SURFACES (auto)
     adf = _combine_triple_partials(partial, len(gaz)).rename(columns={"w": "weight"})

@@ -890,8 +890,8 @@ def q_purchases_within_week(sf_dir: str):
     """Range (interval) join: purchases falling in [signup_ts,
     signup_ts + 7d] for the same user, counted per signup. Co-partitioned
     searchsorted interval sweep (stages/join.bucketed_range_join); the
-    per-block grouped count is exact because the join co-locates whole
-    user key groups."""
+    per-block counts are PARTIALS finished by a keyed aggregate (Ray may
+    split an oversized partition output into several blocks)."""
     import pyarrow.compute as pc
 
     from ..stages.join import bucketed_range_join

@@ -43,14 +43,22 @@ def _coerce_transcripts(batch: pa.Table) -> pa.Table:
     def _str_col(name: str):
         if name not in names:
             return pa.array([""] * n, type=pa.string())
-        return pc.cast(pc.fill_null(batch[name], ""), pa.string())
+        col = batch[name]
+        try:
+            # cast first (numeric -> string succeeds), then fill nulls
+            return pc.fill_null(pc.cast(col, pa.string()), "")
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            vals = ["" if v is None else str(v) for v in col.to_pylist()]
+            return pa.array(vals, type=pa.string())
 
     cols["conv_id"] = _str_col("conv_id")
     if "turn_idx" in names:
         try:
             cols["turn_idx"] = pc.cast(pc.fill_null(batch["turn_idx"], 0), pa.int32())
-        except pa.ArrowInvalid:
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             ti = pd.to_numeric(batch["turn_idx"].to_pandas(), errors="coerce")
+            # out-of-range values coerce to the default (no int32 wraparound)
+            ti = ti.where((ti >= -(2 ** 31)) & (ti < 2 ** 31), 0)
             cols["turn_idx"] = pa.array(
                 ti.fillna(0).astype("int32").to_numpy(), type=pa.int32()
             )
@@ -59,21 +67,27 @@ def _coerce_transcripts(batch: pa.Table) -> pa.Table:
     cols["role"] = _str_col("role")
     cols["text"] = _str_col("text")
     cols["tool"] = _str_col("tool")
-    if "ts" in names:
-        ts = batch["ts"]
+
+    def _lenient_ts(ts) -> pa.Array:
         if pa.types.is_string(ts.type) or pa.types.is_large_string(ts.type):
             parsed = pd.to_datetime(ts.to_pandas(), errors="coerce", utc=True)
-            parsed = parsed.dt.tz_localize(None).fillna(pd.Timestamp(0))
-            cols["ts"] = pa.array(
-                parsed.astype("datetime64[us]").to_numpy(), type=pa.timestamp("us")
-            )
+            parsed = parsed.dt.tz_localize(None)
         else:
             try:
-                cols["ts"] = pc.cast(pc.fill_null(ts, 0), pa.timestamp("us"))
-            except pa.ArrowInvalid:
-                cols["ts"] = pa.array([0] * n, type=pa.timestamp("us"))
-    else:
-        cols["ts"] = pa.array([0] * n, type=pa.timestamp("us"))
+                return pc.cast(pc.fill_null(ts, 0), pa.timestamp("us"))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                # per-VALUE salvage (only offending values become epoch,
+                # valid timestamps in the batch survive)
+                parsed = pd.to_datetime(ts.to_pandas(), errors="coerce")
+        parsed = parsed.fillna(pd.Timestamp(0))
+        return pa.array(
+            parsed.astype("datetime64[us]").to_numpy(), type=pa.timestamp("us")
+        )
+
+    cols["ts"] = (
+        _lenient_ts(batch["ts"]) if "ts" in names
+        else pa.array([0] * n, type=pa.timestamp("us"))
+    )
     return pa.table(cols)
 
 

@@ -31,6 +31,20 @@ from .groupby import hash_partition_apply
 _SIDE = "__side__"
 
 
+def _restore_dtypes(df: pd.DataFrame, types: dict) -> pd.DataFrame:
+    """Undo the int->float upcast from typed-null padding, null-safely:
+    an integer column that (still) contains nulls -- genuine source nulls,
+    not padding -- stays float/NaN instead of crashing the cast."""
+    conv = {}
+    for c, t in types.items():
+        if c not in df.columns:
+            continue
+        if np.issubdtype(t, np.integer) and df[c].isna().any():
+            continue
+        conv[c] = t
+    return df.astype(conv)
+
+
 def bloom_semi_prefilter(
     ds: ray.data.Dataset,
     key: str,
@@ -196,8 +210,8 @@ def bucketed_hash_join(
         lf = part[part[_SIDE] == 0][merge_on + lcols]
         rf = part[part[_SIDE] == 1][merge_on + rcols]
         # restore dtypes lost to null padding (int -> float upcast)
-        lf = lf.astype({k: v for k, v in ltypes.items() if k in lf.columns})
-        rf = rf.astype({k: v for k, v in rtypes.items() if k in rf.columns})
+        lf = _restore_dtypes(lf, ltypes)
+        rf = _restore_dtypes(rf, rtypes)
         out = lf.merge(rf, on=merge_on, how=how)
         if salt_buckets > 1:
             out = out.drop(columns=["__salt__"])
@@ -277,9 +291,10 @@ def bucketed_range_join(
             if len(lf) == 0 or len(rf) == 0:
                 continue
             # restore dtypes lost to typed-null padding (int64 -> float64
-            # upcast would silently corrupt ids > 2^53 downstream)
-            lf = lf.astype(ltypes)
-            rf = rf.astype(rtypes)
+            # upcast would silently corrupt ids > 2^53 downstream);
+            # null-safe: columns with genuine nulls stay float
+            lf = _restore_dtypes(lf, ltypes)
+            rf = _restore_dtypes(rf, rtypes)
             lv = lf[on_left].to_numpy()
             order = np.argsort(lv, kind="mergesort")
             lv_s = lv[order]

@@ -201,6 +201,52 @@ class TripleExtractor(GazetteerMatcher):
         return ia, ja, w, tools
 
 
+def triple_partials(
+    turns: ray.data.Dataset,
+    gaz_ref,
+    text_col: str = "text",
+    mapping_ref=None,
+    emit_counts: bool = False,
+    concurrency: int = 4,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Per-batch (subj, pred, obj, w) triple partials with the execution
+    tier picked by dictionary size -- the ONE place the dispatch lives:
+    small gazetteer -> prebuilt extractor instance on elastic tasks (no
+    pool startup, scales to every CPU); large -> actor pool built once per
+    actor from broadcast refs (never shipped per task)."""
+    from .mentions import ELASTIC_MAX_SURFACES
+
+    gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
+    if len(gaz) <= ELASTIC_MAX_SURFACES:
+        mapping = (
+            ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef)
+            else mapping_ref
+        )
+        return turns.map_batches(
+            TripleExtractor(gaz, text_col=text_col, mapping_ref=mapping,
+                            emit_counts=emit_counts),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    if not isinstance(gaz_ref, ray.ObjectRef):
+        gaz_ref = ray.put(gaz_ref)
+    if mapping_ref is not None and not isinstance(mapping_ref, ray.ObjectRef):
+        mapping_ref = ray.put(mapping_ref)
+    return turns.map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs={
+            "gaz_ref": gaz_ref,
+            "text_col": text_col,
+            "mapping_ref": mapping_ref,
+            "emit_counts": emit_counts,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+    )
+
+
 def extract_triples(
     turns: ray.data.Dataset,
     gaz_ref,
@@ -214,24 +260,10 @@ def extract_triples(
     (links.go:60-77 semantics: duplicates collapse; self-links cannot occur
     by construction since subj ordinal < obj ordinal and tool names are not
     qids)."""
-    from .mentions import ELASTIC_MAX_SURFACES
-
-    gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
-    if len(gaz) <= ELASTIC_MAX_SURFACES:
-        # small dictionary: prebuilt extractor on elastic tasks
-        partial = turns.map_batches(
-            TripleExtractor(gaz, text_col=text_col),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        )
-    else:
-        partial = turns.map_batches(
-            TripleExtractor,
-            fn_constructor_kwargs={"gaz_ref": gaz_ref, "text_col": text_col},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=pool_size(concurrency),
-        )
+    partial = triple_partials(
+        turns, gaz_ref, text_col=text_col,
+        concurrency=concurrency, batch_size=batch_size,
+    )
     agg = partial.groupby(["subj", "pred", "obj"]).sum("w")
     return agg.map_batches(
         lambda t: t.rename_columns(["subj", "pred", "obj", "weight"]),
