@@ -288,6 +288,7 @@ def run_streaming(
     transcripts_path: str,
     concurrency: int = 8,
     batch_size: int = 32768,
+    gaz_top_n: int = 30,
 ) -> dict:
     """Fully streaming flagship: read -> normalize -> canonical triple +
     count extraction -> one groupby -> qrank order, with NO mid-pipeline
@@ -309,7 +310,7 @@ def run_streaming(
     )
     norm = normalize_stage(ds)
 
-    gaz = _gazetteer_from_turns(norm, text_col="norm_text")
+    gaz = _gazetteer_from_turns(norm, top_n=gaz_top_n, text_col="norm_text")
     aliases = build_aliases(gaz)
     mapping = resolve_aliases(aliases)
 
