@@ -104,3 +104,28 @@ def test_minhash_planted_dups_larger_corpus():
         assert got.get(dup) == base, (dup, base, got.get(dup))
     # no false clusters: only planted pairs + their bases appear
     assert set(got) <= set(planted) | set(planted.values())
+
+
+def test_minhash_cc_tiers_identical():
+    """Driver union-find tier == distributed star-contraction tier on a
+    corpus with multi-doc clusters (chained near-dups)."""
+    rng = np.random.default_rng(3)
+    texts = []
+    # 5 clusters of 4 chained variants + 10 unrelated docs
+    for c in range(5):
+        base = [f"c{c}w{i}" for i in range(60)]
+        for v in range(4):
+            t = list(base)
+            t[v] = f"var{v}"  # each variant differs in one token
+            texts.append(" ".join(t))
+    for u in range(10):
+        texts.append(" ".join(f"u{u}x{i}" for i in range(60)))
+    ds = _docs(texts)
+    drv = minhash_dedup(ds, threshold=0.7, concurrency=1, cc="driver")
+    dist = minhash_dedup(ds, threshold=0.7, concurrency=1, cc="distributed")
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dist.reset_index(drop=True)
+    )
+    # sanity: the 5 planted clusters actually collapsed
+    assert drv["dup_of"].nunique() == 5
+    assert len(drv) == 20

@@ -70,3 +70,81 @@ def test_pagerank_distributed_equals_driver():
     )
     assert driver["qid"].tolist() == dist["qid"].tolist()
     assert np.allclose(driver["pagerank"], dist["pagerank"], rtol=0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components
+# ---------------------------------------------------------------------------
+
+from wikidata_qrank_ray.stages.graph import connected_components
+
+
+def _uf_reference(edges: pd.DataFrame) -> pd.DataFrame:
+    """Driver union-find ground truth (same contract as stages/dedup.py)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["a"], edges["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    members = sorted({int(x) for x in edges["a"]} | {int(x) for x in edges["b"]})
+    return pd.DataFrame(
+        {"node": members, "rep": [find(m) for m in members]}, dtype=np.int64
+    )
+
+
+def _cc_df(edges: pd.DataFrame, num_partitions: int = 8) -> pd.DataFrame:
+    ds = ray.data.from_pandas(edges.astype(np.int64))
+    out = connected_components(ds, num_partitions=num_partitions).to_pandas()
+    return (
+        out.astype(np.int64)
+        .sort_values("node", kind="mergesort")
+        .reset_index(drop=True)[["node", "rep"]]
+    )
+
+
+def test_cc_random_graph_matches_union_find():
+    rng = np.random.default_rng(42)
+    edges = pd.DataFrame(
+        {"a": rng.integers(0, 200, 300), "b": rng.integers(0, 200, 300)}
+    )
+    edges = edges[edges["a"] != edges["b"]].reset_index(drop=True)
+    got = _cc_df(edges)
+    want = _uf_reference(edges)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_cc_long_chain():
+    """Path graphs are the worst case for naive min-propagation; the
+    star-contraction rounds must still converge to one component."""
+    n = 60
+    edges = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    got = _cc_df(edges)
+    assert (got["rep"] == 0).all()
+    assert list(got["node"]) == list(range(n))
+
+
+def test_cc_two_components_and_reversed_edges():
+    edges = pd.DataFrame(
+        {"a": [5, 3, 3, 20, 21], "b": [3, 4, 5, 21, 22]}
+    )
+    got = _cc_df(edges)
+    want = _uf_reference(edges)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_cc_empty():
+    edges = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64)})
+    out = connected_components(ray.data.from_pandas(edges))
+    assert out.count() == 0
+    # Dataset schema keeps the contract columns (Ray's to_pandas() drops
+    # columns for 0-row datasets, so assert on the schema)
+    assert out.schema().names == ["node", "rep"]

@@ -1296,6 +1296,25 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS with no LSH approximation anywhere: exact
+    shared-shingle Jaccard pairs as edges, then DISTRIBUTED connected
+    components (large-star/small-star contraction, stages/graph.py) --
+    nothing edge-count-scaled touches the driver. Deterministic end to end,
+    so the DuckDB oracle reproduces it with a recursive CTE
+    (min-label reachability) over the identical pair definition."""
+    from ..stages.dedup import exact_jaccard_pairs
+    from ..stages.graph import connected_components
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.map_batches(
+        lambda df: df.rename(columns={"node": "doc_id", "rep": "cluster_rep"}),
+        batch_format="pandas",
+    )
+
+
 def q_simhash(sf_dir: str):
     return simhash_signatures(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -1379,6 +1398,7 @@ def queries():
         "ann_lsh": q_ann_lsh,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -1809,6 +1829,36 @@ FROM inter i
 JOIN sizes sa ON i.a = sa.doc_id
 JOIN sizes sb ON i.b = sb.doc_id
 WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5""",
+        # exact-Jaccard edges (same definition as ngram_jaccard) + connected
+        # components via recursive min-label reachability; the Ray side runs
+        # the distributed star-contraction -- same fixpoint
+        "dedup_clusters": r"""
+WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+ds AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+pairs AS (
+  SELECT i.a AS a, i.b AS b
+  FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node""",
         "lang_id": _lang_id_sql(),
         "embedding_class": _classify_sql(),
         "ann_lsh": _ann_lsh_sql(),

@@ -97,11 +97,11 @@ def minhash_band_rows(sig_ds: ray.data.Dataset, bands: int, rows_per_band: int) 
     return sig_ds.map_batches(_explode, batch_format="pandas")
 
 
-def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> pd.DataFrame:
-    """(band_id, band_hash) buckets -> doc-id pairs. Bucket count ~= doc
-    count x bands (high cardinality), so buckets are co-located by a
-    hash-partitioned shuffle and paired with one vectorized sweep per
-    partition; only the (small) pair set reaches the driver.
+def lsh_candidate_pairs_ds(band_rows: ray.data.Dataset) -> ray.data.Dataset:
+    """(band_id, band_hash) buckets -> DISTINCT doc-id pair Dataset (a, b).
+    Bucket count ~= doc count x bands (high cardinality), so buckets are
+    co-located by a hash-partitioned shuffle and paired with one vectorized
+    sweep per partition; the pair set never leaves the object store.
 
     Each doc is paired with BOTH its bucket minimum and its sorted-order
     predecessor (still O(n) edges per bucket, not O(n^2)): min-edges alone
@@ -136,8 +136,12 @@ def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> pd.DataFrame:
         ["a", "b"],
         {"n": ("n", "sum")},
     )
-    df = deduped.map_batches(lambda d: d[["a", "b"]], batch_format="pandas").to_pandas()
-    return df.reset_index(drop=True)
+    return deduped.map_batches(lambda d: d[["a", "b"]], batch_format="pandas")
+
+
+def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> pd.DataFrame:
+    """Driver-side convenience wrapper around lsh_candidate_pairs_ds."""
+    return lsh_candidate_pairs_ds(band_rows).to_pandas().reset_index(drop=True)
 
 
 def _jaccard(t1: str, t2: str, k: int) -> float:
@@ -266,11 +270,20 @@ def minhash_dedup(
     shingle_k: int = 3,
     threshold: float = 0.8,
     concurrency: int = 4,
+    cc: str = "driver",
 ) -> pd.DataFrame:
     """Full MinHash-LSH near-dup pipeline -> (doc_id, dup_of) for every doc
     in a near-dup cluster (dup_of = smallest doc_id in the cluster;
     representatives map to themselves). Verification re-reads only candidate
-    docs' text (semi-join via broadcast id set)."""
+    docs' text (semi-join via broadcast id set).
+
+    ``cc`` selects the clustering tier over the verified edge set:
+    "driver" (default) runs path-compressed union-find on the driver --
+    right while edges fit in one process; "distributed" runs the
+    large-star/small-star contraction (stages/graph.connected_components),
+    the 100 TB path for dup-heavy corpora whose verified-pair set is itself
+    huge. Both tiers are output-identical (tests/test_dedup.py).
+    """
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
         MinHashSignatures,
@@ -278,10 +291,29 @@ def minhash_dedup(
         batch_format="pandas",
         concurrency=pool_size(concurrency),
     )
-    cand = lsh_candidate_pairs(minhash_band_rows(sigs, bands, rows_per_band))
-    if cand.empty:
-        return pd.DataFrame({"doc_id": [], "dup_of": []}, dtype=np.int64)
-    verified = verified_pairs(docs, cand, shingle_k, threshold)
+    # materialized: pair-set-sized in the object store; feeds the id-set
+    # aggregate AND both verify joins without re-executing the LSH chain
+    cand_ds = lsh_candidate_pairs_ds(
+        minhash_band_rows(sigs, bands, rows_per_band)
+    ).materialize()
+    n_cand = cand_ds.count()
+    empty = pd.DataFrame({"doc_id": [], "dup_of": []}, dtype=np.int64)
+    if n_cand == 0:
+        return empty
+    vp_ds = verified_pairs_ds(docs, cand_ds, n_cand, shingle_k, threshold)
+    if cc == "distributed":
+        from .graph import connected_components
+
+        comp = connected_components(vp_ds).to_pandas()
+        if comp.empty:
+            return empty
+        return (
+            comp.rename(columns={"node": "doc_id", "rep": "dup_of"})
+            .astype(np.int64)
+            .sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    verified = vp_ds.to_pandas().reset_index(drop=True)
     # union-find over the (small) verified edge set
     parent: dict[int, int] = {}
 
@@ -304,21 +336,39 @@ def minhash_dedup(
     )
 
 
-def verified_pairs(
-    docs: ray.data.Dataset, cand: pd.DataFrame, shingle_k: int, threshold: float
-) -> pd.DataFrame:
+def verified_pairs_ds(
+    docs: ray.data.Dataset,
+    cand_ds: ray.data.Dataset,
+    n_cand: int,
+    shingle_k: int,
+    threshold: float,
+) -> ray.data.Dataset:
     """Distributed candidate verification: broadcast the candidate doc-id
     set ONCE (ray.put -- never closure-captured per task), semi-filter the
     corpus to candidate docs, bucket-join the candidate PAIRS against the
     texts on each end, and verify with an exact shingle-set Jaccard inside
-    the co-located partitions. No driver-built text dict and nothing
-    doc-count-scaled on the driver -- the round-1 scale-killer
-    (driver-side per-pair loop over a dict of all candidate texts) is gone.
-    -> (a, b, jaccard) for candidate pairs with exact jaccard >= threshold.
+    the co-located partitions. No driver-built text dict; the only
+    driver-side object is the distinct candidate-id array (the broadcast
+    payload itself, aggregated distributedly first).
+    -> Dataset (a, b, jaccard) for candidate pairs with jaccard >= threshold.
     """
+    from .groupby import hash_partition_aggregate
     from .join import bucketed_hash_join
 
-    need = np.sort(np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])))
+    def _ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])}
+        )
+
+    ids = hash_partition_aggregate(
+        cand_ds.map_batches(_ids, batch_format="pandas").map_batches(
+            lambda d: d.assign(n=np.int64(1)), batch_format="pandas"
+        ),
+        ["doc_id"],
+        {"n": ("n", "sum")},
+        num_partitions=max(4, min(64, n_cand // 512)),
+    ).to_pandas()
+    need = np.sort(ids["doc_id"].to_numpy(dtype=np.int64))
     need_ref = ray.put(need)
 
     # elastic tasks, not an actor pool: this dataset feeds two join sides,
@@ -340,10 +390,10 @@ def verified_pairs(
         lambda df: df.rename(columns={"doc_id": "doc_id_b", "text": "text_b"}),
         batch_format="pandas",
     )
-    pairs = ray.data.from_pandas(cand[["a", "b"]].astype(np.int64))
+    pairs = cand_ds
     # partition count sized to the pair set: tiny candidate sets don't pay
     # for a 64-way sort; large ones still spread
-    parts = int(min(64, max(4, len(cand) // 512)))
+    parts = int(min(64, max(4, n_cand // 512)))
     j1 = bucketed_hash_join(pairs, texts_a, "a", "doc_id", num_partitions=parts)
     # pair-set-sized: materialize so the second join's schema probe and
     # execution don't re-run the first join's shuffle
@@ -370,7 +420,19 @@ def verified_pairs(
         )
         return out[jac >= threshold]
 
-    return j2.map_batches(_verify, batch_format="pandas").to_pandas().reset_index(drop=True)
+    return j2.map_batches(_verify, batch_format="pandas")
+
+
+def verified_pairs(
+    docs: ray.data.Dataset, cand: pd.DataFrame, shingle_k: int, threshold: float
+) -> pd.DataFrame:
+    """Driver-side convenience wrapper around verified_pairs_ds."""
+    cand_ds = ray.data.from_pandas(cand[["a", "b"]].astype(np.int64))
+    return (
+        verified_pairs_ds(docs, cand_ds, len(cand), shingle_k, threshold)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
 
 
 class SimHasher:

@@ -1,7 +1,17 @@
 """Iterative graph algorithms over the canonical co-occurrence edges --
 the genuinely non-SQL-expressible operator family (fixed-point iteration).
 
-Weighted PageRank with two execution tiers sharing one kernel:
+Two operators:
+
+- ``connected_components``: alternating large-star / small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+  over an edge Dataset -- the scale tier for clustering verified near-dup
+  pairs (stages/dedup.py) and redirect chains, replacing the driver-side
+  union-find when the edge set exceeds driver memory. Each round is one
+  hash-partitioned shuffle keyed by node; converges in O(log^2 n) rounds;
+  the driver sees only an (edge-count, checksum) scalar per round.
+
+- weighted PageRank with two execution tiers sharing one kernel:
 
 - driver tier: the aggregated edge list is entity-space-bounded (it is the
   OUTPUT of the canonical triple aggregation), so the power iteration runs
@@ -119,3 +129,136 @@ def pagerank_distributed(
             contrib += np.frombuffer(buf)
         r = (1.0 - damping) / n + damping * contrib
     return pd.DataFrame({"qid": names, "pagerank": r})
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components (alternating star contraction)
+# ---------------------------------------------------------------------------
+
+
+def _large_star_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One co-located partition of MIRRORED edges (u, v): for each node u,
+    connect every neighbor v > u to m = min(neighborhood ∪ {u})."""
+    gm = g.groupby("u", sort=False)["v"].transform("min").to_numpy()
+    u = g["u"].to_numpy()
+    v = g["v"].to_numpy()
+    m = np.minimum(gm, u)
+    mask = v > u
+    out = pd.DataFrame({"u": v[mask], "v": m[mask]})
+    return out[out["u"] != out["v"]].drop_duplicates()
+
+
+def _small_star_part(g: pd.DataFrame) -> pd.DataFrame:
+    """One co-located partition of (hi, lo)-ORIENTED edges keyed by hi: for
+    each node u, connect u and all smaller neighbors to
+    m = min(neighborhood ∪ {u}) (= min smaller neighbor)."""
+    u = g["u"].to_numpy()
+    v = g["v"].to_numpy()
+    m = g.groupby("u", sort=False)["v"].transform("min").to_numpy()
+    # (v, m) for each smaller neighbor, plus (u, m) once per group
+    first = np.zeros(len(g), dtype=bool)
+    if len(g):
+        order = np.argsort(u, kind="stable")
+        su = u[order]
+        head = np.ones(len(su), dtype=bool)
+        head[1:] = su[1:] != su[:-1]
+        first[order[head]] = True
+    out = pd.DataFrame(
+        {
+            "u": np.concatenate([v, u[first]]),
+            "v": np.concatenate([m, m[first]]),
+        }
+    )
+    return out[out["u"] != out["v"]].drop_duplicates()
+
+
+def _edge_checksum(edges: ray.data.Dataset) -> tuple[int, int]:
+    """(count, order-independent checksum) of the canonical (hi, lo) edge
+    multiset -- per-batch partials, one small driver sum."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        hi = np.maximum(df["u"].to_numpy(), df["v"].to_numpy()).astype(np.uint64)
+        lo = np.minimum(df["u"].to_numpy(), df["v"].to_numpy()).astype(np.uint64)
+        mix = (hi * np.uint64(0x9E3779B97F4A7C15)) ^ (lo + np.uint64(0xD1B54A32D192ED03))
+        mix ^= mix >> np.uint64(33)
+        mix *= np.uint64(0xFF51AFD7ED558CCD)
+        return pd.DataFrame({"n": [np.int64(len(df))], "h": [np.uint64(mix.sum())]})
+
+    parts = edges.map_batches(_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return 0, 0
+    return int(parts["n"].sum()), int(np.uint64(parts["h"].to_numpy().sum()))
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    num_partitions: int = 64,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Undirected edge Dataset (a:int64, b:int64) -> (node, rep) for every
+    node incident to an edge, rep = smallest node id in its component
+    (identical contract to the driver union-find in stages/dedup.py, which
+    remains the tier for edge sets that fit on the driver).
+
+    Alternating large-star / small-star: each round is ONE
+    hash-partition-by-node shuffle with a fully vectorized partition sweep;
+    the edge set provably shrinks toward the star fixpoint (every node
+    pointing at its component min) and nothing edge-count-scaled ever
+    reaches the driver. Rounds are materialized (edge-set-sized, object
+    store) so the convergence probe doesn't re-execute the chain.
+    """
+    from .groupby import hash_partition_apply
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"u": np.maximum(a, b), "v": np.minimum(a, b)})
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    cur = edges.map_batches(_canon, batch_format="pandas").materialize()
+    state = _edge_checksum(cur)
+    if state[0] == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                          "rep": pd.Series([], dtype=np.int64)})
+        )
+    for _ in range(max_iters):
+        # large-star over the mirrored neighborhood
+        def _mirror(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "u": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                    "v": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+                }
+            )
+
+        mirrored = cur.map_batches(_mirror, batch_format="pandas")
+        large = hash_partition_apply(mirrored, ["u"], _large_star_part, num_partitions)
+        # small-star over the (hi, lo) orientation (large-star emits (v, m)
+        # with v > m already, so rows are canonical)
+        cur = hash_partition_apply(
+            large, ["u"], _small_star_part, num_partitions
+        ).materialize()
+        new_state = _edge_checksum(cur)
+        if new_state == state:
+            break
+        state = new_state
+    # fixpoint edges are (node, rep); roots appear only as targets -> add
+    # the reflexive rows and dedup (a node reached from several partitions
+    # already collapsed during the star rounds)
+    from .groupby import hash_partition_aggregate
+
+    def _with_roots(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                "rep": np.concatenate([df["v"].to_numpy(), df["v"].to_numpy()]),
+            }
+        )
+
+    return hash_partition_aggregate(
+        cur.map_batches(_with_roots, batch_format="pandas"),
+        ["node"],
+        {"rep": ("rep", "min")},
+        num_partitions,
+    )
