@@ -129,3 +129,54 @@ def test_minhash_cc_tiers_identical():
     # sanity: the 5 planted clusters actually collapsed
     assert drv["dup_of"].nunique() == 5
     assert len(drv) == 20
+
+
+def test_popcount64_matches_python():
+    from wikidata_qrank_ray.functions.hashing import popcount64
+
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 2**63, 1000, dtype=np.int64).view(np.uint64)
+    xs[0] = np.uint64(0)
+    xs[1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    got = popcount64(xs)
+    want = [bin(int(x)).count("1") for x in xs]
+    assert got.tolist() == want
+
+
+def test_simhash_near_dup_pairs_matches_bruteforce():
+    """Banded (pigeonhole-lossless) pipeline == brute-force all-pairs
+    hamming over the same signatures, on a corpus with planted near-dups."""
+    from wikidata_qrank_ray.functions.hashing import popcount64
+    from wikidata_qrank_ray.stages.dedup import simhash_near_dup_pairs
+
+    texts = []
+    base = [f"tok{i}" for i in range(80)]
+    texts.append(" ".join(base))
+    v = list(base); v[3] = "CHANGED"          # near-dup of doc 0
+    texts.append(" ".join(v))
+    texts.append(" ".join(base))              # exact dup of doc 0 (hamming 0)
+    texts += [" ".join(f"z{j}w{i}" for i in range(80)) for j in range(5)]
+    ds = _docs(texts)
+    got = (
+        simhash_near_dup_pairs(ds, max_hamming=6, concurrency=1)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    sigs = (
+        __import__("wikidata_qrank_ray.stages.dedup", fromlist=["simhash_signatures"])
+        .simhash_signatures(ds, concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    sv = sigs["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+    rows = []
+    for i in range(len(sv)):
+        for j in range(i + 1, len(sv)):
+            h = int(popcount64(np.array([sv[i] ^ sv[j]], dtype=np.uint64))[0])
+            if h <= 6:
+                rows.append((i, j, h))
+    want = pd.DataFrame(rows, columns=["a", "b", "hamming"]).astype(np.int64)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want)
+    # the planted exact dup is at hamming 0
+    assert ((got["a"] == 0) & (got["b"] == 2) & (got["hamming"] == 0)).any()

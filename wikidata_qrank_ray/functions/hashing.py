@@ -181,3 +181,18 @@ def polyhash64(tokens: np.ndarray) -> np.ndarray:
             idx = starts[alive] + j
             h[alive] = h[alive] * _POLY_BASE + codes[idx]
     return h
+
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (numpy<2 has no bitwise_count):
+    four 16-bit table lookups. x: uint64 array -> int64 counts."""
+    x = x.astype(np.uint64, copy=False)
+    return (
+        _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+        + _POP16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((x >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.int64)]
+    )

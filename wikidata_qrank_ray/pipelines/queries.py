@@ -1319,6 +1319,18 @@ def q_simhash(sf_dir: str):
     return simhash_signatures(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_simhash_near_dups(sf_dir: str):
+    """All doc pairs within SimHash hamming distance 3 -- EXACT: 4x16-bit
+    band blocking is lossless for hamming < bands (pigeonhole), so the
+    banded distributed pipeline equals the oracle's brute-force all-pairs
+    hamming scan value-for-value."""
+    from ..stages.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3
+    )
+
+
 def q_lang_id(sf_dir: str):
     return lang_id(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -1400,6 +1412,7 @@ def queries():
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
     }
@@ -1895,6 +1908,38 @@ SELECT d.doc_id,
             WHEN s.s >= 9223372036854775808 THEN s.s - 18446744073709551616
             ELSE s.s END AS BIGINT) AS simhash
 FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id""",
+        # SimHash near-dup pairs: the oracle is the BRUTE-FORCE all-pairs
+        # hamming scan (bit_count of the signed-int64 xor == numpy popcount
+        # of the uint64 view) -- a pass proves the banded blocking lossless,
+        # not just self-consistent
+        "simhash_near_dups": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
+th AS (
+  SELECT doc_id,
+         list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(t, '')],
+                     (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) AS h
+  FROM tok),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (h // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM votes GROUP BY doc_id),
+sb AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN COALESCE(s.s, 0) >= 9223372036854775808
+                   THEN COALESCE(s.s, 0) - 18446744073709551616
+                   ELSE COALESCE(s.s, 0) END AS BIGINT) AS ss
+  FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id)
+SELECT a, b, hamming FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.ss, y.ss)) AS BIGINT) AS hamming
+  FROM sb x JOIN sb y ON x.doc_id < y.doc_id
+) WHERE hamming <= 3""",
         # ann_ivf (data-dependent k-means quantizer) / minhash_dedup
         # (LSH-blocked clustering) / approx_distinct_users (HLL estimate):
         # approximate by design -> rows-only here, value-checked against

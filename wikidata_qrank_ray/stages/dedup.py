@@ -470,3 +470,82 @@ def ngram_jaccard_pairs(
     a SQL oracle over the same shingle definition matches value-for-value.
     For blocking-based near-dup clustering use minhash_dedup instead."""
     return exact_jaccard_pairs(docs, shingle_k=shingle_k, threshold=threshold)
+
+
+def simhash_near_dup_pairs(
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    bands: int = 4,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """EXACT SimHash near-dup pairs -> (a, b, hamming) for every doc pair
+    with signature hamming distance <= max_hamming.
+
+    By pigeonhole, any pair within hamming ``max_hamming < bands`` agrees
+    exactly on at least one of the ``bands`` 16-bit signature bands, so
+    band-bucketing is a lossless blocking step, not an approximation --
+    the standard SimHash trick (Manku et al., WWW'07), and the reason this
+    operator gets a full value-exact SQL oracle while MinHash-LSH stays
+    rows-only. Skew: a band value shared by m docs generates O(m^2) pair
+    partials inside one partition (same bound and caveat as
+    exact_jaccard_pairs; near-identical corpora need an upstream cap).
+    """
+    assert max_hamming < bands * (64 // bands) and bands <= 8
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+    from ..functions.hashing import popcount64
+
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    sigs = simhash_signatures(docs, concurrency=concurrency)
+
+    def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sig = df["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        doc = df["doc_id"].to_numpy(dtype=np.int64)
+        n = len(df)
+        out = {
+            "band_id": np.repeat(np.arange(bands, dtype=np.int64), n),
+            "band_val": np.concatenate(
+                [((sig >> np.uint64(j * width)) & mask).view(np.int64) for j in range(bands)]
+            ),
+            "doc_id": np.tile(doc, bands),
+            "sig": np.tile(sig.view(np.int64), bands),
+        }
+        return pd.DataFrame(out)
+
+    band_rows = sigs.map_batches(_band_rows, batch_format="pandas")
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_val"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame(
+            {
+                "a": m["doc_id_x"].to_numpy(dtype=np.int64),
+                "b": m["doc_id_y"].to_numpy(dtype=np.int64),
+                "sig_a": m["sig_x"].to_numpy(dtype=np.int64),
+                "sig_b": m["sig_y"].to_numpy(dtype=np.int64),
+            }
+        ).drop_duplicates(["a", "b"])
+
+    pairs = hash_partition_apply(band_rows, ["band_id", "band_val"], _bucket_pairs)
+    # a pair sharing several bands arrives once per band: distributed dedup
+    # (sigs are constant per doc -> min is the identity)
+    deduped = hash_partition_aggregate(
+        pairs, ["a", "b"], {"sig_a": ("sig_a", "min"), "sig_b": ("sig_b", "min")}
+    )
+
+    def _hamming(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["sig_a"].to_numpy(dtype=np.int64).view(np.uint64) ^ df[
+            "sig_b"
+        ].to_numpy(dtype=np.int64).view(np.uint64)
+        h = popcount64(x)
+        out = pd.DataFrame(
+            {
+                "a": df["a"].to_numpy(dtype=np.int64),
+                "b": df["b"].to_numpy(dtype=np.int64),
+                "hamming": h,
+            }
+        )
+        return out[h <= max_hamming]
+
+    return deduped.map_batches(_hamming, batch_format="pandas")
