@@ -180,3 +180,49 @@ def test_simhash_near_dup_pairs_matches_bruteforce():
     pd.testing.assert_frame_equal(got.astype(np.int64), want)
     # the planted exact dup is at hamming 0
     assert ((got["a"] == 0) & (got["b"] == 2) & (got["hamming"] == 0)).any()
+
+
+def test_exact_jaccard_df_cutoff_caps_hot_shingles():
+    """A shingle present in EVERY doc (stopword prefix) is dropped by the
+    df cap; pairs are exact Jaccard over the reduced shingle space (sizes
+    recomputed after the drop)."""
+    from wikidata_qrank_ray.functions.hashing import shingles as mk_shingles
+    from wikidata_qrank_ray.stages.dedup import exact_jaccard_pairs, hot_shingles
+
+    prefix = "the of and"  # one ubiquitous shingle across all docs
+    texts = []
+    base = [f"w{i}" for i in range(20)]
+    texts.append(prefix + " " + " ".join(base))
+    v = list(base); v[5] = "CHANGED"
+    texts.append(prefix + " " + " ".join(v))
+    texts += [prefix + " " + " ".join(f"u{j}x{i}" for i in range(20)) for j in range(4)]
+    ds = _docs(texts)
+
+    hot = hot_shingles(ds, shingle_k=3, df_cutoff=3)
+    assert "the of and" in set(hot)
+
+    got = (
+        exact_jaccard_pairs(ds, shingle_k=3, threshold=0.3, df_cutoff=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # brute force over the reduced space
+    hot_set = set(hot)
+    sets = [
+        {s for s in mk_shingles(t.split(), 3) if s not in hot_set} for t in texts
+    ]
+    rows = []
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue
+            jac = inter / len(sets[i] | sets[j])
+            if jac >= 0.3:
+                rows.append((i, j, jac))
+    want = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    pd.testing.assert_frame_equal(
+        got.astype({"a": np.int64, "b": np.int64}), want.astype({"a": np.int64, "b": np.int64})
+    )
+    assert ((got["a"] == 0) & (got["b"] == 1)).any()  # planted pair survives

@@ -199,17 +199,56 @@ def _shingle_rows_batch(batch, k: int) -> pd.DataFrame:
     return out
 
 
-def shingle_rows(docs: ray.data.Dataset, shingle_k: int = 3) -> ray.data.Dataset:
+def shingle_rows(
+    docs: ray.data.Dataset, shingle_k: int = 3, hot_ref=None
+) -> ray.data.Dataset:
     """documents -> distinct (doc_id, s:str, sz:int64) token-k-shingle rows
-    (sz = the doc's distinct-shingle count, constant per doc)."""
-    return docs.map_batches(
-        lambda b, k=shingle_k: _shingle_rows_batch(b, k), batch_format="pyarrow"
+    (sz = the doc's distinct-shingle count, constant per doc).
+    ``hot_ref``: optional ``ray.put`` ObjectRef of a shingle ndarray to DROP
+    (document-frequency cap); sizes are recomputed AFTER the drop so
+    downstream Jaccard denominators stay consistent with the reduced
+    shingle space."""
+
+    def _batch(b, k=shingle_k, hot_ref=hot_ref) -> pd.DataFrame:
+        out = _shingle_rows_batch(b, k)
+        if hot_ref is not None:
+            hot = ray.get(hot_ref)
+            out = out[~out["s"].isin(hot)]
+            out = out.copy()
+            out["sz"] = (
+                out.groupby("doc_id", sort=False)["s"].transform("size").astype(np.int64)
+            )
+        return out
+
+    return docs.map_batches(_batch, batch_format="pyarrow")
+
+
+def hot_shingles(
+    docs: ray.data.Dataset, shingle_k: int, df_cutoff: int,
+    num_partitions: int = 64,
+) -> np.ndarray:
+    """Shingles whose document frequency exceeds ``df_cutoff`` -- the
+    broadcast payload for the skew cap. Distributed count (shingle rows are
+    distinct per doc, so df = row count per shingle); only the hot TAIL
+    (at most corpus_docs/df_cutoff values) reaches the driver."""
+    from .groupby import hash_partition_aggregate
+
+    sh = shingle_rows(docs, shingle_k)
+    df = hash_partition_aggregate(
+        sh.map_batches(lambda d: d[["s"]].assign(n=np.int64(1)), batch_format="pandas"),
+        ["s"],
+        {"n": ("n", "sum")},
+        num_partitions,
     )
+    hot = df.map_batches(
+        lambda d, c=df_cutoff: d[d["n"] > c][["s"]], batch_format="pandas"
+    ).to_pandas()
+    return hot["s"].to_numpy()
 
 
 def exact_jaccard_pairs(
     docs: ray.data.Dataset, shingle_k: int = 3, threshold: float = 0.5,
-    num_partitions: int = 64,
+    num_partitions: int = 64, df_cutoff: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT all-pairs token-k-gram Jaccard >= threshold -> (a, b, jaccard),
     with no LSH approximation and no driver-side loops: explode distinct
@@ -221,14 +260,22 @@ def exact_jaccard_pairs(
     Pairs with zero shared shingles (jaccard 0) never materialize anywhere.
     Only TWO shuffles total: shingle co-partition (pair partials, with both
     docs' set sizes riding along) and the (a, b) pair-count aggregate.
-    Skew caveat: a shingle shared by m docs contributes O(m^2) pair
-    partials; stopword-like shingles on a real corpus need a document-
-    frequency cap upstream (drop shingles with df > cutoff) which trades
-    exactness for a bound -- left to the caller so the oracle stays exact.
+    Skew: a shingle shared by m docs contributes O(m^2) pair partials.
+    ``df_cutoff`` caps m: shingles with document frequency > cutoff are
+    counted distributedly, broadcast once (``ray.put``; the hot tail is at
+    most docs/cutoff values), and dropped BEFORE pairing, with per-doc set
+    sizes recomputed on the reduced shingle space -- Jaccard is then exact
+    over that space (the standard stopword-cap tradeoff, stated rather than
+    hidden). The oracle query runs with df_cutoff=None (fully exact).
     """
     from .groupby import hash_partition_aggregate, hash_partition_apply
 
-    sh = shingle_rows(docs, shingle_k)
+    hot_ref = None
+    if df_cutoff is not None:
+        hot = hot_shingles(docs, shingle_k, df_cutoff, num_partitions)
+        if len(hot):
+            hot_ref = ray.put(hot)
+    sh = shingle_rows(docs, shingle_k, hot_ref)
 
     def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="s")
