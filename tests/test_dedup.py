@@ -226,3 +226,32 @@ def test_exact_jaccard_df_cutoff_caps_hot_shingles():
         got.astype({"a": np.int64, "b": np.int64}), want.astype({"a": np.int64, "b": np.int64})
     )
     assert ((got["a"] == 0) & (got["b"] == 1)).any()  # planted pair survives
+
+
+def test_verify_tiers_identical():
+    """Broadcast verify tier == bucket-join verify tier on the same
+    candidate set."""
+    from wikidata_qrank_ray.stages.dedup import (
+        MinHashSignatures, lsh_candidate_pairs_ds, minhash_band_rows,
+        verified_pairs_ds)
+    from wikidata_qrank_ray.context import pool_size
+
+    texts = []
+    base = [f"w{i}" for i in range(60)]
+    for v in range(4):
+        t = list(base); t[v] = f"var{v}"
+        texts.append(" ".join(t))
+    texts += [" ".join(f"u{u}x{i}" for i in range(60)) for u in range(6)]
+    ds = _docs(texts)
+    sigs = ds.map_batches(
+        MinHashSignatures, fn_constructor_kwargs={"num_perm": 64, "shingle_k": 3},
+        batch_format="pyarrow", concurrency=pool_size(1))
+    cand = lsh_candidate_pairs_ds(minhash_band_rows(sigs, 16, 4)).materialize()
+    n = cand.count()
+    assert n > 0
+    def run(limit):
+        return (
+            verified_pairs_ds(ds, cand, n, 3, 0.7, broadcast_max_bytes=limit)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(run(128 << 20), run(0))

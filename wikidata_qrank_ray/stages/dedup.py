@@ -17,12 +17,12 @@ results (candidate pairs, cluster edges) reach the driver.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-
-from ..context import pool_size
 
 from ..functions.hashing import (
     minhash_coeffs,
@@ -53,20 +53,48 @@ class _SigStage:
         self.num_perm = num_perm
 
 
+def _minhash_sig_batch(
+    batch: pa.Table, num_perm: int = 64, shingle_k: int = 3, seed: int = 7
+) -> pd.DataFrame:
+    """Fully vectorized MinHash signatures for one batch: Arrow whitespace
+    split + positional k-gram concat (_shingle_arrays), one hash pass, one
+    segmented min -- no per-document Python shingle loop. Coefficient state
+    is tiny + deterministic, so this runs as ELASTIC TASKS (per-process
+    coeff cache), not an actor pool -- the signature stage scales to every
+    CPU instead of a reserved pool (BASELINE.md engine lesson)."""
+    a, b = _cached_minhash_coeffs(num_perm, seed)
+    sh, pos = _shingle_arrays(batch, shingle_k)
+    n = batch.num_rows
+    if len(sh):
+        hashes = stable_hash64(sh)
+        order = np.argsort(pos, kind="stable")
+        hashes = hashes[order]
+        counts = np.bincount(pos, minlength=n)
+    else:
+        hashes = np.array([], dtype=np.uint64)
+        counts = np.zeros(n, dtype=np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    sigs = minhash_signatures_batch(hashes, starts, a, b)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(),
+            "sig": [s.astype(np.int64).tobytes() for s in sigs],
+        }
+    )
+
+
+@_lru_cache(maxsize=8)
+def _cached_minhash_coeffs(num_perm: int, seed: int):
+    return minhash_coeffs(num_perm, seed)
+
+
 class MinHashSignatures(_SigStage):
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # batched: one vectorized hash of every shingle in the batch, one
-        # segmented min -- no per-document numpy round trips
-        all_sh: list[str] = []
-        starts = np.empty(len(batch), dtype=np.int64)
-        for i, text in enumerate(batch["text"]):
-            starts[i] = len(all_sh)
-            all_sh.extend(shingles(text.split(), self.k))
-        hashes = stable_hash64(all_sh) if all_sh else np.array([], dtype=np.uint64)
-        sigs = minhash_signatures_batch(hashes, starts, self.a, self.b)
-        out = batch[["doc_id"]].copy()
-        out["sig"] = [s.astype(np.int64).tobytes() for s in sigs]
-        return out
+    """Actor-pool wrapper kept for API compatibility; the elastic
+    ``_minhash_sig_batch`` is the default execution tier."""
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        return _minhash_sig_batch(batch, self.num_perm, self.k)
 
 
 def minhash_band_rows(sig_ds: ray.data.Dataset, bands: int, rows_per_band: int) -> ray.data.Dataset:
@@ -156,11 +184,12 @@ def _jaccard(t1: str, t2: str, k: int) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _shingle_rows_batch(batch, k: int) -> pd.DataFrame:
-    """One batch of docs -> distinct (doc_id, s) shingle rows, fully
-    vectorized: Arrow whitespace split, positional k-gram join via numpy
-    object concat, per-doc whole-text fallback for short docs
-    (matching functions.hashing.shingles semantics exactly)."""
+def _shingle_arrays(batch, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """One batch of docs -> (shingle_strings, batch_row_index) for EVERY
+    token k-gram (multiset; duplicates kept), fully vectorized: Arrow
+    whitespace split, positional k-gram join via numpy object concat,
+    per-doc whole-text fallback for short docs (matching
+    functions.hashing.shingles semantics exactly)."""
     import pyarrow.compute as pc
 
     text = batch["text"]
@@ -172,7 +201,6 @@ def _shingle_rows_batch(batch, k: int) -> pd.DataFrame:
     flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
     parent = pc.list_parent_indices(parts).to_numpy()
     n = batch.num_rows
-    doc_ids = batch["doc_id"].to_numpy()
     counts = np.bincount(parent, minlength=n)
     starts = np.zeros(n, dtype=np.int64)
     starts[1:] = np.cumsum(counts)[:-1]
@@ -184,13 +212,21 @@ def _shingle_rows_batch(batch, k: int) -> pd.DataFrame:
     for j in range(1, k):
         sh = sh + " "
         sh = sh + flat[base + j]
-    out_doc = doc_ids[parent[base]] if len(base) else np.array([], dtype=np.int64)
+    out_pos = parent[base] if len(base) else np.array([], dtype=np.int64)
     # short docs (1..k-1 tokens): the whole text joined is the one shingle
     short = np.nonzero((counts > 0) & (counts < k))[0]
     if len(short):
         joined = pc.binary_join(parts, " ").to_numpy(zero_copy_only=False)
         sh = np.concatenate([sh, joined[short]])
-        out_doc = np.concatenate([out_doc, doc_ids[short]])
+        out_pos = np.concatenate([out_pos, short])
+    return sh, out_pos.astype(np.int64)
+
+
+def _shingle_rows_batch(batch, k: int) -> pd.DataFrame:
+    """One batch of docs -> DISTINCT (doc_id, s, sz) shingle rows."""
+    sh, pos = _shingle_arrays(batch, k)
+    doc_ids = batch["doc_id"].to_numpy()
+    out_doc = doc_ids[pos] if len(pos) else np.array([], dtype=np.int64)
     out = pd.DataFrame({"doc_id": out_doc, "s": sh}).drop_duplicates()
     # each doc lives entirely in one batch, so the per-doc distinct-shingle
     # SIZE is exact here; riding it on every row lets the pair stage carry
@@ -333,10 +369,9 @@ def minhash_dedup(
     """
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pandas",
-        concurrency=pool_size(concurrency),
+        _minhash_sig_batch,
+        fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
     )
     # materialized: pair-set-sized in the object store; feeds the id-set
     # aggregate AND both verify joins without re-executing the LSH chain
@@ -389,33 +424,41 @@ def verified_pairs_ds(
     n_cand: int,
     shingle_k: int,
     threshold: float,
+    broadcast_max_bytes: int = 128 << 20,
 ) -> ray.data.Dataset:
     """Distributed candidate verification: broadcast the candidate doc-id
     set ONCE (ray.put -- never closure-captured per task), semi-filter the
-    corpus to candidate docs, bucket-join the candidate PAIRS against the
-    texts on each end, and verify with an exact shingle-set Jaccard inside
-    the co-located partitions. No driver-built text dict; the only
-    driver-side object is the distinct candidate-id array (the broadcast
-    payload itself, aggregated distributedly first).
-    -> Dataset (a, b, jaccard) for candidate pairs with jaccard >= threshold.
+    corpus to candidate docs, then verify candidate pairs with an exact
+    shingle-set Jaccard in one of two tiers:
+
+    - broadcast tier (candidate-text subset <= ``broadcast_max_bytes``,
+      the common case -- the subset is dup-rate-bounded, not corpus-
+      bounded): ship the texts once via ``ray.put`` and verify with a
+      single shuffle-free map over the pair Dataset;
+    - join tier (dup-heavy corpora): bucket-join the pairs against the
+      texts on each end and verify inside the co-located partitions --
+      nothing text-sized is ever broadcast.
+
+    The only driver-side objects are the distinct candidate-id array and
+    (broadcast tier only) the size-gated text subset -- both ARE the
+    broadcast payloads. -> Dataset (a, b, jaccard), jaccard >= threshold.
     """
-    from .groupby import hash_partition_aggregate
     from .join import bucketed_hash_join
 
+    # distinct candidate ids: per-batch partial unique -> driver union.
+    # No shuffle -- partials are batch-distinct-bounded and the final array
+    # is the broadcast payload itself, which must reach the driver anyway.
     def _ids(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_id": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])}
+            {
+                "doc_id": np.unique(
+                    np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
+                )
+            }
         )
 
-    ids = hash_partition_aggregate(
-        cand_ds.map_batches(_ids, batch_format="pandas").map_batches(
-            lambda d: d.assign(n=np.int64(1)), batch_format="pandas"
-        ),
-        ["doc_id"],
-        {"n": ("n", "sum")},
-        num_partitions=max(4, min(64, n_cand // 512)),
-    ).to_pandas()
-    need = np.sort(ids["doc_id"].to_numpy(dtype=np.int64))
+    ids = cand_ds.map_batches(_ids, batch_format="pandas").to_pandas()
+    need = np.unique(ids["doc_id"].to_numpy(dtype=np.int64))
     need_ref = ray.put(need)
 
     # elastic tasks, not an actor pool: this dataset feeds two join sides,
@@ -430,6 +473,39 @@ def verified_pairs_ds(
     # candidate set, lives in the object store): both join sides and their
     # schema fetches would otherwise each re-run the corpus filter pass
     sub = docs.map_batches(_cand_filter, batch_format="pandas").materialize()
+
+    if sub.size_bytes() <= broadcast_max_bytes:
+        # broadcast tier: one ray.put of the size-gated text subset, one
+        # shuffle-free vectorized-lookup map over the pair Dataset
+        texts_df = sub.to_pandas()
+        text_ref = ray.put(
+            pd.Series(
+                texts_df["text"].to_numpy(), index=texts_df["doc_id"].to_numpy()
+            )
+        )
+
+        def _verify_bcast(
+            df: pd.DataFrame, text_ref=text_ref, k=shingle_k, thr=threshold
+        ) -> pd.DataFrame:
+            s = ray.get(text_ref)
+            ta = s.reindex(df["a"].to_numpy()).to_numpy()
+            tb = s.reindex(df["b"].to_numpy()).to_numpy()
+            jac = np.fromiter(
+                (_jaccard(x, y, k) for x, y in zip(ta, tb)),
+                dtype=np.float64,
+                count=len(df),
+            )
+            out = pd.DataFrame(
+                {
+                    "a": df["a"].to_numpy(dtype=np.int64),
+                    "b": df["b"].to_numpy(dtype=np.int64),
+                    "jaccard": jac,
+                }
+            )
+            return out[jac >= thr]
+
+        return cand_ds.map_batches(_verify_bcast, batch_format="pandas")
+
     texts_a = sub.map_batches(
         lambda df: df.rename(columns={"text": "text_a"}), batch_format="pandas"
     )
@@ -482,31 +558,50 @@ def verified_pairs(
     )
 
 
-class SimHasher:
+def _simhash_batch(batch: pa.Table) -> pd.DataFrame:
     """Token hash = seedless codepoint-polynomial (functions.hashing.polyhash64)
     so the DuckDB oracle can recompute the identical 64-bit signature
-    (HUGEINT list_reduce per token + per-bit vote aggregate)."""
+    (HUGEINT list_reduce per token + per-bit vote aggregate). Tokenization
+    is the Arrow whitespace split (same \\S+ semantics as the oracle's
+    regexp_extract_all); the whole batch is one flat token array + one
+    segmented bit-vote -- no per-row Python."""
+    import pyarrow.compute as pc
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.hashing import polyhash64
+    from ..functions.hashing import polyhash64
 
-        all_t: list[str] = []
-        starts = np.empty(len(batch), dtype=np.int64)
-        for i, t in enumerate(batch["text"]):
-            starts[i] = len(all_t)
-            all_t.extend(t.split())
-        hashes = polyhash64(np.array(all_t, dtype=object))
-        sigs = simhash64_batch(hashes, starts)
-        out = batch[["doc_id"]].copy()
-        out["simhash"] = sigs.view(np.int64)
-        return out
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    parts = pc.ascii_split_whitespace(pc.fill_null(text, ""))
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(parts).to_numpy()
+    n = batch.num_rows
+    counts = np.bincount(parent, minlength=n)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    hashes = polyhash64(flat)
+    sigs = simhash64_batch(hashes, starts)
+    return pd.DataFrame(
+        {"doc_id": batch["doc_id"].to_numpy(), "simhash": sigs.view(np.int64)}
+    )
+
+
+class SimHasher:
+    """Actor-pool wrapper kept for API compatibility; the elastic
+    ``_simhash_batch`` is the default execution tier."""
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        return _simhash_batch(batch)
 
 
 def simhash_signatures(docs: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
     """(doc_id, simhash:int64) -- bucket-by-signature gives hamming-0
-    near-dup groups; split into 4x16-bit bands and groupby each for
-    hamming<=3 candidate generation (standard SimHash trick)."""
-    return docs.map_batches(SimHasher, batch_format="pandas", concurrency=pool_size(concurrency))
+    near-dup groups; simhash_near_dup_pairs does hamming<=k via lossless
+    16-bit band blocking. Stateless + vectorized -> elastic tasks (all
+    CPUs), no actor pool; ``concurrency`` kept for API compatibility."""
+    return docs.map_batches(_simhash_batch, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(
