@@ -192,7 +192,7 @@ def _edge_checksum(edges: ray.data.Dataset) -> tuple[int, int]:
 
 def connected_components(
     edges: ray.data.Dataset,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     max_iters: int = 50,
 ) -> ray.data.Dataset:
     """Undirected edge Dataset (a:int64, b:int64) -> (node, rep) for every
@@ -222,6 +222,11 @@ def connected_components(
             pd.DataFrame({"node": pd.Series([], dtype=np.int64),
                           "rep": pd.Series([], dtype=np.int64)})
         )
+    if num_partitions is None:
+        # partition width sized to the edge set (the count is free -- the
+        # convergence probe already computed it): small graphs don't pay a
+        # 64-way sort per round, big ones still spread
+        num_partitions = int(min(64, max(4, state[0] // 4096)))
     for _ in range(max_iters):
         # large-star over the mirrored neighborhood
         def _mirror(df: pd.DataFrame) -> pd.DataFrame:
