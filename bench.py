@@ -50,6 +50,8 @@ QUERY_NAMES = [
     "customer_order_counts",
     "top_part_per_brand",
     "ngram_jaccard",
+    "dedup_clusters",
+    "simhash_near_dups",
     "dedup_exact",
     "token_counts",
     "quality_scores",
