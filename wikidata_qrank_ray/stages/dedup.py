@@ -156,13 +156,16 @@ def lsh_candidate_pairs_ds(band_rows: ray.data.Dataset) -> ray.data.Dataset:
     # bounded by distinct candidate pairs, not band hits
     from .groupby import hash_partition_aggregate
 
-    pairs = hash_partition_apply(band_rows, ["band_id", "band_hash"], _pairs_part)
+    pairs = hash_partition_apply(
+        band_rows, ["band_id", "band_hash"], _pairs_part, stamp_batch_size=None
+    )
     deduped = hash_partition_aggregate(
         pairs.map_batches(
             lambda df: df.assign(n=np.int64(1)), batch_format="pandas"
         ),
         ["a", "b"],
         {"n": ("n", "sum")},
+        stamp_batch_size=None,
     )
     return deduped.map_batches(lambda d: d[["a", "b"]], batch_format="pandas")
 
@@ -275,6 +278,7 @@ def hot_shingles(
         ["s"],
         {"n": ("n", "sum")},
         num_partitions,
+        stamp_batch_size=None,
     )
     hot = df.map_batches(
         lambda d, c=df_cutoff: d[d["n"] > c][["s"]], batch_format="pandas"
@@ -321,12 +325,15 @@ def exact_jaccard_pairs(
         )
         return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
 
-    pair_partials = hash_partition_apply(sh, ["s"], _pair_partials, num_partitions)
+    pair_partials = hash_partition_apply(
+        sh, ["s"], _pair_partials, num_partitions, stamp_batch_size=None
+    )
     inter = hash_partition_aggregate(
         pair_partials,
         ["a", "b"],
         {"i": ("i", "sum"), "sz_a": ("sz_a", "min"), "sz_b": ("sz_b", "min")},
         num_partitions,
+        stamp_batch_size=None,
     )
 
     def _finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -669,11 +676,16 @@ def simhash_near_dup_pairs(
             }
         ).drop_duplicates(["a", "b"])
 
-    pairs = hash_partition_apply(band_rows, ["band_id", "band_val"], _bucket_pairs)
+    pairs = hash_partition_apply(
+        band_rows, ["band_id", "band_val"], _bucket_pairs, stamp_batch_size=None
+    )
     # a pair sharing several bands arrives once per band: distributed dedup
     # (sigs are constant per doc -> min is the identity)
     deduped = hash_partition_aggregate(
-        pairs, ["a", "b"], {"sig_a": ("sig_a", "min"), "sig_b": ("sig_b", "min")}
+        pairs,
+        ["a", "b"],
+        {"sig_a": ("sig_a", "min"), "sig_b": ("sig_b", "min")},
+        stamp_batch_size=None,
     )
 
     def _hamming(df: pd.DataFrame) -> pd.DataFrame:

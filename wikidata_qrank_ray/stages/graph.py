@@ -238,11 +238,13 @@ def connected_components(
             )
 
         mirrored = cur.map_batches(_mirror, batch_format="pandas")
-        large = hash_partition_apply(mirrored, ["u"], _large_star_part, num_partitions)
+        large = hash_partition_apply(
+            mirrored, ["u"], _large_star_part, num_partitions, stamp_batch_size=None
+        )
         # small-star over the (hi, lo) orientation (large-star emits (v, m)
         # with v > m already, so rows are canonical)
         cur = hash_partition_apply(
-            large, ["u"], _small_star_part, num_partitions
+            large, ["u"], _small_star_part, num_partitions, stamp_batch_size=None
         ).materialize()
         new_state = _edge_checksum(cur)
         if new_state == state:
@@ -266,4 +268,5 @@ def connected_components(
         ["node"],
         {"rep": ("rep", "min")},
         num_partitions,
+        stamp_batch_size=None,
     )

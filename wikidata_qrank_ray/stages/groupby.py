@@ -61,12 +61,20 @@ def hash_partition_aggregate(
     agg: dict[str, tuple[str, str]],
     num_partitions: int = 64,
     partial: bool = True,
+    stamp_batch_size: int | None = 65536,
 ) -> ray.data.Dataset:
     """Exact grouped aggregate for high-cardinality keys.
 
     ``agg``: output_col -> (input_col, how) with how in
     {"sum", "count", "min", "max"}. Count/sum compose across the partial
     phase (count becomes sum of partial counts).
+
+    ``stamp_batch_size``: bundling width of the partition-stamp stage.
+    The 65536 default amortizes per-task overhead on row-heavy inputs
+    (events/lineitem scale). Pass None when the upstream map EXPLODES a
+    small table (shingles, band rows): the stamp's bundling is computed on
+    the pre-explosion row count, so a 5k-doc table would otherwise bundle
+    into ONE task and serialize the whole fused explode pipeline.
 
     Arrow-native end to end: partial and final phases run as
     pyarrow.TableGroupBy (Acero) over zero-copy blocks, and only the key
@@ -91,7 +99,9 @@ def hash_partition_aggregate(
     stage = ds
     if partial:
         stage = stage.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
-    stage = stage.map_batches(_add_part, batch_format="pyarrow", batch_size=65536)
+    stage = stage.map_batches(
+        _add_part, batch_format="pyarrow", batch_size=stamp_batch_size
+    )
     return stage.groupby("part").map_groups(_final, batch_format="pyarrow")
 
 
@@ -100,12 +110,15 @@ def hash_partition_apply(
     keys: list[str],
     part_fn,
     num_partitions: int = 64,
+    stamp_batch_size: int | None = 65536,
 ) -> ray.data.Dataset:
     """Co-locate all rows of each key into one partition (shuffle by the
     LOW-cardinality hashed partition id) and apply ``part_fn`` to each whole
     partition DataFrame. ``part_fn`` must be a vectorized sweep that handles
     multiple keys at once -- this is the workhorse for windowing /
-    sessionization / bucket joins at high key cardinality."""
+    sessionization / bucket joins at high key cardinality.
+    ``stamp_batch_size``: see hash_partition_aggregate (None for explosive
+    upstream maps over small tables)."""
 
     def _add_part(t: pa.Table) -> pa.Table:
         # partition id computed from the KEY columns only; value columns
@@ -116,7 +129,9 @@ def hash_partition_apply(
     def _per_part(part_df: pd.DataFrame) -> pd.DataFrame:
         return part_fn(part_df.drop(columns=["part"]))
 
-    staged = ds.map_batches(_add_part, batch_format="pyarrow", batch_size=65536)
+    staged = ds.map_batches(
+        _add_part, batch_format="pyarrow", batch_size=stamp_batch_size
+    )
     return staged.groupby("part").map_groups(_per_part, batch_format="pandas")
 
 
