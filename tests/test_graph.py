@@ -148,3 +148,19 @@ def test_cc_empty():
     # Dataset schema keeps the contract columns (Ray's to_pandas() drops
     # columns for 0-row datasets, so assert on the schema)
     assert out.schema().names == ["node", "rep"]
+
+
+def test_cc_property_random_graphs():
+    """Distributed star contraction == union-find across random graph
+    shapes (sparse, supercritical, dense-small) and seeds."""
+    for seed, n_nodes, n_edges in [(0, 50, 20), (1, 80, 80), (2, 30, 200), (3, 120, 60)]:
+        rng = np.random.default_rng(seed)
+        edges = pd.DataFrame(
+            {"a": rng.integers(0, n_nodes, n_edges), "b": rng.integers(0, n_nodes, n_edges)}
+        )
+        edges = edges[edges["a"] != edges["b"]].reset_index(drop=True)
+        if edges.empty:
+            continue
+        got = _cc_df(edges, num_partitions=4)
+        want = _uf_reference(edges)
+        pd.testing.assert_frame_equal(got, want, obj=f"seed={seed}")

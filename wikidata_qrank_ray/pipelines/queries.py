@@ -414,33 +414,30 @@ def q_pricing_summary(sf_dir: str):
     return df
 
 
-class _SegmentRevenue:
-    """Actor-pool stage: the semi-join key set (orders of BUILDING-segment
-    customers) is broadcast once and deserialized once per actor in
-    __init__ (sorted array + searchsorted membership), never per batch."""
-
-    def __init__(self, keys_ref):
-        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        self.keys = np.sort(np.asarray(keys, dtype=np.int64))
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ok = batch["l_orderkey"].to_numpy()
-        if len(self.keys) == 0:
-            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
-                                 "revenue_c4": pd.Series([], dtype=np.int64)})
-        pos = np.searchsorted(self.keys, ok)
-        pos[pos == len(self.keys)] = 0
-        mask = self.keys[pos] == ok
-        b = batch[mask]
-        price_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc_c = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
-        out = pd.DataFrame(
-            {
-                "o_orderkey": b["l_orderkey"],
-                "revenue_c4": price_c * (100 - disc_c),
-            }
-        )
-        return out.groupby("o_orderkey", as_index=False)["revenue_c4"].sum()
+def _segment_revenue_batch(batch: pd.DataFrame, keys_ref=None) -> pd.DataFrame:
+    """Elastic semi-join + exact partial revenue: the key set (orders of
+    BUILDING-segment customers) is PRE-SORTED on the driver and broadcast
+    once via ray.put; each task's ray.get is a zero-copy local object-store
+    read, so there is no per-actor state worth a reserved pool -- elastic
+    tasks scale the lineitem scan to every CPU."""
+    keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+    ok = batch["l_orderkey"].to_numpy()
+    if len(keys) == 0:
+        return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                             "revenue_c4": pd.Series([], dtype=np.int64)})
+    pos = np.searchsorted(keys, ok)
+    pos[pos == len(keys)] = 0
+    mask = keys[pos] == ok
+    b = batch[mask]
+    price_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    disc_c = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "o_orderkey": b["l_orderkey"],
+            "revenue_c4": price_c * (100 - disc_c),
+        }
+    )
+    return out.groupby("o_orderkey", as_index=False)["revenue_c4"].sum()
 
 
 def q_top_orders_by_revenue(sf_dir: str):
@@ -452,15 +449,14 @@ def q_top_orders_by_revenue(sf_dir: str):
     keep_cust = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
     keep_orders = orders.loc[orders["o_custkey"].isin(keep_cust), "o_orderkey"].to_numpy()
-    keys_ref = ray.put(keep_orders)
+    keys_ref = ray.put(np.sort(keep_orders.astype(np.int64)))
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     partial = li.map_batches(
-        _SegmentRevenue,
-        fn_constructor_kwargs={"keys_ref": keys_ref},
+        _segment_revenue_batch,
+        fn_kwargs={"keys_ref": keys_ref},
         batch_format="pandas",
         batch_size=65536,
-        concurrency=pool_size(4),
     )
     agg = hash_partition_aggregate(
         partial, ["o_orderkey"], {"revenue_c4": ("revenue_c4", "sum")}, partial=False
