@@ -255,3 +255,49 @@ def test_verify_tiers_identical():
             .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(run(128 << 20), run(0))
+
+
+def test_incremental_minhash_index(tmp_path):
+    """Build index on corpus A; increments find near-dups against A and
+    within the increment; a second increment sees docs appended by the
+    first; non-dups stay absent."""
+    from wikidata_qrank_ray.stages.dedup import (
+        incremental_minhash_dedup, write_minhash_index)
+
+    def docs_with_ids(pairs):
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([i for i, _ in pairs], type=pa.int64()),
+            "text": [t for _, t in pairs]}))
+
+    base = [f"w{i}" for i in range(60)]
+    a_doc = " ".join(base)
+    idx = str(tmp_path / "minhash_index")
+    corpus_a = [(0, a_doc)] + [
+        (i, " ".join(f"a{i}x{j}" for j in range(60))) for i in range(1, 6)
+    ]
+    write_minhash_index(docs_with_ids(corpus_a), idx)
+
+    # increment B: near-dup of A doc 0, an internal B near-dup pair, uniques
+    v = list(base); v[3] = "CHANGED"
+    b_near_a = " ".join(v)
+    b_pair_1 = " ".join(f"b{j}" for j in range(60))
+    w = [f"b{j}" for j in range(60)]; w[7] = "EDIT"
+    b_pair_2 = " ".join(w)
+    corpus_b = [(100, b_near_a), (101, b_pair_1), (102, b_pair_2),
+                (103, " ".join(f"u{j}" for j in range(60)))]
+    out = incremental_minhash_dedup(docs_with_ids(corpus_b), idx, threshold=0.7)
+    got = dict(zip(out["doc_id"], out["dup_of"]))
+    assert got.get(100) == 0          # links to the INDEXED doc
+    assert got.get(102) == 101        # internal increment pair
+    assert 103 not in got             # unique stays out
+    assert 0 not in got and 1 not in got  # old docs never re-emitted
+
+    # increment C: near-dup of a doc that arrived in increment B
+    u = [f"b{j}" for j in range(60)]; u[11] = "OTHER"
+    out2 = incremental_minhash_dedup(
+        docs_with_ids([(200, " ".join(u)), (201, " ".join(f"z{j}" for j in range(60)))]),
+        idx, threshold=0.7)
+    got2 = dict(zip(out2["doc_id"], out2["dup_of"]))
+    assert got2.get(200) == 101       # appended signatures are visible
+    assert 201 not in got2

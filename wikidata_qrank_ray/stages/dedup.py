@@ -425,6 +425,38 @@ def minhash_dedup(
     )
 
 
+def pair_join_values(
+    pairs: ray.data.Dataset,
+    values: ray.data.Dataset,
+    val_col: str,
+    n_pairs: int,
+) -> ray.data.Dataset:
+    """Attach a per-doc value to both endpoints of a pair Dataset:
+    (a, b) x (doc_id, <val_col>) -> (a, b, <val_col>_a, <val_col>_b) via
+    two co-partitioned bucketed hash joins -- the scale-safe lookup used by
+    both the text-verify join tier and the incremental signature verify."""
+    from .join import bucketed_hash_join
+
+    va = values.map_batches(
+        lambda df, c=val_col: df.rename(columns={c: f"{c}_a"}),
+        batch_format="pandas",
+    )
+    vb = values.map_batches(
+        lambda df, c=val_col: df.rename(
+            columns={"doc_id": "doc_id_b", c: f"{c}_b"}
+        ),
+        batch_format="pandas",
+    )
+    # partition count sized to the pair set: tiny candidate sets don't pay
+    # for a 64-way sort; large ones still spread
+    parts = int(min(64, max(4, n_pairs // 512)))
+    j1 = bucketed_hash_join(pairs, va, "a", "doc_id", num_partitions=parts)
+    # pair-set-sized: materialize so the second join's schema probe and
+    # execution don't re-run the first join's shuffle
+    j1 = j1.materialize()
+    return bucketed_hash_join(j1, vb, "b", "doc_id_b", num_partitions=parts)
+
+
 def verified_pairs_ds(
     docs: ray.data.Dataset,
     cand_ds: ray.data.Dataset,
@@ -450,8 +482,6 @@ def verified_pairs_ds(
     (broadcast tier only) the size-gated text subset -- both ARE the
     broadcast payloads. -> Dataset (a, b, jaccard), jaccard >= threshold.
     """
-    from .join import bucketed_hash_join
-
     # distinct candidate ids: per-batch partial unique -> driver union.
     # No shuffle -- partials are batch-distinct-bounded and the final array
     # is the broadcast payload itself, which must reach the driver anyway.
@@ -513,22 +543,7 @@ def verified_pairs_ds(
 
         return cand_ds.map_batches(_verify_bcast, batch_format="pandas")
 
-    texts_a = sub.map_batches(
-        lambda df: df.rename(columns={"text": "text_a"}), batch_format="pandas"
-    )
-    texts_b = sub.map_batches(
-        lambda df: df.rename(columns={"doc_id": "doc_id_b", "text": "text_b"}),
-        batch_format="pandas",
-    )
-    pairs = cand_ds
-    # partition count sized to the pair set: tiny candidate sets don't pay
-    # for a 64-way sort; large ones still spread
-    parts = int(min(64, max(4, n_cand // 512)))
-    j1 = bucketed_hash_join(pairs, texts_a, "a", "doc_id", num_partitions=parts)
-    # pair-set-sized: materialize so the second join's schema probe and
-    # execution don't re-run the first join's shuffle
-    j1 = j1.materialize()
-    j2 = bucketed_hash_join(j1, texts_b, "b", "doc_id_b", num_partitions=parts)
+    j2 = pair_join_values(cand_ds, sub, "text", n_cand)
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:
         # per-pair set Jaccard; the pair set is LSH-bounded and spread over
@@ -703,3 +718,201 @@ def simhash_near_dup_pairs(
         return out[h <= max_hamming]
 
     return deduped.map_batches(_hamming, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup detection against a persistent signature index
+# ---------------------------------------------------------------------------
+#
+# The reference never reprocesses finished inputs (stage skip / freshness
+# gating, pageviews.go:87-93, itemsignals.go:140-152); this applies the same
+# discipline to dedup: a crawl increment is checked against the ACCUMULATED
+# corpus without recomputing anything for old documents. Old docs exist only
+# as MinHash signatures (512 B/doc at 64 perms), so verification uses the
+# signature-estimate Jaccard (matching-component fraction -- the standard
+# unbiased MinHash estimator), not a text re-read: approximate by design,
+# value-checked against planted dups in tests.
+
+
+def write_minhash_index(
+    docs: ray.data.Dataset,
+    index_dir: str,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> str:
+    """(Re)build a persistent MinHash signature index: parquet shards of
+    (doc_id, sig) under ``index_dir/sigs`` plus a params manifest that
+    later increments validate against. Returns ``index_dir``."""
+    import json
+    import os
+    import shutil
+
+    sig_dir = os.path.join(index_dir, "sigs")
+    shutil.rmtree(sig_dir, ignore_errors=True)
+    os.makedirs(sig_dir, exist_ok=True)
+    sigs = docs.map_batches(
+        _minhash_sig_batch,
+        fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
+        batch_format="pyarrow",
+    )
+    sigs.write_parquet(sig_dir, compression="zstd")
+    manifest = {"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed}
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return index_dir
+
+
+def _read_index_manifest(index_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def _sig_band_rows(
+    sig_ds: ray.data.Dataset, bands: int, rows_per_band: int, is_new: int
+) -> ray.data.Dataset:
+    """minhash_band_rows + an is_new tag (0 = indexed, 1 = increment)."""
+    rows = minhash_band_rows(sig_ds, bands, rows_per_band)
+    return rows.map_batches(
+        lambda df, t=is_new: df.assign(is_new=np.int64(t)), batch_format="pandas"
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: ray.data.Dataset,
+    index_dir: str,
+    bands: int = 16,
+    threshold: float = 0.8,
+    append: bool = True,
+) -> pd.DataFrame:
+    """Near-dup links for a corpus INCREMENT against the accumulated index
+    -> (doc_id, dup_of) for every NEW doc matching an indexed doc or
+    another new doc (dup_of = smallest doc id in the matched group; may be
+    an old doc). Old-old pairs are never generated -- they were resolved
+    when their shards were the increment. With ``append`` (default) the new
+    signatures join the index, so the next increment sees them.
+
+    Candidate generation co-partitions old+new band rows and emits only
+    pairs touching a new doc; verification is the signature-estimate
+    Jaccard over a bucketed pair-sig join. Everything is increment-bounded:
+    the index is only ever READ as a streamed Dataset.
+    """
+    import os
+    import uuid
+
+    man = _read_index_manifest(index_dir)
+    num_perm = man["num_perm"]
+    rows_per_band = num_perm // bands
+    assert num_perm % bands == 0
+
+    new_sigs = new_docs.map_batches(
+        _minhash_sig_batch,
+        fn_kwargs={
+            "num_perm": num_perm,
+            "shingle_k": man["shingle_k"],
+            "seed": man["seed"],
+        },
+        batch_format="pyarrow",
+    ).materialize()
+    sig_dir = os.path.join(index_dir, "sigs")
+    old_sigs = ray.data.read_parquet(sig_dir)
+
+    band_rows = _sig_band_rows(old_sigs, bands, rows_per_band, 0).union(
+        _sig_band_rows(new_sigs, bands, rows_per_band, 1)
+    )
+
+    def _pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band_id", "band_hash", "doc_id"]).sort_values(
+            ["band_id", "band_hash", "doc_id"], kind="mergesort"
+        )
+        grp = g.groupby(["band_id", "band_hash"], sort=False)
+        first = grp["doc_id"].transform("first").to_numpy()
+        first_new = grp["is_new"].transform("first").to_numpy().astype(bool)
+        prev = grp["doc_id"].shift(1).to_numpy()
+        prev_new = grp["is_new"].shift(1).to_numpy()
+        doc = g["doc_id"].to_numpy()
+        new = g["is_new"].to_numpy().astype(bool)
+        non_head = doc != first
+        m1 = non_head & (new | first_new)
+        m2 = non_head & (new | (prev_new == 1))
+        a = np.concatenate([first[m1], prev[m2].astype(np.int64)])
+        b = np.concatenate([doc[m1], doc[m2]])
+        return pd.DataFrame({"a": a, "b": b}).query("a != b")
+
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+
+    pairs = hash_partition_apply(
+        band_rows, ["band_id", "band_hash"], _pairs_part, stamp_batch_size=None
+    )
+    cand_ds = hash_partition_aggregate(
+        pairs.map_batches(lambda df: df.assign(n=np.int64(1)), batch_format="pandas"),
+        ["a", "b"],
+        {"n": ("n", "sum")},
+        stamp_batch_size=None,
+    ).map_batches(lambda d: d[["a", "b"]], batch_format="pandas").materialize()
+    n_cand = cand_ds.count()
+    empty = pd.DataFrame({"doc_id": [], "dup_of": []}, dtype=np.int64)
+    if n_cand == 0:
+        if append:
+            new_sigs.write_parquet(
+                os.path.join(sig_dir, f"inc-{uuid.uuid4().hex}"), compression="zstd"
+            )
+        return empty
+
+    all_sigs = old_sigs.union(new_sigs)
+    joined = pair_join_values(cand_ds, all_sigs, "sig", n_cand)
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        sa = np.frombuffer(b"".join(df["sig_a"]), dtype=np.int64).reshape(n, -1)
+        sb = np.frombuffer(b"".join(df["sig_b"]), dtype=np.int64).reshape(n, -1)
+        est = (sa == sb).mean(axis=1)
+        out = pd.DataFrame(
+            {
+                "a": df["a"].to_numpy(dtype=np.int64),
+                "b": df["b"].to_numpy(dtype=np.int64),
+                "est_jaccard": est,
+            }
+        )
+        return out[est >= threshold]
+
+    verified = joined.map_batches(_verify, batch_format="pandas").to_pandas()
+
+    # which ids are new (for output filtering): increment-bounded
+    new_ids = set(
+        int(x)
+        for b in new_sigs.map_batches(
+            lambda df: df[["doc_id"]], batch_format="pandas"
+        ).iter_batches(batch_format="pandas")
+        for x in b["doc_id"]
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(verified["a"], verified["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    members = sorted(
+        m
+        for m in ({int(x) for x in verified["a"]} | {int(x) for x in verified["b"]})
+        if m in new_ids
+    )
+    out = pd.DataFrame(
+        {"doc_id": members, "dup_of": [find(m) for m in members]}, dtype=np.int64
+    )
+    if append:
+        new_sigs.write_parquet(
+            os.path.join(sig_dir, f"inc-{uuid.uuid4().hex}"), compression="zstd"
+        )
+    return out
