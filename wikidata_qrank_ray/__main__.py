@@ -62,7 +62,41 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--num-cpus", type=int, default=None)
     q.add_argument("--head", type=int, default=10)
 
+    d = sub.add_parser(
+        "dedup-index",
+        help="build or increment a persistent MinHash near-dup index",
+    )
+    d.add_argument("--docs", required=True, help="parquet file/dir with (doc_id, text)")
+    d.add_argument("--index-dir", required=True)
+    d.add_argument("--build", action="store_true",
+                   help="(re)build the index instead of incrementing")
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--out", default=None, help="write (doc_id, dup_of) parquet here")
+    d.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "dedup-index":
+        ray = _init_ray(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            from .stages.dedup import incremental_minhash_dedup, write_minhash_index
+
+            docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+            if args.build:
+                write_minhash_index(docs, args.index_dir)
+                print(json.dumps({"built": args.index_dir}))
+            else:
+                out = incremental_minhash_dedup(
+                    docs, args.index_dir, threshold=args.threshold
+                )
+                if args.out:
+                    out.to_parquet(args.out, index=False)
+                print(json.dumps({"new_docs_linked": len(out)}))
+            return 0
+        finally:
+            ray.shutdown()
 
     if args.cmd == "gc":
         from .state.versions import gc_versions

@@ -18,7 +18,6 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..context import pool_size
 
 from ..sources.gazetteer import GAZETTEER_TOP_N, build_aliases, build_gazetteer
 from ..sources.tables import read_table
