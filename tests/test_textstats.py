@@ -48,3 +48,31 @@ def test_fingerprints_deterministic():
     out = fingerprints(ds).to_pandas().sort_values("doc_id")
     fps = out["fingerprint"].tolist()
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_hash_split_proportions_and_determinism():
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.textstats import hash_split
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(5000), type=pa.int64())})
+    )
+    out = hash_split(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.02
+    assert abs(frac.get("val", 0) - 0.05) < 0.01
+    assert abs(frac.get("test", 0) - 0.05) < 0.01
+    # deterministic across repartitionings (pure function of the key)
+    out2 = (
+        hash_split(docs.repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["split"].tolist() == out2["split"].tolist()
+    # neighbors are scattered, not striped: consecutive ids rarely agree
+    # beyond the 81.5% expected from split sizes (0.9^2+0.05^2+0.05^2)
+    same = (out["split"].to_numpy()[1:] == out["split"].to_numpy()[:-1]).mean()
+    assert same < 0.9

@@ -1334,6 +1334,16 @@ def q_fingerprints(sf_dir: str):
     return fingerprints(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_doc_splits(sf_dir: str):
+    """Leakage-safe deterministic train/val/test split keyed on doc_id --
+    pure function of the key (polyhash + Weyl finisher), reproduced
+    value-for-value by the SQL oracle."""
+    from ..stages.textstats import hash_split
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return hash_split(docs, key_col="doc_id", ratios=(0.9, 0.05, 0.05))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1408,6 +1418,7 @@ def queries():
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
+        "doc_splits": q_doc_splits,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
     }
@@ -1867,6 +1878,18 @@ reach(node, r) AS (
   SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
 )
 SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node""",
+        # split hash: identical polyhash recurrence + Weyl multiply, all
+        # mul/mod arithmetic -> bitwise-identical assignment
+        "doc_splits": r"""
+WITH h AS (
+  SELECT doc_id,
+         (list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex('split' || CAST(doc_id AS VARCHAR), '')],
+                      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616)
+          * 2177342782468422677) % 18446744073709551616 % 10000 AS hv
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN hv < 9000 THEN 'train' WHEN hv < 9500 THEN 'val' ELSE 'test' END AS split
+FROM h""",
         "lang_id": _lang_id_sql(),
         "embedding_class": _classify_sql(),
         "ann_lsh": _ann_lsh_sql(),

@@ -142,3 +142,44 @@ def _fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, fingerprint): deterministic rolling-hash document id."""
     return docs.map_batches(_fingerprint, batch_format="pandas")
+
+
+def hash_split(
+    docs: ray.data.Dataset,
+    key_col: str = "doc_id",
+    ratios: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    salt: str = "split",
+) -> ray.data.Dataset:
+    """Leakage-safe deterministic train/val/test assignment -> input columns
+    + ``split`` in {train, val, test}.
+
+    The split is a pure function of the KEY (codepoint-polynomial hash of
+    salt+key, mod 10000 against cumulative ratio thresholds), so every row
+    sharing a key lands in the same split on every machine and every run --
+    the grouping key (conv_id, dedup cluster rep, ...) is how a pipeline
+    keeps near-duplicates out of eval. Embarrassingly parallel, no shuffle;
+    the hash recurrence is the same one the fingerprint oracle reproduces
+    in SQL, so the assignment itself is value-oracle-able."""
+    import numpy as np
+
+    from ..functions.hashing import polyhash64
+
+    t1 = int(round(ratios[0] * 10000))
+    t2 = t1 + int(round(ratios[1] * 10000))
+
+    def _assign(df):
+        keys = np.array([salt + str(k) for k in df[key_col]], dtype=object)
+        # multiplicative finisher: the raw polyhash of consecutive integer
+        # keys is itself consecutive (only the last codepoint differs), so
+        # neighbors would stripe into the same split; one odd-constant
+        # multiply mod 2^64 (Weyl step, odd constant < 2^62 so the SQL
+        # twin's INT128 product cannot overflow -- still pure mul/mod, so the SQL
+        # twin reproduces it) scatters neighbors across the whole range
+        with np.errstate(over="ignore"):
+            h = (polyhash64(keys) * np.uint64(2177342782468422677)) % np.uint64(10000)
+        split = np.where(h < t1, "train", np.where(h < t2, "val", "test"))
+        out = df.copy()
+        out["split"] = split
+        return out
+
+    return docs.map_batches(_assign, batch_format="pandas")
