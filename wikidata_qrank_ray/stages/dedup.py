@@ -45,12 +45,12 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 class _SigStage:
-    """Actor-pool base: MinHash coefficients / tokenizer state built once."""
+    """Actor-pool base: MinHash signature parameters held per actor."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
-        self.a, self.b = minhash_coeffs(num_perm, seed)
         self.k = shingle_k
         self.num_perm = num_perm
+        self.seed = seed
 
 
 def _minhash_sig_batch(
@@ -94,7 +94,7 @@ class MinHashSignatures(_SigStage):
     ``_minhash_sig_batch`` is the default execution tier."""
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
-        return _minhash_sig_batch(batch, self.num_perm, self.k)
+        return _minhash_sig_batch(batch, self.num_perm, self.k, self.seed)
 
 
 def minhash_band_rows(sig_ds: ray.data.Dataset, bands: int, rows_per_band: int) -> ray.data.Dataset:
@@ -251,12 +251,20 @@ def shingle_rows(
     def _batch(b, k=shingle_k, hot_ref=hot_ref) -> pd.DataFrame:
         out = _shingle_rows_batch(b, k)
         if hot_ref is not None:
+            # hot is broadcast PRE-SORTED; sorted-array membership instead
+            # of rebuilding a hash set from the array every batch
             hot = ray.get(hot_ref)
-            out = out[~out["s"].isin(hot)]
-            out = out.copy()
-            out["sz"] = (
-                out.groupby("doc_id", sort=False)["s"].transform("size").astype(np.int64)
-            )
+            sv = out["s"].to_numpy()
+            if len(hot) and len(sv):
+                pos = np.searchsorted(hot, sv)
+                pos[pos == len(hot)] = 0
+                keep = hot[pos] != sv
+                out = out[keep].copy()
+                out["sz"] = (
+                    out.groupby("doc_id", sort=False)["s"]
+                    .transform("size")
+                    .astype(np.int64)
+                )
         return out
 
     return docs.map_batches(_batch, batch_format="pyarrow")
@@ -283,7 +291,7 @@ def hot_shingles(
     hot = df.map_batches(
         lambda d, c=df_cutoff: d[d["n"] > c][["s"]], batch_format="pandas"
     ).to_pandas()
-    return hot["s"].to_numpy()
+    return np.sort(hot["s"].to_numpy())
 
 
 def exact_jaccard_pairs(
@@ -639,7 +647,7 @@ def ngram_jaccard_pairs(
 def simhash_near_dup_pairs(
     docs: ray.data.Dataset,
     max_hamming: int = 3,
-    bands: int = 4,
+    bands: int | None = None,
     concurrency: int = 4,
 ) -> ray.data.Dataset:
     """EXACT SimHash near-dup pairs -> (a, b, hamming) for every doc pair
@@ -654,7 +662,16 @@ def simhash_near_dup_pairs(
     partials inside one partition (same bound and caveat as
     exact_jaccard_pairs; near-identical corpora need an upstream cap).
     """
-    assert max_hamming < bands * (64 // bands) and bands <= 8
+    if bands is None:
+        # pigeonhole needs MORE bands than differing bits; pick the smallest
+        # divisor of 64 that exceeds max_hamming so band widths stay equal
+        bands = next(b for b in (1, 2, 4, 8, 16, 32) if b > max_hamming)
+    if max_hamming >= bands:
+        raise ValueError(
+            f"band blocking is lossy for max_hamming={max_hamming} with "
+            f"bands={bands}: a pair can differ in every band (need "
+            f"max_hamming < bands for the EXACT contract)"
+        )
     from .groupby import hash_partition_aggregate, hash_partition_apply
     from ..functions.hashing import popcount64
 

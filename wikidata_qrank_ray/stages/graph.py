@@ -227,6 +227,7 @@ def connected_components(
         # convergence probe already computed it): small graphs don't pay a
         # 64-way sort per round, big ones still spread
         num_partitions = int(min(64, max(4, state[0] // 4096)))
+    converged = False
     for _ in range(max_iters):
         # large-star over the mirrored neighborhood
         def _mirror(df: pd.DataFrame) -> pd.DataFrame:
@@ -248,8 +249,16 @@ def connected_components(
         ).materialize()
         new_state = _edge_checksum(cur)
         if new_state == state:
+            converged = True
             break
         state = new_state
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the star fixpoint within "
+            f"{max_iters} rounds (last edge count {state[0]}); raise "
+            f"max_iters -- returning partially contracted components would "
+            f"be silently wrong"
+        )
     # fixpoint edges are (node, rep); roots appear only as targets -> add
     # the reflexive rows and dedup (a node reached from several partitions
     # already collapsed during the star rounds)

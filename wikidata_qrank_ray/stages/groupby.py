@@ -98,7 +98,12 @@ def hash_partition_aggregate(
 
     stage = ds
     if partial:
-        stage = stage.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        # the partial phase inherits the same bundling rule: with
+        # stamp_batch_size=None (explosive upstream over a small table) a
+        # hardcoded 65536 here would re-collapse the fused chain to one task
+        stage = stage.map_batches(
+            _partial, batch_format="pyarrow", batch_size=stamp_batch_size
+        )
     stage = stage.map_batches(
         _add_part, batch_format="pyarrow", batch_size=stamp_batch_size
     )
