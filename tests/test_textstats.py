@@ -76,3 +76,33 @@ def test_hash_split_proportions_and_determinism():
     # beyond the 81.5% expected from split sizes (0.9^2+0.05^2+0.05^2)
     same = (out["split"].to_numpy()[1:] == out["split"].to_numpy()[:-1]).mean()
     assert same < 0.9
+
+
+def test_doc_commonness_tiers_identical():
+    """Broadcast tier == bucketed-join tier, and zero-token docs appear
+    with zeros."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.textstats import doc_commonness
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "text": ["a b a", "b c", "", "a a a"],
+            }
+        )
+    )
+    def run(limit):
+        return (
+            doc_commonness(docs, broadcast_max_bytes=limit)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "n_tokens", "freq_sum"]]
+        )
+    bc, jn = run(256 << 20), run(0)
+    pd.testing.assert_frame_equal(bc, jn)
+    # a:5 b:2 c:1 -> doc0 = 5+2+5 = 12, doc2 = zeros
+    assert bc.loc[bc["doc_id"] == 0, "freq_sum"].item() == 12
+    assert bc.loc[bc["doc_id"] == 2, "n_tokens"].item() == 0

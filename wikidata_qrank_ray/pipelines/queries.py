@@ -1334,6 +1334,15 @@ def q_fingerprints(sf_dir: str):
     return fingerprints(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_doc_commonness(sf_dir: str):
+    """Corpus-global token frequencies summed per doc (exact integers) --
+    the rare-token quality-filter backbone; frequency table broadcast
+    below a size gate, bucketed-join tier above it."""
+    from ..stages.textstats import doc_commonness
+
+    return doc_commonness(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_doc_splits(sf_dir: str):
     """Leakage-safe deterministic train/val/test split keyed on doc_id --
     pure function of the key (polyhash + Weyl finisher), reproduced
@@ -1419,6 +1428,7 @@ def queries():
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_splits": q_doc_splits,
+        "doc_commonness": q_doc_commonness,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
     }
@@ -1878,6 +1888,17 @@ reach(node, r) AS (
   SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
 )
 SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node""",
+        # corpus-global token frequency sum per doc: pure integer counts
+        "doc_commonness": r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
+tf AS (SELECT t, COUNT(*) AS freq FROM tok GROUP BY t),
+sums AS (
+  SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.freq) AS BIGINT) AS freq_sum
+  FROM tok JOIN tf USING (t) GROUP BY tok.doc_id)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.freq_sum, 0) AS freq_sum
+FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id""",
         # split hash: identical polyhash recurrence + Weyl multiply, all
         # mul/mod arithmetic -> bitwise-identical assignment
         "doc_splits": r"""

@@ -183,3 +183,107 @@ def hash_split(
         return out
 
     return docs.map_batches(_assign, batch_format="pandas")
+
+
+def _token_rows(batch: pa.Table) -> pd.DataFrame:
+    """(doc_id, t) for every whitespace token (multiset; \\S+ semantics --
+    the Arrow split emits "" for empty/whitespace-only docs, which \\S+
+    never matches, so empty tokens are dropped)."""
+    parts = pc.ascii_split_whitespace(pc.fill_null(batch["text"], ""))
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat_arr = pc.list_flatten(parts)
+    parent_arr = pc.list_parent_indices(parts)
+    nonempty = pc.not_equal(flat_arr, "")
+    flat = flat_arr.filter(nonempty).to_numpy(zero_copy_only=False)
+    parent = parent_arr.filter(nonempty).to_numpy()
+    doc_ids = batch["doc_id"].to_numpy()
+    return pd.DataFrame({"doc_id": doc_ids[parent], "t": flat})
+
+
+def token_frequencies(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus-global token frequencies -> (t, freq) Dataset
+    (vocabulary-sized; the TF side of quality/commonness signals)."""
+    from .groupby import hash_partition_aggregate
+
+    toks = docs.map_batches(_token_rows, batch_format="pyarrow")
+    return hash_partition_aggregate(
+        toks.map_batches(lambda d: d.assign(n=np.int64(1)), batch_format="pandas"),
+        ["t"],
+        {"freq": ("n", "sum")},
+        stamp_batch_size=None,
+    )
+
+
+def doc_commonness(
+    docs: ray.data.Dataset, broadcast_max_bytes: int = 256 << 20
+) -> ray.data.Dataset:
+    """Corpus-statistics enrichment -> (doc_id, n_tokens, freq_sum): per-doc
+    token count and the SUM of each token's corpus-global frequency -- the
+    exact-integer backbone of rare-token / perplexity-style quality filters
+    (avg corpus frequency = freq_sum / n_tokens, derived downstream so the
+    oracle stays integer-exact).
+
+    Two tiers on the vocabulary side: broadcast the (t, freq) table via
+    ``ray.put`` when it fits ``broadcast_max_bytes`` (one shuffle total);
+    above that, co-partition token rows against the frequency table with a
+    bucketed hash join and aggregate per doc (no vocabulary-sized object
+    anywhere on the driver)."""
+    from .groupby import hash_partition_aggregate
+    from .join import bucketed_hash_join
+
+    freq = token_frequencies(docs).materialize()
+
+    def _doc_sums(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_tokens=("freq", "size"), freq_sum=("freq", "sum")
+        )
+        g["n_tokens"] = g["n_tokens"].astype(np.int64)
+        g["freq_sum"] = g["freq_sum"].astype(np.int64)
+        return g
+
+    if freq.size_bytes() <= broadcast_max_bytes:
+        fdf = freq.to_pandas()
+        freq_ref = ray.put(
+            pd.Series(fdf["freq"].to_numpy(np.int64), index=fdf["t"].to_numpy())
+        )
+
+        def _enrich(batch: pa.Table, freq_ref=freq_ref) -> pd.DataFrame:
+            rows = _token_rows(batch)
+            s = ray.get(freq_ref)
+            rows["freq"] = s.reindex(rows["t"].to_numpy()).to_numpy(np.int64)
+            out = _doc_sums(rows)
+            # docs with zero tokens still appear, with zeros
+            all_ids = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+            out = all_ids.merge(out, on="doc_id", how="left").fillna(0)
+            out["n_tokens"] = out["n_tokens"].astype(np.int64)
+            out["freq_sum"] = out["freq_sum"].astype(np.int64)
+            return out
+
+        return docs.map_batches(_enrich, batch_format="pyarrow")
+
+    # join tier: token rows ⨝ freq by token, then per-doc aggregate
+    toks = docs.map_batches(_token_rows, batch_format="pyarrow")
+    joined = bucketed_hash_join(toks, freq, "t", "t")
+    sums = hash_partition_aggregate(
+        joined.map_batches(
+            lambda d: d.assign(n=np.int64(1))[["doc_id", "freq", "n"]],
+            batch_format="pandas",
+        ),
+        ["doc_id"],
+        {"freq_sum": ("freq", "sum"), "n_tokens": ("n", "sum")},
+        stamp_batch_size=None,
+    )
+    # re-attach zero-token docs
+    ids = docs.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    out = bucketed_hash_join(ids, sums, "doc_id", "doc_id", how="left")
+    return out.map_batches(
+        lambda d: pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(np.int64),
+                "n_tokens": d["n_tokens"].fillna(0).to_numpy(np.int64),
+                "freq_sum": d["freq_sum"].fillna(0).to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
