@@ -164,3 +164,60 @@ def test_cc_property_random_graphs():
         got = _cc_df(edges, num_partitions=4)
         want = _uf_reference(edges)
         pd.testing.assert_frame_equal(got, want, obj=f"seed={seed}")
+
+
+# ---------------------------------------------------------------------------
+# Distributed triangle counting
+# ---------------------------------------------------------------------------
+
+from wikidata_qrank_ray.stages.graph import triangle_counts
+
+
+def _tri_df(edges: pd.DataFrame) -> pd.DataFrame:
+    ds = ray.data.from_pandas(edges.astype(np.int64))
+    return (
+        triangle_counts(ds, num_partitions=4)
+        .to_pandas()
+        .astype(np.int64)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def _tri_brute(edges: pd.DataFrame) -> pd.DataFrame:
+    es = {tuple(sorted((int(a), int(b)))) for a, b in zip(edges["a"], edges["b"]) if a != b}
+    nodes = sorted({x for e in es for x in e})
+    from itertools import combinations
+    cnt = {n: 0 for n in nodes}
+    for u, v, w in combinations(nodes, 3):
+        if (u, v) in es and (v, w) in es and (u, w) in es:
+            cnt[u] += 1; cnt[v] += 1; cnt[w] += 1
+    out = pd.DataFrame(
+        {"node": nodes, "triangles": [cnt[n] for n in nodes]}, dtype=np.int64
+    )
+    return out[out["triangles"] > 0].reset_index(drop=True)
+
+
+def test_triangles_k4():
+    # K4: 4 triangles total, every node in exactly 3
+    from itertools import combinations
+    e = pd.DataFrame(list(combinations(range(4), 2)), columns=["a", "b"])
+    got = _tri_df(e)
+    assert got["node"].tolist() == [0, 1, 2, 3]
+    assert got["triangles"].tolist() == [3, 3, 3, 3]
+
+
+def test_triangles_random_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    e = pd.DataFrame({"a": rng.integers(0, 30, 120), "b": rng.integers(0, 30, 120)})
+    e = e[e["a"] != e["b"]].reset_index(drop=True)
+    got = _tri_df(e)
+    want = _tri_brute(e)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_triangles_triangle_free():
+    # path graph has no triangles -> empty result
+    e = pd.DataFrame({"a": [0, 1, 2], "b": [1, 2, 3]})
+    got = triangle_counts(ray.data.from_pandas(e.astype(np.int64)), num_partitions=4)
+    assert got.count() == 0

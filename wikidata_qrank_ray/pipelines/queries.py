@@ -355,6 +355,35 @@ def q_entity_degree(sf_dir: str):
     )
 
 
+def q_entity_triangles(sf_dir: str):
+    """Graph analysis: per-entity triangle participation in the canonical
+    co-occurrence graph (distributed wedge-generate + co-partitioned
+    closing-edge match, stages/graph.triangle_counts)."""
+    from ..stages.graph import triangle_counts
+
+    ct = q_canonical_triples(sf_dir)
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        co = df[df["pred"] == "co_occurs"]
+        return pd.DataFrame(
+            {
+                "a": co["subj"].str[1:].astype(np.int64),
+                "b": co["obj"].str[1:].astype(np.int64),
+            }
+        )
+
+    tri = triangle_counts(ct.map_batches(edges, batch_format="pandas"))
+    return tri.map_batches(
+        lambda d: pd.DataFrame(
+            {
+                "qid": "Q" + d["node"].astype(np.int64).astype(str),
+                "triangles": d["triangles"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Engine ops (TPC-H-ish) -- groupby-agg, joins, top-k, windows
 # ---------------------------------------------------------------------------
@@ -1380,6 +1409,7 @@ def queries():
         "canonical_triples": q_canonical_triples,
         "rank_stats": q_rank_stats,
         "entity_degree": q_entity_degree,
+        "entity_triangles": q_entity_triangles,
         "graph_pagerank": q_graph_pagerank,
         "item_signals": q_item_signals,
         # engine ops
@@ -1585,6 +1615,23 @@ GROUP BY subj, pred, obj"""
         "canonical_triples": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
             select=canon_triples_select,
+        ),
+        "entity_triangles": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""co_edges AS (
+  SELECT DISTINCT CAST(substr(subj, 2) AS BIGINT) AS u,
+                  CAST(substr(obj, 2) AS BIGINT) AS v
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs')""",
+            select="""
+SELECT 'Q' || CAST(node AS VARCHAR) AS qid,
+       CAST(COUNT(*) AS BIGINT) AS triangles
+FROM (
+  SELECT unnest([x, y, z]) AS node FROM (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM co_edges e1
+    JOIN co_edges e2 ON e2.u = e1.v
+    JOIN co_edges e3 ON e3.u = e1.u AND e3.v = e2.v))
+GROUP BY node""",
         ),
         "entity_degree": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
