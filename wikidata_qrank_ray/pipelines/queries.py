@@ -750,6 +750,23 @@ def q_doc_systematic_sample(sf_dir: str):
     return docs.map_batches(every_tenth, batch_format="pyarrow")
 
 
+def q_events_stratified_sample(sf_dir: str):
+    """Per-stratum systematic sample: every 20th event of each event_type
+    in event_id order -- deterministic equal-coverage sampling of rare
+    strata (one hash-partitioned shuffle keyed by stratum; the in-stratum
+    rank is a vectorized partition sweep)."""
+    from ..stages.groupby import hash_partition_apply
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def _per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "event_id"], kind="mergesort")
+        r = g.groupby("event_type", sort=False).cumcount()
+        return g[(r % 20 == 0).to_numpy()]
+
+    return hash_partition_apply(ev, ["event_type"], _per_part)
+
+
 def q_distinct_langs(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["lang"])
     return pd.DataFrame({"lang": sorted(docs.unique("lang"))})
@@ -1440,6 +1457,7 @@ def queries():
         "distinct_user_count": q_distinct_user_count,
         "approx_distinct_users": q_approx_distinct_users,
         "doc_systematic_sample": q_doc_systematic_sample,
+        "events_stratified_sample": q_events_stratified_sample,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
@@ -1828,6 +1846,12 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "distinct_user_count": "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
         "doc_systematic_sample": "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+        "events_stratified_sample": """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS r
+  FROM events)
+WHERE (r - 1) % 20 = 0""",
         "dedup_exact": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text""",
         "token_counts": r"""
