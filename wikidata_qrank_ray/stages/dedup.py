@@ -879,7 +879,30 @@ def incremental_minhash_dedup(
             )
         return empty
 
-    all_sigs = old_sigs.union(new_sigs)
+    # semi-filter both sig sources to candidate endpoints BEFORE the pair
+    # join: the join side is then candidate-bounded, not index-bounded (an
+    # increment against a 10^10-doc index must not shuffle the whole index)
+    def _cand_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.unique(
+                    np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
+                )
+            }
+        )
+
+    ids = cand_ds.map_batches(_cand_ids, batch_format="pandas").to_pandas()
+    need_ref = ray.put(np.unique(ids["doc_id"].to_numpy(dtype=np.int64)))
+
+    def _sig_filter(df: pd.DataFrame, need_ref=need_ref) -> pd.DataFrame:
+        need = ray.get(need_ref)
+        pos = np.searchsorted(need, df["doc_id"].to_numpy())
+        pos[pos == len(need)] = 0
+        return df[need[pos] == df["doc_id"].to_numpy()][["doc_id", "sig"]]
+
+    all_sigs = old_sigs.union(new_sigs).map_batches(
+        _sig_filter, batch_format="pandas"
+    )
     joined = pair_join_values(cand_ds, all_sigs, "sig", n_cand)
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:
