@@ -683,6 +683,46 @@ def q_value_percentiles(sf_dir: str):
     )
 
 
+def q_events_grouped_percentiles(sf_dir: str):
+    """Exact per-stratum p50/p90/p99 (k = ceil(p*n), 1-indexed) of
+    events.value WITHOUT any sort of the raw data: distributed histogram
+    keyed by (event_type, cent value) -- bounded cardinality -- then one
+    vectorized per-group pick co-partitioned by stratum. Nothing
+    row-count-scaled leaves the aggregate."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"event_type": batch["event_type"], "value_c": c})
+        g = df.groupby(["event_type", "value_c"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    partial = ev.map_batches(hist, batch_format="pandas", batch_size=65536)
+    agg = hash_partition_aggregate(
+        partial, ["event_type", "value_c"], {"n": ("n", "sum")}, partial=False
+    )
+
+    def _pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "value_c"], kind="mergesort")
+        rows = []
+        for et, sub in g.groupby("event_type", sort=False):
+            cum = sub["n"].cumsum().to_numpy()
+            total = int(cum[-1])
+            vals = sub["value_c"].to_numpy()
+            row = {"event_type": et}
+            for name, pq in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+                k = int(np.ceil(pq * total))
+                row[name] = vals[int(np.searchsorted(cum, k))] / 100.0
+            rows.append(row)
+        return pd.DataFrame(rows, columns=["event_type", "p50", "p90", "p99"])
+
+    return hash_partition_apply(agg, ["event_type"], _pick)
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (30 min inactivity gap) per user: hash-partitioned
     vectorized window sweep -- the streaming-shaped operator. Shuffle key is
@@ -1451,6 +1491,7 @@ def queries():
         "events_hopping": q_events_hopping,
         "top_tokens": q_top_tokens,
         "value_percentiles": q_value_percentiles,
+        "events_grouped_percentiles": q_events_grouped_percentiles,
         "sessionize": q_sessionize,
         "event_type_counts": q_event_type_counts,
         "distinct_langs": q_distinct_langs,
@@ -1846,6 +1887,17 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "distinct_user_count": "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
         "doc_systematic_sample": "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+        "events_grouped_percentiles": """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+r AS (SELECT event_type, vc,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c)
+SELECT event_type,
+       MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN vc END) / 100.0 AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN vc END) / 100.0 AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN vc END) / 100.0 AS p99
+FROM r GROUP BY event_type""",
         "events_stratified_sample": """
 SELECT event_id, event_type FROM (
   SELECT event_id, event_type,
