@@ -1429,6 +1429,16 @@ def q_doc_commonness(sf_dir: str):
     return doc_commonness(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_doc_weighted_sample(sf_dir: str):
+    """Length-proportional deterministic sampling (data-mixing primitive):
+    keep each doc with probability min(1, n_tokens*50/10000) decided by
+    the keyed split hash -- fully replayable in SQL."""
+    from ..stages.textstats import token_counts, weighted_sample
+
+    tc = token_counts(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    return weighted_sample(tc, key_col="doc_id", weight_col="n_tokens", scale=50)
+
+
 def q_doc_splits(sf_dir: str):
     """Leakage-safe deterministic train/val/test split keyed on doc_id --
     pure function of the key (polyhash + Weyl finisher), reproduced
@@ -1517,6 +1527,7 @@ def queries():
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_splits": q_doc_splits,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_commonness": q_doc_commonness,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -2022,6 +2033,20 @@ sums AS (
 SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
        COALESCE(s.freq_sum, 0) AS freq_sum
 FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id""",
+        # length-proportional deterministic sample: token-count oracle +
+        # identical keyed hash, threshold in exact integers
+        "doc_weighted_sample": r"""
+WITH tc AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+  FROM documents),
+h AS (
+  SELECT doc_id, n_tokens,
+         (list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex('wsample' || CAST(doc_id AS VARCHAR), '')],
+                      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616)
+          * 2177342782468422677) % 18446744073709551616 % 10000 AS hv
+  FROM tc)
+SELECT doc_id, n_tokens FROM h WHERE hv < LEAST(10000, n_tokens * 50)""",
         # split hash: identical polyhash recurrence + Weyl multiply, all
         # mul/mod arithmetic -> bitwise-identical assignment
         "doc_splits": r"""

@@ -71,7 +71,9 @@ def canonicalize_triples(triples: ray.data.Dataset, mapping_ref) -> ray.data.Dat
     def _rewrite(batch: pa.Table) -> pa.Table:
         mapping = ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
         df = rewrite_triples_df(batch.to_pandas(), mapping)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # metadata stripped: the nested pandas dict makes the schema
+        # unhashable and defeats Ray's schema dedup
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     rewritten = triples.map_batches(_rewrite, batch_format="pyarrow")
     agg = rewritten.groupby(["subj", "pred", "obj"]).sum("weight")

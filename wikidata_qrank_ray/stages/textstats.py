@@ -287,3 +287,27 @@ def doc_commonness(
         ),
         batch_format="pandas",
     )
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    scale: int = 50,
+    salt: str = "wsample",
+) -> ray.data.Dataset:
+    """Deterministic importance sampling: keep a row with probability
+    min(1, weight*scale/10000), decided by the same keyed hash as
+    ``hash_split`` -- reproducible across runs/machines and independent of
+    partitioning (the data-mixing primitive: upweight long/rare-source
+    docs without an RNG the oracle can't replay)."""
+    from ..functions.hashing import polyhash64
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        keys = np.array([salt + str(k) for k in df[key_col]], dtype=object)
+        with np.errstate(over="ignore"):
+            h = (polyhash64(keys) * np.uint64(2177342782468422677)) % np.uint64(10000)
+        thresh = np.minimum(10000, df[weight_col].to_numpy(dtype=np.int64) * scale)
+        return df[h.astype(np.int64) < thresh]
+
+    return ds.map_batches(_keep, batch_format="pandas")

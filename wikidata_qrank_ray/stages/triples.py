@@ -134,7 +134,11 @@ class TripleExtractor(GazetteerMatcher):
             )
         out = pd.concat(frames, ignore_index=True)
         out["w"] = out["w"].astype(np.int64)
-        return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
+        # strip the from_pandas metadata: the nested dict makes the schema
+        # unhashable, defeating Ray's schema dedup (log-spams every task)
+        return pa.Table.from_pandas(
+            out, schema=TRIPLE_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
 
     @staticmethod
     def _combine_ord(ords: np.ndarray, w: np.ndarray, size: int) -> tuple[np.ndarray, np.ndarray]:
