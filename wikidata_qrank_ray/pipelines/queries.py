@@ -160,6 +160,15 @@ tooltr AS (
 triples AS (SELECT * FROM co UNION ALL SELECT * FROM tooltr)"""
 
 
+def _cents(v, scale: int = 100) -> np.ndarray:
+    """Exact scaled-int conversion with HALF-AWAY-FROM-ZERO rounding --
+    DuckDB ROUND() semantics. np.round rounds half-to-even; the two agree
+    on fixed-decimal-scale data (a half cent cannot occur) but this makes
+    the engines agree on ANY input."""
+    v = np.asarray(v, dtype=np.float64)
+    return (np.sign(v) * np.floor(np.abs(v) * scale + 0.5)).astype(np.int64)
+
+
 def _with(*parts: str, select: str) -> str:
     return "WITH " + ",".join(parts) + "\n" + select
 
@@ -457,8 +466,8 @@ def _segment_revenue_batch(batch: pd.DataFrame, keys_ref=None) -> pd.DataFrame:
     pos[pos == len(keys)] = 0
     mask = keys[pos] == ok
     b = batch[mask]
-    price_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-    disc_c = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+    price_c = _cents(b["l_extendedprice"].to_numpy())
+    disc_c = _cents(b["l_discount"].to_numpy())
     out = pd.DataFrame(
         {
             "o_orderkey": b["l_orderkey"],
@@ -504,8 +513,8 @@ def q_brand_revenue(sf_dir: str):
 
     def add_brand(batch: pd.DataFrame) -> pd.DataFrame:
         brands = ray.get(brand_ref)
-        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        price_c = _cents(batch["l_extendedprice"].to_numpy())
+        disc_c = _cents(batch["l_discount"].to_numpy())
         out = pd.DataFrame(
             {
                 "p_brand": batch["l_partkey"].map(brands),
@@ -558,7 +567,7 @@ def q_events_hourly(sf_dir: str):
             {
                 "user_id": batch["user_id"],
                 "hour_us": batch["ts"].dt.floor("h").astype("datetime64[us]").astype("int64"),
-                "value_c": np.round(batch["value"].to_numpy() * 100).astype(np.int64),
+                "value_c": _cents(batch["value"].to_numpy()),
             }
         )
         g = out.groupby(["user_id", "hour_us"], as_index=False).agg(
@@ -591,7 +600,7 @@ def q_events_hopping(sf_dir: str):
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["ts"].dt.floor("h").astype("datetime64[us]").astype("int64")
-        vc = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        vc = _cents(batch["value"].to_numpy())
         et = batch["event_type"].to_numpy()
         out = pd.DataFrame(
             {
@@ -661,7 +670,7 @@ def q_value_percentiles(sf_dir: str):
     ev = read_table(sf_dir, "events", columns=["value"])
 
     def hist(batch: pd.DataFrame) -> pd.DataFrame:
-        c = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        c = _cents(batch["value"].to_numpy())
         u, n = np.unique(c, return_counts=True)
         return pd.DataFrame({"value_c": u, "n": n.astype(np.int64)})
 
@@ -694,7 +703,7 @@ def q_events_grouped_percentiles(sf_dir: str):
     ev = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def hist(batch: pd.DataFrame) -> pd.DataFrame:
-        c = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        c = _cents(batch["value"].to_numpy())
         df = pd.DataFrame({"event_type": batch["event_type"], "value_c": c})
         g = df.groupby(["event_type", "value_c"], as_index=False).size()
         g = g.rename(columns={"size": "n"})
@@ -1034,8 +1043,8 @@ def q_top_part_per_brand(sf_dir: str):
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         brands = ray.get(brand_ref)
-        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        price_c = _cents(batch["l_extendedprice"].to_numpy())
+        disc_c = _cents(batch["l_discount"].to_numpy())
         out = pd.DataFrame(
             {
                 "p_partkey": batch["l_partkey"],
@@ -1080,7 +1089,7 @@ def q_customer_cumulative_spend(sf_dir: str):
 
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
-        price_c = np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        price_c = _cents(g["o_totalprice"].to_numpy())
         g["cum_spend"] = (
             g.assign(_pc=price_c).groupby("o_custkey", sort=False)["_pc"].cumsum()
             .astype(np.int64) / 100.0

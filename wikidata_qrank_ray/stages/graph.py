@@ -310,11 +310,9 @@ def triangle_counts(
         return out[out["u"] != out["v"]].drop_duplicates()
 
     canon = hash_partition_aggregate(
-        edges.map_batches(_canon, batch_format="pandas").map_batches(
-            lambda d: d.assign(n=np.int64(1)), batch_format="pandas"
-        ),
+        edges.map_batches(_canon, batch_format="pandas"),
         ["u", "v"],
-        {"n": ("n", "sum")},
+        {"n": ("u", "count")},
         num_partitions,
         stamp_batch_size=None,
     ).map_batches(lambda d: d[["u", "v"]], batch_format="pandas").materialize()

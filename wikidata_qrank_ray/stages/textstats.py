@@ -208,10 +208,7 @@ def token_frequencies(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     toks = docs.map_batches(_token_rows, batch_format="pyarrow")
     return hash_partition_aggregate(
-        toks.map_batches(lambda d: d.assign(n=np.int64(1)), batch_format="pandas"),
-        ["t"],
-        {"freq": ("n", "sum")},
-        stamp_batch_size=None,
+        toks, ["t"], {"freq": ("t", "count")}, stamp_batch_size=None
     )
 
 
@@ -266,12 +263,9 @@ def doc_commonness(
     toks = docs.map_batches(_token_rows, batch_format="pyarrow")
     joined = bucketed_hash_join(toks, freq, "t", "t")
     sums = hash_partition_aggregate(
-        joined.map_batches(
-            lambda d: d.assign(n=np.int64(1))[["doc_id", "freq", "n"]],
-            batch_format="pandas",
-        ),
+        joined.map_batches(lambda d: d[["doc_id", "freq"]], batch_format="pandas"),
         ["doc_id"],
-        {"freq_sum": ("freq", "sum"), "n_tokens": ("n", "sum")},
+        {"freq_sum": ("freq", "sum"), "n_tokens": ("freq", "count")},
         stamp_batch_size=None,
     )
     # re-attach zero-token docs
