@@ -52,6 +52,8 @@ QUERY_NAMES = [
     "ngram_jaccard",
     "dedup_clusters",
     "simhash_near_dups",
+    "entity_triangles",
+    "doc_commonness",
     "dedup_exact",
     "token_counts",
     "quality_scores",

@@ -110,3 +110,21 @@ def test_phrase_matcher_matches_sequential_greedy(tokens, uni_surf, bi_pairs):
     got = set(map(tuple, m(t).to_pandas()[["qid", "surface"]].to_numpy()))
     want = _sequential_greedy(tokens, uni, bi)
     assert got == want, (tokens, uni, bi)
+
+
+def test_cents_matches_duckdb_round():
+    """_cents (half-away-from-zero) == DuckDB ROUND on adversarial values,
+    including exact half-cents that np.round (half-to-even) gets wrong."""
+    import duckdb
+    import numpy as np
+
+    from wikidata_qrank_ray.pipelines.queries import _cents
+
+    vals = [0.125, -0.125, 1.005, -1.005, 0.135, 2.675, -2.675, 0.0, 123.455]
+    got = _cents(np.array(vals)).tolist()
+    con = duckdb.connect()
+    want = [
+        int(con.execute("SELECT CAST(ROUND(? * 100) AS BIGINT)", [v]).fetchone()[0])
+        for v in vals
+    ]
+    assert got == want
