@@ -1405,6 +1405,16 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_repeated_passages(sf_dir: str):
+    """Per-doc cross-document repeated-passage counts (10-token windows) --
+    the passage-granular exact-substring dedup signal, exact integers."""
+    from ..stages.dedup import repeated_passages
+
+    return repeated_passages(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), window=10
+    )
+
+
 def q_simhash(sf_dir: str):
     return simhash_signatures(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -1533,6 +1543,7 @@ def queries():
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "repeated_passages": q_repeated_passages,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_splits": q_doc_splits,
@@ -2068,6 +2079,25 @@ WITH h AS (
 SELECT doc_id,
   CASE WHEN hv < 9000 THEN 'train' WHEN hv < 9500 THEN 'val' ELSE 'test' END AS split
 FROM h""",
+        # identical 10-token window definition (whole-text fallback for
+        # short docs), distinct per doc; df = docs containing the window
+        "repeated_passages": r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 10 THEN [array_to_string(t[i:i+9], ' ') FOR i IN range(1, len(t) - 8)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+ds AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+dfreq AS (SELECT s, COUNT(*) AS df FROM ds GROUP BY s),
+per AS (
+  SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+  FROM ds JOIN dfreq USING (s) GROUP BY ds.doc_id)
+SELECT d.doc_id, COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.n_repeated, 0) AS n_repeated
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         "lang_id": _lang_id_sql(),
         "embedding_class": _classify_sql(),
         "ann_lsh": _ann_lsh_sql(),

@@ -956,3 +956,59 @@ def incremental_minhash_dedup(
             os.path.join(sig_dir, f"inc-{uuid.uuid4().hex}"), compression="zstd"
         )
     return out
+
+
+def repeated_passages(
+    docs: ray.data.Dataset, window: int = 10, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Cross-document repeated-passage statistics -> (doc_id, n_windows,
+    n_repeated): distinct ``window``-token passages per doc, and how many of
+    them also occur in at least one OTHER document -- the passage-granular
+    form of exact-substring dedup (flag training docs dominated by
+    boilerplate shared across the corpus). Exact integers end to end.
+
+    Plumbing is the shingle machinery with k=window: distinct passage rows,
+    a distributed passage document-frequency count, a bucketed join of the
+    rows against their frequency, and one per-doc aggregate -- nothing
+    corpus-scaled on the driver."""
+    from .groupby import hash_partition_aggregate
+    from .join import bucketed_hash_join
+
+    rows = shingle_rows(docs, window).map_batches(
+        lambda d: d[["doc_id", "s"]], batch_format="pandas"
+    )
+    freq = hash_partition_aggregate(
+        rows, ["s"], {"df": ("doc_id", "count")}, num_partitions,
+        stamp_batch_size=None,
+    )
+    joined = bucketed_hash_join(rows, freq, "s", "s", num_partitions=num_partitions)
+
+    def _flags(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "one": np.ones(len(df), dtype=np.int64),
+                "rep": (df["df"].to_numpy(dtype=np.int64) > 1).astype(np.int64),
+            }
+        )
+
+    per_doc = hash_partition_aggregate(
+        joined.map_batches(_flags, batch_format="pandas"),
+        ["doc_id"],
+        {"n_windows": ("one", "sum"), "n_repeated": ("rep", "sum")},
+        num_partitions,
+        stamp_batch_size=None,
+    )
+    # re-attach docs with no windows (shorter than any tokenized content)
+    ids = docs.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    out = bucketed_hash_join(ids, per_doc, "doc_id", "doc_id", how="left")
+    return out.map_batches(
+        lambda d: pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(np.int64),
+                "n_windows": d["n_windows"].fillna(0).to_numpy(np.int64),
+                "n_repeated": d["n_repeated"].fillna(0).to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
