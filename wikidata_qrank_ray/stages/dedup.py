@@ -160,12 +160,7 @@ def lsh_candidate_pairs_ds(band_rows: ray.data.Dataset) -> ray.data.Dataset:
         band_rows, ["band_id", "band_hash"], _pairs_part, stamp_batch_size=None
     )
     deduped = hash_partition_aggregate(
-        pairs.map_batches(
-            lambda df: df.assign(n=np.int64(1)), batch_format="pandas"
-        ),
-        ["a", "b"],
-        {"n": ("n", "sum")},
-        stamp_batch_size=None,
+        pairs, ["a", "b"], {"n": ("a", "count")}, stamp_batch_size=None
     )
     return deduped.map_batches(lambda d: d[["a", "b"]], batch_format="pandas")
 
@@ -282,10 +277,7 @@ def hot_shingles(
 
     sh = shingle_rows(docs, shingle_k)
     df = hash_partition_aggregate(
-        sh.map_batches(lambda d: d[["s"]].assign(n=np.int64(1)), batch_format="pandas"),
-        ["s"],
-        {"n": ("n", "sum")},
-        num_partitions,
+        sh, ["s"], {"n": ("doc_id", "count")}, num_partitions,
         stamp_batch_size=None,
     )
     hot = df.map_batches(
@@ -412,6 +404,31 @@ def minhash_dedup(
         )
     verified = vp_ds.to_pandas().reset_index(drop=True)
     # union-find over the (small) verified edge set
+    return _union_find_links(verified["a"], verified["b"])
+
+
+def _pair_endpoint_ids(cand_ds: ray.data.Dataset) -> np.ndarray:
+    """Distinct doc ids on either end of a pair Dataset: per-batch partial
+    unique -> driver union (the array IS the broadcast payload, so it must
+    reach the driver anyway; no shuffle)."""
+
+    def _ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.unique(
+                    np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
+                )
+            }
+        )
+
+    ids = cand_ds.map_batches(_ids, batch_format="pandas").to_pandas()
+    return np.unique(ids["doc_id"].to_numpy(dtype=np.int64))
+
+
+def _union_find_links(a_vals, b_vals) -> pd.DataFrame:
+    """Driver-tier clustering of an edge list -> (doc_id, dup_of) with
+    dup_of = smallest member of each connected component (path-compressed
+    union-find; shared by batch and incremental dedup)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -420,14 +437,12 @@ def minhash_dedup(
             x = parent[x]
         return x
 
-    for a, b in zip(verified["a"], verified["b"]):
+    for a, b in zip(a_vals, b_vals):
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
-    members = sorted(
-        {int(x) for x in verified["a"]} | {int(x) for x in verified["b"]}
-    )
+    members = sorted({int(x) for x in a_vals} | {int(x) for x in b_vals})
     return pd.DataFrame(
         {"doc_id": members, "dup_of": [find(m) for m in members]}, dtype=np.int64
     )
@@ -490,20 +505,7 @@ def verified_pairs_ds(
     (broadcast tier only) the size-gated text subset -- both ARE the
     broadcast payloads. -> Dataset (a, b, jaccard), jaccard >= threshold.
     """
-    # distinct candidate ids: per-batch partial unique -> driver union.
-    # No shuffle -- partials are batch-distinct-bounded and the final array
-    # is the broadcast payload itself, which must reach the driver anyway.
-    def _ids(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": np.unique(
-                    np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
-                )
-            }
-        )
-
-    ids = cand_ds.map_batches(_ids, batch_format="pandas").to_pandas()
-    need = np.unique(ids["doc_id"].to_numpy(dtype=np.int64))
+    need = _pair_endpoint_ids(cand_ds)
     need_ref = ray.put(need)
 
     # elastic tasks, not an actor pool: this dataset feeds two join sides,
@@ -865,10 +867,7 @@ def incremental_minhash_dedup(
         band_rows, ["band_id", "band_hash"], _pairs_part, stamp_batch_size=None
     )
     cand_ds = hash_partition_aggregate(
-        pairs.map_batches(lambda df: df.assign(n=np.int64(1)), batch_format="pandas"),
-        ["a", "b"],
-        {"n": ("n", "sum")},
-        stamp_batch_size=None,
+        pairs, ["a", "b"], {"n": ("a", "count")}, stamp_batch_size=None
     ).map_batches(lambda d: d[["a", "b"]], batch_format="pandas").materialize()
     n_cand = cand_ds.count()
     empty = pd.DataFrame({"doc_id": [], "dup_of": []}, dtype=np.int64)
@@ -882,17 +881,7 @@ def incremental_minhash_dedup(
     # semi-filter both sig sources to candidate endpoints BEFORE the pair
     # join: the join side is then candidate-bounded, not index-bounded (an
     # increment against a 10^10-doc index must not shuffle the whole index)
-    def _cand_ids(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": np.unique(
-                    np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
-                )
-            }
-        )
-
-    ids = cand_ds.map_batches(_cand_ids, batch_format="pandas").to_pandas()
-    need_ref = ray.put(np.unique(ids["doc_id"].to_numpy(dtype=np.int64)))
+    need_ref = ray.put(_pair_endpoint_ids(cand_ds))
 
     def _sig_filter(df: pd.DataFrame, need_ref=need_ref) -> pd.DataFrame:
         need = ray.get(need_ref)
@@ -930,27 +919,8 @@ def incremental_minhash_dedup(
         for x in b["doc_id"]
     )
 
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(verified["a"], verified["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    members = sorted(
-        m
-        for m in ({int(x) for x in verified["a"]} | {int(x) for x in verified["b"]})
-        if m in new_ids
-    )
-    out = pd.DataFrame(
-        {"doc_id": members, "dup_of": [find(m) for m in members]}, dtype=np.int64
-    )
+    links = _union_find_links(verified["a"], verified["b"])
+    out = links[links["doc_id"].isin(new_ids)].reset_index(drop=True)
     if append:
         new_sigs.write_parquet(
             os.path.join(sig_dir, f"inc-{uuid.uuid4().hex}"), compression="zstd"
