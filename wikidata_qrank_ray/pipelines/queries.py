@@ -196,6 +196,42 @@ def q_transcripts_ingest(sf_dir: str):
     return derive_transcripts(sf_dir)
 
 
+def q_conversation_stats(sf_dir: str):
+    """Per-conversation turn-taking analytics over the input_hint table:
+    turn count, per-role counts, distinct tools invoked, total text chars.
+    One hash-partitioned aggregate keyed by conv_id -- the conversational
+    twin of the per-entity signal rollup."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    turns = derive_transcripts(sf_dir)
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        role = df["role"].to_numpy()
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "one": np.int64(1),
+                "user_t": (role == "user").astype(np.int64),
+                "asst_t": (role == "assistant").astype(np.int64),
+                "tool_t": (role == "tool").astype(np.int64),
+                "chars": df["text"].str.len().astype(np.int64),
+            }
+        )
+
+    agg = hash_partition_aggregate(
+        turns.map_batches(_partials, batch_format="pandas"),
+        ["conv_id"],
+        {
+            "n_turns": ("one", "sum"),
+            "n_user": ("user_t", "sum"),
+            "n_assistant": ("asst_t", "sum"),
+            "n_tool": ("tool_t", "sum"),
+            "n_chars": ("chars", "sum"),
+        },
+    )
+    return agg
+
+
 def q_normalize_turns(sf_dir: str):
     ds = normalize_stage_sql_parity(derive_transcripts(sf_dir))
     return ds.select_columns(["conv_id", "turn_idx", "norm_text"])
@@ -1478,6 +1514,7 @@ def queries():
         # KG pipeline (SURVEY.md §7 stages)
         "transcripts_ingest": q_transcripts_ingest,
         "normalize_turns": q_normalize_turns,
+        "conversation_stats": q_conversation_stats,
         "conversation_texts": q_conversation_texts,
         "tool_turns": q_tool_turns,
         "gazetteer": q_gazetteer,
@@ -1705,6 +1742,17 @@ GROUP BY subj, pred, obj"""
         "canonical_triples": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
             select=canon_triples_select,
+        ),
+        "conversation_stats": _with(
+            SQL_TURNS,
+            select="""
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM turns GROUP BY conv_id""",
         ),
         "entity_triangles": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
