@@ -518,11 +518,30 @@ def q_top_orders_by_revenue(sf_dir: str):
     revenue sums + hash-partitioned final aggregate; deterministic top-10."""
     from ..stages.groupby import hash_partition_aggregate
 
+    # dimension side: customer is dim-sized -> driver filter + broadcast;
+    # orders is a FACT table -> filter it DISTRIBUTED and collect only the
+    # surviving keys (they are the next stage's broadcast payload anyway)
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keep_cust = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
-    keep_orders = orders.loc[orders["o_custkey"].isin(keep_cust), "o_orderkey"].to_numpy()
-    keys_ref = ray.put(np.sort(keep_orders.astype(np.int64)))
+    cust_ref = ray.put(
+        np.sort(
+            cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(np.int64)
+        )
+    )
+
+    def _order_filter(df: pd.DataFrame, cust_ref=cust_ref) -> pd.DataFrame:
+        keys = ray.get(cust_ref)
+        ck = df["o_custkey"].to_numpy()
+        pos = np.searchsorted(keys, ck)
+        pos[pos == len(keys)] = 0
+        return df[keys[pos] == ck][["o_orderkey"]]
+
+    keep_orders = (
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        .map_batches(_order_filter, batch_format="pandas")
+        .to_pandas()["o_orderkey"]
+        .to_numpy(np.int64)
+    )
+    keys_ref = ray.put(np.sort(keep_orders))
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     partial = li.map_batches(
