@@ -920,8 +920,17 @@ def q_customers_without_orders(sf_dir: str):
     order above 250k."""
     from ..stages.join import broadcast_semi_join
 
-    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).to_pandas()
-    big = orders.loc[orders["o_totalprice"] > 250000, "o_custkey"].to_numpy()
+    # filter the FACT table distributedly; only the qualifying key set (the
+    # broadcast payload) reaches the driver
+    big = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda df: df.loc[df["o_totalprice"] > 250000, ["o_custkey"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["o_custkey"]
+        .to_numpy()
+    )
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return broadcast_semi_join(cust, "c_custkey", big, anti=True)
 
