@@ -301,3 +301,54 @@ def test_incremental_minhash_index(tmp_path):
     got2 = dict(zip(out2["doc_id"], out2["dup_of"]))
     assert got2.get(200) == 101       # appended signatures are visible
     assert 201 not in got2
+
+
+def test_repeated_passages_matches_bruteforce():
+    from wikidata_qrank_ray.functions.hashing import shingles as mk_shingles
+    from wikidata_qrank_ray.stages.dedup import repeated_passages
+
+    rng = np.random.default_rng(17)
+    shared = [f"boiler{i}" for i in range(12)]  # cross-doc repeated passage
+    texts = []
+    for d in range(20):
+        own = [f"d{d}w{i}" for i in range(rng.integers(5, 25))]
+        toks = own + (shared if d % 3 == 0 else [])
+        texts.append(" ".join(toks))
+    texts.append("")  # zero-window doc
+    ds = _docs(texts)
+    got = (
+        repeated_passages(ds, window=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    wins = [set(mk_shingles(t.split(), 10)) for t in texts]
+    from collections import Counter
+    df_count = Counter(w for ws in wins for w in ws)
+    want = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "n_windows": [len(ws) for ws in wins],
+            "n_repeated": [sum(1 for w in ws if df_count[w] > 1) for ws in wins],
+        }
+    ).astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.loc[got["doc_id"] % 3 == 0, "n_repeated"] > 0).all()
+    assert got.loc[got["doc_id"] == len(texts) - 1, "n_windows"].item() == 0
+
+
+def test_shingles_whitespace_padding_parity():
+    """Padded / whitespace-only / empty docs: the vectorized Arrow shingle
+    and signature paths must match the \\S+ contract exactly (the Arrow
+    split emits phantom "" tokens around whitespace)."""
+    from wikidata_qrank_ray.functions.hashing import shingles as mk_shingles
+    from wikidata_qrank_ray.stages.dedup import shingle_rows
+
+    texts = ["a b c  ", "  x y", " ", "", "a ", "  lone  ", "p q r s"]
+    ds = _docs(texts)
+    got = shingle_rows(ds, shingle_k=3).to_pandas()
+    for i, t in enumerate(texts):
+        want = sorted(set(mk_shingles(t.split(), 3)))
+        have = sorted(got.loc[got["doc_id"] == i, "s"])
+        assert have == want, (i, t, have, want)

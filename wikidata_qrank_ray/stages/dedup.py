@@ -196,8 +196,15 @@ def _shingle_arrays(batch, k: int) -> tuple[np.ndarray, np.ndarray]:
     parts = pc.ascii_split_whitespace(pc.fill_null(text, ""))
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
-    flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
-    parent = pc.list_parent_indices(parts).to_numpy()
+    flat_arr = pc.list_flatten(parts)
+    parent_arr = pc.list_parent_indices(parts)
+    # the Arrow split emits "" around leading/trailing/isolated whitespace;
+    # \S+ (the shingles()/tokenizer contract and every SQL twin) never
+    # does -- drop them, or padded and empty docs silently diverge from
+    # the oracles (phantom ""-tokens in shingles and signature votes)
+    nonempty = pc.not_equal(flat_arr, "")
+    flat = flat_arr.filter(nonempty).to_numpy(zero_copy_only=False)
+    parent = parent_arr.filter(nonempty).to_numpy()
     n = batch.num_rows
     counts = np.bincount(parent, minlength=n)
     starts = np.zeros(n, dtype=np.int64)
@@ -211,11 +218,16 @@ def _shingle_arrays(batch, k: int) -> tuple[np.ndarray, np.ndarray]:
         sh = sh + " "
         sh = sh + flat[base + j]
     out_pos = parent[base] if len(base) else np.array([], dtype=np.int64)
-    # short docs (1..k-1 tokens): the whole text joined is the one shingle
+    # short docs (1..k-1 tokens): the whole tokenized text joined is the one
+    # shingle -- joined from the FILTERED tokens (binary_join over raw parts
+    # would keep the phantom ""s and emit e.g. "a " for "a ")
     short = np.nonzero((counts > 0) & (counts < k))[0]
     if len(short):
-        joined = pc.binary_join(parts, " ").to_numpy(zero_copy_only=False)
-        sh = np.concatenate([sh, joined[short]])
+        joined = np.array(
+            [" ".join(flat[starts[i]: starts[i] + counts[i]]) for i in short],
+            dtype=object,
+        )
+        sh = np.concatenate([sh, joined])
         out_pos = np.concatenate([out_pos, short])
     return sh, out_pos.astype(np.int64)
 
@@ -607,8 +619,15 @@ def _simhash_batch(batch: pa.Table) -> pd.DataFrame:
     parts = pc.ascii_split_whitespace(pc.fill_null(text, ""))
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
-    flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
-    parent = pc.list_parent_indices(parts).to_numpy()
+    flat_arr = pc.list_flatten(parts)
+    parent_arr = pc.list_parent_indices(parts)
+    # the Arrow split emits "" around leading/trailing/isolated whitespace;
+    # \S+ (the shingles()/tokenizer contract and every SQL twin) never
+    # does -- drop them, or padded and empty docs silently diverge from
+    # the oracles (phantom ""-tokens in shingles and signature votes)
+    nonempty = pc.not_equal(flat_arr, "")
+    flat = flat_arr.filter(nonempty).to_numpy(zero_copy_only=False)
+    parent = parent_arr.filter(nonempty).to_numpy()
     n = batch.num_rows
     counts = np.bincount(parent, minlength=n)
     starts = np.zeros(n, dtype=np.int64)
