@@ -124,3 +124,16 @@ def test_detect_mentions_dataset():
     out = detect_mentions(ds, ray.put(_gaz()), concurrency=1).to_pandas()
     assert len(out) == 4
     assert set(out.columns) == {"conv_id", "turn_idx", "qid", "surface"}
+
+
+def test_bigram_counts_ignore_whitespace_padding():
+    import pyarrow as pa
+
+    from wikidata_qrank_ray.sources.gazetteer import _partial_bigram_counts
+
+    t = pa.table({"text": [" alpha beta ", "alpha beta", "  "]})
+    out = _partial_bigram_counts(t).to_pandas()
+    got = dict(zip(out["surface"], out["cnt"]))
+    # padded and unpadded rows contribute the SAME bigram; no phantom
+    # ""-token pairs like " alpha" / "beta "
+    assert got == {"alpha beta": 2}

@@ -88,8 +88,14 @@ def _partial_bigram_counts(batch: pa.Table) -> pa.Table:
     parts = pc.ascii_split_whitespace(batch["text"])
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
-    flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
-    parent = pc.list_parent_indices(parts).to_numpy()
+    flat_arr = pc.list_flatten(parts)
+    parent_arr = pc.list_parent_indices(parts)
+    # drop the phantom "" tokens the Arrow split emits around leading /
+    # trailing whitespace (\S+ contract; only at text ends, so adjacency
+    # of the surviving tokens is unchanged)
+    mask = pc.not_equal(flat_arr, "")
+    flat = flat_arr.filter(mask).to_numpy(zero_copy_only=False)
+    parent = parent_arr.filter(mask).to_numpy()
     if len(flat) < 2:
         return pa.table({"surface": pa.array([], type=pa.string()),
                          "cnt": pa.array([], type=pa.int64())})
