@@ -83,7 +83,10 @@ def main() -> int:
     qs, oracles = E.queries(), E.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        tp = os.path.join(sf, f"{t}.parquet")
+        # sharded table directory (e.g. from tools/reshard.py) or one file
+        src = f"{tp}/*.parquet" if os.path.isdir(tp) else tp
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     n_pass = n_fail = n_noorc = 0
     for name, fn in qs.items():
