@@ -352,3 +352,25 @@ def test_shingles_whitespace_padding_parity():
         want = sorted(set(mk_shingles(t.split(), 3)))
         have = sorted(got.loc[got["doc_id"] == i, "s"])
         assert have == want, (i, t, have, want)
+
+
+def test_incremental_verify_tiers_identical(tmp_path):
+    """Broadcast signature-verify tier == bucketed-join tier."""
+    from wikidata_qrank_ray.stages.dedup import (
+        incremental_minhash_dedup, write_minhash_index)
+
+    base = [f"w{i}" for i in range(60)]
+    docs_a = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": [" ".join(base), " ".join(f"q{i}" for i in range(60))]}))
+    v = list(base); v[5] = "EDIT"
+    docs_b = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([50], type=pa.int64()), "text": [" ".join(v)]}))
+    idx1, idx2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    write_minhash_index(docs_a, idx1)
+    write_minhash_index(docs_a, idx2)
+    bc = incremental_minhash_dedup(docs_b, idx1, threshold=0.7)
+    jn = incremental_minhash_dedup(docs_b, idx2, threshold=0.7,
+                                   broadcast_max_bytes=0)
+    pd.testing.assert_frame_equal(bc, jn)
+    assert dict(zip(bc["doc_id"], bc["dup_of"])) == {50: 0}

@@ -825,6 +825,7 @@ def incremental_minhash_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     append: bool = True,
+    broadcast_max_bytes: int = 128 << 20,
 ) -> pd.DataFrame:
     """Near-dup links for a corpus INCREMENT against the accumulated index
     -> (doc_id, dup_of) for every NEW doc matching an indexed doc or
@@ -908,26 +909,54 @@ def incremental_minhash_dedup(
         pos[pos == len(need)] = 0
         return df[need[pos] == df["doc_id"].to_numpy()][["doc_id", "sig"]]
 
-    all_sigs = old_sigs.union(new_sigs).map_batches(
+    sub = old_sigs.union(new_sigs).map_batches(
         _sig_filter, batch_format="pandas"
-    )
-    joined = pair_join_values(cand_ds, all_sigs, "sig", n_cand)
+    ).materialize()
 
-    def _verify(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        sa = np.frombuffer(b"".join(df["sig_a"]), dtype=np.int64).reshape(n, -1)
-        sb = np.frombuffer(b"".join(df["sig_b"]), dtype=np.int64).reshape(n, -1)
+    def _est(sa: np.ndarray, sb: np.ndarray, a, b) -> pd.DataFrame:
         est = (sa == sb).mean(axis=1)
         out = pd.DataFrame(
             {
-                "a": df["a"].to_numpy(dtype=np.int64),
-                "b": df["b"].to_numpy(dtype=np.int64),
+                "a": np.asarray(a, dtype=np.int64),
+                "b": np.asarray(b, dtype=np.int64),
                 "est_jaccard": est,
             }
         )
         return out[est >= threshold]
 
-    verified = joined.map_batches(_verify, batch_format="pandas").to_pandas()
+    if sub.size_bytes() <= broadcast_max_bytes:
+        # broadcast tier (the common case: candidate sigs are ~520 B/doc):
+        # one ray.put, one shuffle-free map over the pair Dataset -- skips
+        # both bucketed joins entirely
+        sdf = sub.to_pandas()
+        sig_ref = ray.put(
+            pd.Series(sdf["sig"].to_numpy(), index=sdf["doc_id"].to_numpy())
+        )
+
+        def _verify_bcast(df: pd.DataFrame, sig_ref=sig_ref) -> pd.DataFrame:
+            s = ray.get(sig_ref)
+            n = len(df)
+            sa = np.frombuffer(
+                b"".join(s.reindex(df["a"].to_numpy())), dtype=np.int64
+            ).reshape(n, -1)
+            sb = np.frombuffer(
+                b"".join(s.reindex(df["b"].to_numpy())), dtype=np.int64
+            ).reshape(n, -1)
+            return _est(sa, sb, df["a"].to_numpy(), df["b"].to_numpy())
+
+        verified = cand_ds.map_batches(
+            _verify_bcast, batch_format="pandas"
+        ).to_pandas()
+    else:
+        joined = pair_join_values(cand_ds, sub, "sig", n_cand)
+
+        def _verify(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            sa = np.frombuffer(b"".join(df["sig_a"]), dtype=np.int64).reshape(n, -1)
+            sb = np.frombuffer(b"".join(df["sig_b"]), dtype=np.int64).reshape(n, -1)
+            return _est(sa, sb, df["a"].to_numpy(), df["b"].to_numpy())
+
+        verified = joined.map_batches(_verify, batch_format="pandas").to_pandas()
 
     # which ids are new (for output filtering): increment-bounded
     new_ids = set(
