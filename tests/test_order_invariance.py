@@ -6,14 +6,13 @@ assumptions, positional derivations would all fail this)."""
 
 import os
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
 
+from tools.reshard import reshard
+
 SF = "/root/testdata/sf0.001"
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 
 # representative slice of every operator family
 QUERIES = [
@@ -33,20 +32,7 @@ QUERIES = [
 @pytest.fixture(scope="module")
 def resharded_dir(tmp_path_factory):
     out = tmp_path_factory.mktemp("resharded_sf")
-    rng = np.random.default_rng(123)
-    for t in TABLES:
-        df = pd.read_parquet(os.path.join(SF, f"{t}.parquet"))
-        df = df.iloc[rng.permutation(len(df))].reset_index(drop=True)
-        tdir = out / f"{t}.parquet"   # shard DIRECTORY under the table name
-        tdir.mkdir()
-        # odd shard count, uneven sizes
-        bounds = sorted(rng.choice(np.arange(1, max(2, len(df))), size=min(4, max(1, len(df) - 1)), replace=False)) if len(df) > 5 else []
-        parts = np.split(df, bounds) if bounds else [df]
-        for i, p in enumerate(parts):
-            pa_tbl = pa.Table.from_pandas(p.reset_index(drop=True), preserve_index=False)
-            import pyarrow.parquet as pq
-            pq.write_table(pa_tbl, tdir / f"part-{i}.parquet")
-    return str(out)
+    return reshard(SF, str(out), seed=123)
 
 
 def _canon(res) -> pd.DataFrame:

@@ -214,7 +214,7 @@ def q_conversation_stats(sf_dir: str):
                 "user_t": (role == "user").astype(np.int64),
                 "asst_t": (role == "assistant").astype(np.int64),
                 "tool_t": (role == "tool").astype(np.int64),
-                "chars": df["text"].str.len().astype(np.int64),
+                "chars": df["text"].fillna("").str.len().astype(np.int64),
             }
         )
 
@@ -530,6 +530,8 @@ def q_top_orders_by_revenue(sf_dir: str):
 
     def _order_filter(df: pd.DataFrame, cust_ref=cust_ref) -> pd.DataFrame:
         keys = ray.get(cust_ref)
+        if len(keys) == 0:
+            return df.iloc[0:0][["o_orderkey"]]
         ck = df["o_custkey"].to_numpy()
         pos = np.searchsorted(keys, ck)
         pos[pos == len(keys)] = 0

@@ -103,6 +103,10 @@ def minhash_band_rows(sig_ds: ray.data.Dataset, bands: int, rows_per_band: int) 
 
     def _explode(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
+        if n == 0:
+            return pd.DataFrame({"band_id": pd.Series([], dtype=np.int64),
+                                 "band_hash": pd.Series([], dtype=np.int64),
+                                 "doc_id": pd.Series([], dtype=np.int64)})
         sigs = np.frombuffer(b"".join(batch["sig"]), dtype=np.int64).reshape(n, -1)
         out_band, out_hash, out_doc = [], [], []
         doc = batch["doc_id"].to_numpy()
@@ -928,14 +932,22 @@ def incremental_minhash_dedup(
         # broadcast tier (the common case: candidate sigs are ~520 B/doc):
         # one ray.put, one shuffle-free map over the pair Dataset -- skips
         # both bucketed joins entirely
-        sdf = sub.to_pandas()
+        # a doc re-ingested or re-appended appears twice with an IDENTICAL
+        # signature (deterministic params); keep one so the broadcast
+        # Series has unique labels (the join tier absorbs the duplicate
+        # rows in union-find -- same final links)
+        sdf = sub.to_pandas().drop_duplicates("doc_id")
         sig_ref = ray.put(
             pd.Series(sdf["sig"].to_numpy(), index=sdf["doc_id"].to_numpy())
         )
 
         def _verify_bcast(df: pd.DataFrame, sig_ref=sig_ref) -> pd.DataFrame:
-            s = ray.get(sig_ref)
             n = len(df)
+            if n == 0:
+                return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                     "b": pd.Series([], dtype=np.int64),
+                                     "est_jaccard": pd.Series([], dtype=np.float64)})
+            s = ray.get(sig_ref)
             sa = np.frombuffer(
                 b"".join(s.reindex(df["a"].to_numpy())), dtype=np.int64
             ).reshape(n, -1)
@@ -952,6 +964,10 @@ def incremental_minhash_dedup(
 
         def _verify(df: pd.DataFrame) -> pd.DataFrame:
             n = len(df)
+            if n == 0:
+                return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                     "b": pd.Series([], dtype=np.int64),
+                                     "est_jaccard": pd.Series([], dtype=np.float64)})
             sa = np.frombuffer(b"".join(df["sig_a"]), dtype=np.int64).reshape(n, -1)
             sb = np.frombuffer(b"".join(df["sig_b"]), dtype=np.int64).reshape(n, -1)
             return _est(sa, sb, df["a"].to_numpy(), df["b"].to_numpy())
@@ -992,9 +1008,11 @@ def repeated_passages(
     from .groupby import hash_partition_aggregate
     from .join import bucketed_hash_join
 
+    # two consumers (the df aggregate and the join left side): materialize
+    # once or the tokenize+shingle explode re-executes per consumer
     rows = shingle_rows(docs, window).map_batches(
         lambda d: d[["doc_id", "s"]], batch_format="pandas"
-    )
+    ).materialize()
     freq = hash_partition_aggregate(
         rows, ["s"], {"df": ("doc_id", "count")}, num_partitions,
         stamp_batch_size=None,
