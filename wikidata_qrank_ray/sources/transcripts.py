@@ -84,6 +84,7 @@ def synth_transcripts_parquet(
     seed: int = 42,
     shards: int = 32,
     tokens_per_turn: int = 40,
+    vocab_entities: int | None = None,
 ) -> str:
     """Write a deterministic transcript corpus as ``shards`` Parquet files
     under ``out_dir`` (resumable layout: one file per shard; skip if the
@@ -92,7 +93,7 @@ def synth_transcripts_parquet(
     Returns ``out_dir``.
     """
     done = os.path.join(out_dir, "_DONE")
-    marker = f"{n_turns}:{seed}:{shards}:{tokens_per_turn}"
+    marker = f"{n_turns}:{seed}:{shards}:{tokens_per_turn}:{vocab_entities}"
     if os.path.exists(done):
         with open(done) as f:
             if f.read() == marker:
@@ -102,7 +103,7 @@ def synth_transcripts_parquet(
     args = []
     for s in range(shards):
         n = per_shard if s < shards - 1 else n_turns - per_shard * (shards - 1)
-        args.append((out_dir, s, seed, s * per_shard, n, tokens_per_turn))
+        args.append((out_dir, s, seed, s * per_shard, n, tokens_per_turn, vocab_entities))
     import ray
 
     if ray.is_initialized():
@@ -118,9 +119,16 @@ def synth_transcripts_parquet(
 
 
 def _write_synth_shard(
-    out_dir: str, s: int, seed: int, start: int, n: int, tokens_per_turn: int
+    out_dir: str, s: int, seed: int, start: int, n: int, tokens_per_turn: int,
+    vocab_entities: int | None = None,
 ) -> str:
-    ent = np.array(_VOCAB_ENTITIES, dtype=object)
+    # vocab_entities: synthetic large-vocabulary mode for scale tests of
+    # the actor-pool extractor / sparse pair path / distributed combine
+    # (the default corpus has a deliberately small entity vocabulary)
+    if vocab_entities:
+        ent = np.array([f"ent{i}" for i in range(vocab_entities)], dtype=object)
+    else:
+        ent = np.array(_VOCAB_ENTITIES, dtype=object)
     fil = np.array(_VOCAB_FILLER, dtype=object)
     # Zipf ranks over entities, fixed across shards.
     zipf_w = 1.0 / np.arange(1, len(ent) + 1) ** 1.1
