@@ -106,3 +106,25 @@ def test_doc_commonness_tiers_identical():
     # a:5 b:2 c:1 -> doc0 = 5+2+5 = 12, doc2 = zeros
     assert bc.loc[bc["doc_id"] == 0, "freq_sum"].item() == 12
     assert bc.loc[bc["doc_id"] == 2, "n_tokens"].item() == 0
+
+
+def test_hash_split_string_keys_group_consistency():
+    """String grouping keys (conv_id): every row of a conversation lands in
+    the same split -- the leakage-safety contract."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.textstats import hash_split
+
+    rows = pa.table(
+        {
+            "conv_id": [f"c{i // 4}" for i in range(400)],
+            "turn_idx": list(range(400)),
+        }
+    )
+    out = hash_split(
+        ray.data.from_arrow(rows).repartition(5), key_col="conv_id"
+    ).to_pandas()
+    per_conv = out.groupby("conv_id")["split"].nunique()
+    assert (per_conv == 1).all()
+    assert out["split"].nunique() >= 2
