@@ -1,0 +1,46 @@
+"""Create an edge-case-injected copy of an sf dir: the documents table gets
+appended rows with empty / whitespace-only / NBSP / unicode / null texts.
+Every oracled query must still match its SQL twin on it (the engines must
+agree on ANY input of the declared schema, not just clean synthetic text):
+
+    python tools/adversarial.py [sf_dir] [out_dir]
+    python tools/check_oracles.py <out_dir>
+"""
+
+import os
+import shutil
+import sys
+
+import pandas as pd
+
+ADVERSARIAL_TEXTS = [
+    "", "   ", "\t\n ", "  padded text here  ", "nbsp token", None,
+    "", "éàü unicode tokens déjà vu", "a", "a b",
+]
+
+
+def make_adversarial(sf_dir: str, out_dir: str) -> str:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(out_dir, f))
+    docs = pd.read_parquet(os.path.join(out_dir, "documents.parquet"))
+    base = int(docs["doc_id"].max()) + 1
+    tmpl = docs.iloc[0].to_dict()
+    rows = []
+    for i, t in enumerate(ADVERSARIAL_TEXTS):
+        r = dict(tmpl)
+        r["doc_id"] = base + i
+        r["text"] = t
+        rows.append(r)
+    pd.concat([docs, pd.DataFrame(rows)], ignore_index=True).to_parquet(
+        os.path.join(out_dir, "documents.parquet"), index=False
+    )
+    return out_dir
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/adversarial_" + os.path.basename(sf.rstrip("/"))
+    print(make_adversarial(sf, out))

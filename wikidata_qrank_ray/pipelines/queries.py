@@ -41,7 +41,7 @@ turns AS (
   SELECT 'c' || CAST(doc_id // 8 AS VARCHAR) AS conv_id,
          CAST(doc_id % 8 AS INTEGER) AS turn_idx,
          CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-         text,
+         COALESCE(text, '') AS text,
          CASE WHEN doc_id % 3 = 2 THEN source ELSE '' END AS tool,
          TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
   FROM documents
@@ -1357,7 +1357,7 @@ def q_media_features(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_media(t: pa.Table) -> pa.Table:
-        payloads = [s.encode("utf-32-le") for s in t["text"].to_pylist()]
+        payloads = [(s or "").encode("utf-32-le") for s in t["text"].to_pylist()]
         return pa.table(
             {
                 "media_id": t["doc_id"],
@@ -1643,7 +1643,7 @@ def _lang_id_sql() -> str:
         conds = " AND ".join(f"{lang} >= {o}" for o in langs[i + 1:])
         tie.append(f"WHEN {conds} THEN '{lang}'")
     return f"""
-WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+WITH lowered AS (SELECT doc_id, lower(COALESCE(text, '')) AS t FROM documents),
 sc AS (SELECT doc_id, regexp_matches(t, '[一-鿿]') AS cjk,
        {score_cols}
        FROM lowered)
@@ -2027,7 +2027,7 @@ SELECT doc_id,
 FROM documents""",
         "quality_scores": r"""
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
        CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(array_length(list_filter(regexp_extract_all(text, '\S+'),
                                               x -> x IN ('the', 'a'))), 0) AS BIGINT) AS stopword_cnt
@@ -2044,7 +2044,7 @@ WHERE n_tokens >= 10 AND stopword_cnt * 3 <= n_tokens""",
         "media_features": """
 WITH cp AS (
   SELECT doc_id, unicode(c) % 8 AS r
-  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+  FROM (SELECT doc_id, unnest(string_split_regex(COALESCE(text, ''), '')) AS c FROM documents)
   WHERE c <> ''),
 tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM cp GROUP BY doc_id)
 SELECT d.doc_id AS media_id,
@@ -2182,8 +2182,8 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         # codepoint-polynomial rolling hash, identical recurrence both sides
         "fingerprints": """
 SELECT doc_id,
-  CAST(CASE WHEN length(text) = 0 THEN 0
-       ELSE list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(text, '')],
+  CAST(CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+       ELSE list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(COALESCE(text, ''), '')],
                         (acc, x) -> (acc * 257 + x) % 2305843009213693951)
   END AS BIGINT) AS fingerprint
 FROM documents""",

@@ -52,7 +52,9 @@ def _docs_to_turns(batch: pa.Table) -> pa.Table:
             "conv_id": conv,
             "turn_idx": turn_idx,
             "role": pa.array(roles, type=pa.string()),
-            "text": batch["text"],
+            # lenient policy: null text coerced to '' (mirrored by
+            # COALESCE in the oracle's turns CTE)
+            "text": pc.fill_null(batch["text"], ""),
             "tool": pa.array(tool, type=pa.string()),
             "ts": ts,
         }

@@ -530,7 +530,9 @@ def verified_pairs_ds(
     # zero-copy local object-store read, not a per-task reshipment)
     def _cand_filter(batch: pd.DataFrame, need_ref=need_ref) -> pd.DataFrame:
         mask = np.isin(batch["doc_id"].to_numpy(), ray.get(need_ref))
-        return batch[mask][["doc_id", "text"]]
+        out = batch[mask][["doc_id", "text"]].copy()
+        out["text"] = out["text"].fillna("")  # lenient null policy
+        return out
 
     # materialize the candidate-text subset ONCE (bounded by the LSH
     # candidate set, lives in the object store): both join sides and their

@@ -46,7 +46,10 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 def _count_bpe(batch: pa.Table) -> pa.Table:
     import re
 
-    pat = re.compile(BPE_PATTERN)
+    # re.ASCII: Python's \s matches unicode whitespace (NBSP!) while the
+    # oracle's RE2 \s is ASCII-only -- without the flag the two engines
+    # tokenize NBSP-containing text differently
+    pat = re.compile(BPE_PATTERN, re.ASCII)
     texts = batch["text"].to_numpy(zero_copy_only=False)
     counts = np.fromiter(
         (len(pat.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
@@ -60,7 +63,8 @@ def bpe_token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _quality(batch: pa.Table) -> pa.Table:
-    parts = pc.ascii_split_whitespace(batch["text"])
+    text = pc.fill_null(batch["text"], "")
+    parts = pc.ascii_split_whitespace(text)
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     flat = pc.list_flatten(parts)
@@ -72,7 +76,7 @@ def _quality(batch: pa.Table) -> pa.Table:
     n_tokens = np.bincount(parent_np, minlength=n).astype(np.int64)
     is_stop = pc.is_in(flat_f, value_set=pa.array(list(STOPWORDS))).to_numpy(zero_copy_only=False)
     stop_cnt = np.bincount(parent_np[is_stop], minlength=n).astype(np.int64)
-    n_chars = pc.utf8_length(batch["text"]).to_numpy().astype(np.int64)
+    n_chars = pc.utf8_length(text).to_numpy().astype(np.int64)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -109,7 +113,7 @@ class LangId:
         self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].str.lower()
+        texts = batch["text"].fillna("").str.lower()
         scores = pd.DataFrame(index=batch.index)
         for lang, grams in self.profiles.items():
             s = None
@@ -132,7 +136,7 @@ def lang_id(docs: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
 
 def _fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
     fps = np.fromiter(
-        (rolling_fingerprint(t) & 0x7FFFFFFFFFFFFFFF for t in batch["text"]),
+        (rolling_fingerprint(t or "") & 0x7FFFFFFFFFFFFFFF for t in batch["text"]),
         dtype=np.int64,
         count=len(batch),
     )
