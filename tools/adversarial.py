@@ -37,6 +37,21 @@ def make_adversarial(sf_dir: str, out_dir: str) -> str:
     pd.concat([docs, pd.DataFrame(rows)], ignore_index=True).to_parquet(
         os.path.join(out_dir, "documents.parquet"), index=False
     )
+    # events edge cases: exact half-cents (np.round half-to-even would
+    # diverge from SQL ROUND here -- pinned by queries._cents), negatives,
+    # zero, and a duplicated timestamp
+    ev = pd.read_parquet(os.path.join(out_dir, "events.parquet"))
+    ebase = int(ev["event_id"].max()) + 1
+    etmpl = ev.iloc[0].to_dict()
+    erows = []
+    for i, v in enumerate([0.125, -0.125, 2.675, -2.675, 0.0, 1.005]):
+        r = dict(etmpl)
+        r["event_id"] = ebase + i
+        r["value"] = v
+        erows.append(r)
+    pd.concat([ev, pd.DataFrame(erows)], ignore_index=True).to_parquet(
+        os.path.join(out_dir, "events.parquet"), index=False
+    )
     return out_dir
 
 
