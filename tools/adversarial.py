@@ -52,6 +52,17 @@ def make_adversarial(sf_dir: str, out_dir: str) -> str:
     pd.concat([ev, pd.DataFrame(erows)], ignore_index=True).to_parquet(
         os.path.join(out_dir, "events.parquet"), index=False
     )
+    # embeddings edge case: a zero-norm vector (cosine similarity hits
+    # 0-division; both engines must agree on its treatment)
+    import numpy as np
+
+    emb = pd.read_parquet(os.path.join(out_dir, "embeddings.parquet"))
+    vr = emb.iloc[0].to_dict()
+    vr["vec_id"] = int(emb["vec_id"].max()) + 1
+    vr["embedding"] = np.zeros(len(emb["embedding"].iloc[0]))
+    pd.concat([emb, pd.DataFrame([vr])], ignore_index=True).to_parquet(
+        os.path.join(out_dir, "embeddings.parquet"), index=False
+    )
     return out_dir
 
 
