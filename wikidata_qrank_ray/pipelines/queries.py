@@ -1689,6 +1689,104 @@ def _classify_sql() -> str:
     return classify_sql()
 
 
+def _minhash_dedup_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of stages.dedup.minhash_dedup, value-exact end to end:
+
+    - shingle hash = seedless codepoint polynomial (polyhash64) -> HUGEINT
+      list_reduce mod 2^64;
+    - the 64 permutation coefficients depend only on (num_perm, seed) --
+      both fixed -- so they embed as literals; signature components are
+      MIN((a*h + b) mod 2^64); empty docs get the all-max signature;
+    - band hash = polynomial fold of the band's signature values;
+    - candidate pairs reproduce the O(n)-per-bucket edge rule (bucket min +
+      sorted predecessor, stages/dedup.lsh_candidate_pairs_ds), NOT
+      all-in-bucket pairs -- components over verified edges depend on the
+      edge structure, so the oracle must match it exactly;
+    - verification = exact shingle-set Jaccard >= threshold (both-empty
+      pairs define jaccard = 1), clustering = recursive min-label
+      reachability (same fixpoint as union-find / star contraction).
+    """
+    from ..functions.hashing import minhash_coeffs
+
+    a, b = minhash_coeffs(num_perm, seed)
+    rows_per_band = num_perm // bands
+    perm_rows = ",".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    m64 = "18446744073709551616"  # 2^64
+    return rf"""
+WITH RECURSIVE
+perm(i, pa, pb) AS (VALUES {perm_rows}),
+toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {shingle_k}
+                THEN [array_to_string(t[i:i+{shingle_k - 1}], ' ')
+                      FOR i IN range(1, len(t) - {shingle_k - 2})]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+ds AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+sh AS (
+  SELECT doc_id, s,
+         list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(s, '')],
+                     (acc, x) -> (acc * 1000003 + x) % {m64}) AS h
+  FROM ds),
+sigv AS (
+  SELECT doc_id, p.i AS i,
+         MIN((CAST(p.pa AS HUGEINT) * h + p.pb) % {m64}) AS v
+  FROM sh, perm p GROUP BY doc_id, p.i),
+allsig AS (
+  SELECT d.doc_id, p.i,
+         COALESCE(s.v, CAST({(1 << 64) - 1} AS HUGEINT)) AS v
+  FROM documents d CROSS JOIN perm p
+  LEFT JOIN sigv s ON s.doc_id = d.doc_id AND s.i = p.i),
+bandh AS (
+  SELECT doc_id, i // {rows_per_band} AS band_id,
+         list_reduce(list(v ORDER BY i),
+                     (acc, x) -> (acc * 1000003 + x) % {m64}) AS bh
+  FROM allsig GROUP BY doc_id, i // {rows_per_band}),
+ranked AS (
+  SELECT doc_id, band_id, bh,
+         MIN(doc_id) OVER (PARTITION BY band_id, bh) AS frst,
+         LAG(doc_id) OVER (PARTITION BY band_id, bh ORDER BY doc_id) AS prv
+  FROM bandh),
+cand AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT frst AS a, doc_id AS b FROM ranked WHERE doc_id <> frst
+    UNION ALL
+    SELECT prv AS a, doc_id AS b FROM ranked
+    WHERE doc_id <> frst AND prv IS NOT NULL AND prv <> doc_id)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT c.a AS a, c.b AS b, COUNT(*) AS i
+  FROM cand c
+  JOIN ds x ON x.doc_id = c.a
+  JOIN ds y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b),
+verified AS (
+  SELECT c.a AS a, c.b AS b FROM cand c
+  LEFT JOIN sizes sa ON c.a = sa.doc_id
+  LEFT JOIN sizes sb ON c.b = sb.doc_id
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  WHERE CASE WHEN COALESCE(sa.sz, 0) = 0 AND COALESCE(sb.sz, 0) = 0 THEN 1.0
+             ELSE COALESCE(i.i, 0) * 1.0 /
+                  GREATEST(1, COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0) - COALESCE(i.i, 0))
+        END >= {threshold}),
+edges AS (SELECT a AS u, b AS v FROM verified UNION ALL SELECT b, a FROM verified),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node)
+SELECT node AS doc_id, MIN(r) AS dup_of FROM reach GROUP BY node"""
+
+
 def oracle_sql():
     qrank_select = """
 SELECT qid, mention_count AS rank_value,
@@ -2179,6 +2277,11 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         "lang_id": _lang_id_sql(),
         "embedding_class": _classify_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        # full MinHash-LSH pipeline recomputed in SQL (signatures, band
+        # hashes, the O(n)-per-bucket candidate edge rule, exact-Jaccard
+        # verification, min-label clustering) -- value-exact because every
+        # hash is the SQL-expressible codepoint polynomial
+        "minhash_dedup": _minhash_dedup_sql(),
         # codepoint-polynomial rolling hash, identical recurrence both sides
         "fingerprints": """
 SELECT doc_id,
@@ -2244,9 +2347,8 @@ SELECT a, b, hamming FROM (
          CAST(bit_count(xor(x.ss, y.ss)) AS BIGINT) AS hamming
   FROM sb x JOIN sb y ON x.doc_id < y.doc_id
 ) WHERE hamming <= 3""",
-        # ann_ivf (data-dependent k-means quantizer) / minhash_dedup
-        # (LSH-blocked clustering) / approx_distinct_users (HLL estimate):
-        # approximate by design -> rows-only here, value-checked against
-        # their exact twins in tests (ann_topk recall, planted-dup corpus,
-        # distinct_user_count bound)
+        # ann_ivf (data-dependent k-means quantizer) /
+        # approx_distinct_users (HLL estimate): approximate by design ->
+        # rows-only here, value-checked against their exact twins in tests
+        # (ann_topk recall, distinct_user_count bound)
     }

@@ -27,9 +27,9 @@ import ray.data
 from ..functions.hashing import (
     minhash_coeffs,
     minhash_signatures_batch,
+    polyhash64,
     shingles,
     simhash64_batch,
-    stable_hash64,
 )
 
 
@@ -66,7 +66,11 @@ def _minhash_sig_batch(
     sh, pos = _shingle_arrays(batch, shingle_k)
     n = batch.num_rows
     if len(sh):
-        hashes = stable_hash64(sh)
+        # seedless codepoint-polynomial shingle hash (functions.hashing
+        # .polyhash64): the one hash choice that lets the DuckDB oracle
+        # recompute the IDENTICAL signature (HUGEINT list_reduce mod 2^64),
+        # making minhash_dedup value-exact instead of rows-only
+        hashes = polyhash64(sh)
         order = np.argsort(pos, kind="stable")
         hashes = hashes[order]
         counts = np.bincount(pos, minlength=n)
@@ -108,15 +112,20 @@ def minhash_band_rows(sig_ds: ray.data.Dataset, bands: int, rows_per_band: int) 
                                  "band_hash": pd.Series([], dtype=np.int64),
                                  "doc_id": pd.Series([], dtype=np.int64)})
         sigs = np.frombuffer(b"".join(batch["sig"]), dtype=np.int64).reshape(n, -1)
+        usigs = sigs.view(np.uint64)
         out_band, out_hash, out_doc = [], [], []
         doc = batch["doc_id"].to_numpy()
         for b in range(bands):
-            seg = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
-            h = pd.util.hash_pandas_object(
-                pd.DataFrame(seg), index=False, hash_key="0123456789123456"
-            ).to_numpy()
+            seg = usigs[:, b * rows_per_band:(b + 1) * rows_per_band]
+            # polynomial fold of the band's signature values in uint64
+            # wraparound -- SQL-reproducible (list_reduce mod 2^64), unlike
+            # the former pandas siphash
+            h = np.zeros(n, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(seg.shape[1]):
+                    h = h * np.uint64(1000003) + seg[:, j]
             out_band.append(np.full(n, b, dtype=np.int64))
-            out_hash.append(h.astype(np.int64))
+            out_hash.append(h.view(np.int64))
             out_doc.append(doc)
         return pd.DataFrame(
             {
@@ -179,6 +188,47 @@ def _jaccard(t1: str, t2: str, k: int) -> float:
     if not s1 and not s2:
         return 1.0
     return len(s1 & s2) / max(1, len(s1 | s2))
+
+
+def _shingle_hash_sets(texts: np.ndarray, k: int) -> list[np.ndarray]:
+    """Unique texts -> per-text SORTED unique uint64 shingle-hash arrays
+    (polyhash64 over the exact shingles() strings): ONE vectorized
+    tokenize+shingle+hash pass over the whole text subset, replacing
+    per-pair Python set construction in verification."""
+    tbl = pa.table(
+        {"text": pa.array([t if isinstance(t, str) else "" for t in texts],
+                          type=pa.string())}
+    )
+    sh, pos = _shingle_arrays(tbl, k)
+    out: list[np.ndarray] = [np.array([], dtype=np.uint64)] * len(texts)
+    if len(sh):
+        h = polyhash64(sh)
+        order = np.argsort(pos, kind="stable")
+        pos_s, h_s = pos[order], h[order]
+        bounds = np.searchsorted(pos_s, np.arange(len(texts) + 1))
+        for i in range(len(texts)):
+            out[i] = np.unique(h_s[bounds[i]:bounds[i + 1]])
+    return out
+
+
+def _pair_jaccard_vec(ta: np.ndarray, tb: np.ndarray, k: int) -> np.ndarray:
+    """Exact shingle-set Jaccard for aligned text pairs: dedupe the texts,
+    hash-shingle them once (vectorized), then per-pair sorted-array
+    intersections (C-speed intersect1d) -- no Python string set ops.
+    Both-empty pairs (identical empty docs) define jaccard = 1."""
+    allt = pd.unique(np.concatenate([np.asarray(ta, dtype=object),
+                                     np.asarray(tb, dtype=object)]))
+    idx = {t: i for i, t in enumerate(allt)}
+    sets = _shingle_hash_sets(allt, k)
+    jac = np.empty(len(ta), dtype=np.float64)
+    for j, (x, y) in enumerate(zip(ta, tb)):
+        sa, sb = sets[idx[x]], sets[idx[y]]
+        if len(sa) == 0 and len(sb) == 0:
+            jac[j] = 1.0
+        else:
+            i = np.intersect1d(sa, sb, assume_unique=True).size
+            jac[j] = i / max(1, len(sa) + len(sb) - i)
+    return jac
 
 
 # ---------------------------------------------------------------------------
@@ -541,8 +591,11 @@ def verified_pairs_ds(
 
     if sub.size_bytes() <= broadcast_max_bytes:
         # broadcast tier: one ray.put of the size-gated text subset, one
-        # shuffle-free vectorized-lookup map over the pair Dataset
-        texts_df = sub.to_pandas()
+        # shuffle-free vectorized-lookup map over the pair Dataset.
+        # drop_duplicates: a corpus with duplicate doc_id rows would make
+        # the reindex raise on duplicate labels (same guard as the
+        # incremental signature path)
+        texts_df = sub.to_pandas().drop_duplicates("doc_id")
         text_ref = ray.put(
             pd.Series(
                 texts_df["text"].to_numpy(), index=texts_df["doc_id"].to_numpy()
@@ -555,11 +608,7 @@ def verified_pairs_ds(
             s = ray.get(text_ref)
             ta = s.reindex(df["a"].to_numpy()).to_numpy()
             tb = s.reindex(df["b"].to_numpy()).to_numpy()
-            jac = np.fromiter(
-                (_jaccard(x, y, k) for x, y in zip(ta, tb)),
-                dtype=np.float64,
-                count=len(df),
-            )
+            jac = _pair_jaccard_vec(ta, tb, k)
             out = pd.DataFrame(
                 {
                     "a": df["a"].to_numpy(dtype=np.int64),
@@ -574,15 +623,15 @@ def verified_pairs_ds(
     j2 = pair_join_values(cand_ds, sub, "text", n_cand)
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:
-        # per-pair set Jaccard; the pair set is LSH-bounded and spread over
-        # partitions -- the set-ops kernel runs in workers, not the driver.
-        # Docs with zero shingles (empty text) only ever pair with other
-        # empty docs (identical signatures), where jaccard is defined as 1
-        # (identical empties are also exact_dedup's job)
-        jac = np.fromiter(
-            (_jaccard(ta, tb, shingle_k) for ta, tb in zip(df["text_a"], df["text_b"])),
-            dtype=np.float64,
-            count=len(df),
+        # exact shingle-set Jaccard, vectorized over the batch (texts
+        # hash-shingled once, per-pair sorted intersections); the pair set
+        # is LSH-bounded and spread over partitions -- the kernel runs in
+        # workers, not the driver. Docs with zero shingles (empty text)
+        # only ever pair with other empty docs (identical signatures),
+        # where jaccard is defined as 1 (identical empties are also
+        # exact_dedup's job)
+        jac = _pair_jaccard_vec(
+            df["text_a"].to_numpy(), df["text_b"].to_numpy(), shingle_k
         )
         out = pd.DataFrame(
             {

@@ -90,6 +90,11 @@ def hash_partition_aggregate(
         return _arrow_groupby(t, keys, named)
 
     def _add_part(t: pa.Table) -> pa.Table:
+        # strip pandas schema metadata here -- these blocks feed the
+        # groupby shuffle, whose reduce tasks hash block schemas for
+        # dedup; the (unhashable) metadata dict from any upstream
+        # pandas-returning map defeats that and spams every reduce worker
+        t = t.replace_schema_metadata(None)
         return t.append_column("part", _stable_part_arrow(t, keys, num_partitions))
 
     def _final(t: pa.Table) -> pa.Table:
@@ -128,16 +133,31 @@ def hash_partition_apply(
     def _add_part(t: pa.Table) -> pa.Table:
         # partition id computed from the KEY columns only; value columns
         # ride through as zero-copy Arrow until the per-partition pandas
-        # sweep (the one place a pandas conversion is inherent)
+        # sweep (the one place a pandas conversion is inherent).
+        # metadata strip: see hash_partition_aggregate._add_part
+        t = t.replace_schema_metadata(None)
         return t.append_column("part", _stable_part_arrow(t, keys, num_partitions))
 
-    def _per_part(part_df: pd.DataFrame) -> pd.DataFrame:
-        return part_fn(part_df.drop(columns=["part"]))
+    def _per_part(part_df: pd.DataFrame):
+        return _strip_pandas_meta(part_fn(part_df.drop(columns=["part"])))
 
     staged = ds.map_batches(
         _add_part, batch_format="pyarrow", batch_size=stamp_batch_size
     )
     return staged.groupby("part").map_groups(_per_part, batch_format="pandas")
+
+
+def _strip_pandas_meta(out):
+    """Re-emit a pandas partition result as an Arrow block WITHOUT the
+    pandas schema-metadata dict: Ray dedups task outputs by hashing block
+    schemas, and the (unhashable) pandas metadata defeats that for every
+    reduce task ("Failed to hash the schemas" spam). Central fix for every
+    hash_partition_apply/map_groups call site. Empty frames stay pandas --
+    Arrow would infer ``null`` for empty object columns (text/sig payloads)
+    and poison downstream schema unification."""
+    if not isinstance(out, pd.DataFrame) or len(out) == 0:
+        return out
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def hash_partition_map_groups(
