@@ -135,6 +135,59 @@ def test_large_vocab_sparse_path_distributed_combine():
     assert (b["pred"] == MENTIONS_PRED).sum() > 0
 
 
+def test_streaming_distributed_tier_equals_driver_tier(tmp_path):
+    """run_streaming's distributed (Dataset-sink) tier produces the same
+    triples + qrank as its driver-combine tier on the same input -- the
+    100x path never diverges from the small path, and the triple set stays
+    off the driver (result is a Dataset)."""
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.pipelines import kg_build
+
+    texts = ["s1 s4 s5 s3", "s2 s5", "s4 s4 s1", "s3", "s5 s4"] * 30
+    tbl = pa.table(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+            "role": ["user"] * len(texts),
+            "text": texts,
+            "tool": [""] * len(texts),
+        }
+    )
+    src = str(tmp_path / "turns.parquet")
+    pq.write_table(tbl, src)
+
+    small = kg_build.run_streaming(src, concurrency=2, distributed=False)
+    big = kg_build.run_streaming(src, concurrency=2, distributed=True)
+    assert isinstance(big["triples"], ray.data.Dataset)
+    got = (
+        big["triples"].to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    want = (
+        small["triples"]
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        big["qrank"].reset_index(drop=True), small["qrank"].reset_index(drop=True)
+    )
+    # sink variant: out_dir writes partitioned Parquet with the same rows
+    out = str(tmp_path / "sink")
+    kg_build.run_streaming(src, concurrency=2, distributed=True, out_dir=out)
+    sunk = (
+        ray.data.read_parquet(out + "/triples")
+        .to_pandas()[["subj", "pred", "obj", "weight"]]
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        sunk.astype({"weight": "int64"}), want, check_dtype=False
+    )
+
+
 def test_flagship_triples_match_canonical_oracle(tmp_path):
     """End-to-end value parity: kg_build.run's triple output equals the
     DuckDB canonical_triples oracle on the same derived corpus (the e2e

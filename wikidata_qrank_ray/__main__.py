@@ -153,14 +153,19 @@ def main(argv: list[str] | None = None) -> int:
                               "metrics": out["metrics"]}, indent=1))
         else:
             res = kg_build.run_streaming(args.input, concurrency=args.concurrency)
+            tri = res["triples"]
+            is_ds = not hasattr(tri, "to_parquet")  # Dataset above the combine threshold
             summary = {
-                "triples": len(res["triples"]),
+                "triples": tri.count() if is_ds else len(tri),
                 "entities": len(res["qrank"]),
                 "stats": res["stats"],
             }
             if args.out:
                 os.makedirs(args.out, exist_ok=True)
-                res["triples"].to_parquet(os.path.join(args.out, "triples.parquet"), index=False)
+                if is_ds:
+                    tri.write_parquet(os.path.join(args.out, "triples"), compression="zstd")
+                else:
+                    tri.to_parquet(os.path.join(args.out, "triples.parquet"), index=False)
                 res["qrank"].to_csv(os.path.join(args.out, "qrank.csv"), index=False)
                 with open(os.path.join(args.out, "stats.json"), "w") as f:
                     json.dump(res["stats"], f, sort_keys=True)

@@ -289,13 +289,24 @@ def run_streaming(
     concurrency: int = 8,
     batch_size: int = 32768,
     gaz_top_n: int = 30,
+    distributed: bool | None = None,
+    out_dir: str | None = None,
 ) -> dict:
     """Fully streaming flagship: read -> normalize -> canonical triple +
     count extraction -> one groupby -> qrank order, with NO mid-pipeline
     materialization (the checkpointed ``run`` trades this for per-stage
     resume). Two passes over the input total: one to build the gazetteer
-    dictionary, one fused extraction pass. Returns in-memory results
-    (entity-space sized)."""
+    dictionary, one fused extraction pass.
+
+    Above DRIVER_COMBINE_MAX_SURFACES (``distributed``, auto) the triple
+    set NEVER lands on the driver: the hash-partitioned aggregate stays in
+    the object store and ``triples`` in the result is a sorted
+    ``ray.data.Dataset`` (written to ``out_dir/triples`` as partitioned
+    Parquet when given) -- the driver only ever holds the vocab-sized rank
+    counts, same as the staged ``run``. Below the threshold the tiny
+    entity-space combine returns driver pandas as before (the reference's
+    extsort rollup analogue: qviews.go:94-121 never holds the full set in
+    one process)."""
     from ..stages.triples import MENTIONS_PRED, triple_partials
 
     # block count ~ 2x the worker slots: fewer, bigger blocks keep the
@@ -325,17 +336,52 @@ def run_streaming(
         gaz, text_col="norm_text", mapping_ref=mapping, emit_counts=True,
         concurrency=concurrency, batch_size=batch_size,
     )
-    # final combine: driver-side while the vocabulary is small, hash-
-    # partitioned shuffle beyond DRIVER_COMBINE_MAX_SURFACES (auto)
-    adf = _combine_triple_partials(partial, len(gaz)).rename(columns={"w": "weight"})
-    is_cnt = adf["pred"] == MENTIONS_PRED
-    triples = (
-        adf[~is_cnt]
-        .sort_values(["subj", "pred", "obj"], kind="mergesort")
-        .reset_index(drop=True)
-    )
-    ranks = adf[is_cnt][["subj", "weight"]].rename(
-        columns={"subj": "qid", "weight": "mention_count"}
-    )
+    if distributed is None:
+        distributed = len(gaz) > DRIVER_COMBINE_MAX_SURFACES
+    if distributed:
+        # hash-partitioned final combine; the aggregate (the smallest
+        # representation of the graph) stays in the object store and the
+        # triple Dataset is the result -- sunk straight to Parquet when
+        # out_dir is given, never a driver DataFrame
+        from ..stages.groupby import hash_partition_aggregate
+
+        agg = hash_partition_aggregate(
+            partial, ["subj", "pred", "obj"], {"w": ("w", "sum")}
+        ).materialize()
+        triples = agg.map_batches(
+            lambda df: df[df["pred"] != MENTIONS_PRED].rename(columns={"w": "weight"}),
+            batch_format="pandas",
+        ).sort(["subj", "pred", "obj"])
+        if out_dir is not None:
+            triples.write_parquet(
+                os.path.join(out_dir, "triples"), partition_cols=["pred"],
+                compression="zstd",
+            )
+        else:
+            # execute now (object-store blocks, not driver memory) so the
+            # returned handle is reusable and timings include the sort
+            triples = triples.materialize()
+        ranks = (
+            agg.map_batches(
+                lambda df: df[df["pred"] == MENTIONS_PRED][["subj", "w"]],
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .rename(columns={"subj": "qid", "w": "mention_count"})
+        )
+    else:
+        # small vocabulary: entity-space-sized partials merge on the driver
+        adf = _combine_triple_partials(partial, len(gaz), distributed=False).rename(
+            columns={"w": "weight"}
+        )
+        is_cnt = adf["pred"] == MENTIONS_PRED
+        triples = (
+            adf[~is_cnt]
+            .sort_values(["subj", "pred", "obj"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ranks = adf[is_cnt][["subj", "weight"]].rename(
+            columns={"subj": "qid", "weight": "mention_count"}
+        )
     qdf = qrank_order(ray.data.from_pandas(ranks)) if len(ranks) else ranks
     return {"triples": triples, "qrank": qdf, "stats": rank_stats(qdf)}
