@@ -137,3 +137,72 @@ def test_bigram_counts_ignore_whitespace_padding():
     # padded and unpadded rows contribute the SAME bigram; no phantom
     # ""-token pairs like " alpha" / "beta "
     assert got == {"alpha beta": 2}
+
+
+def test_maximal_munch_arbitrary_length_phrases():
+    """Planted 3- and 4-token surfaces: longest match wins at each position,
+    consumed spans block shorter matches inside them, matching resumes
+    right after a taken span (PhraseGazetteerMatcher greedy walk)."""
+    from wikidata_qrank_ray.stages.mentions import PhraseGazetteerMatcher
+
+    gaz = pd.DataFrame(
+        {
+            "qid": ["Q1", "Q101", "Q201", "Q301"],
+            "surface": ["york", "new york", "new york city", "the big apple city"],
+            "prior": [100, 50, 25, 10],
+        }
+    )
+    m = PhraseGazetteerMatcher(gaz)
+    t = pa.table(
+        {
+            "conv_id": ["a", "b", "c", "d"],
+            "turn_idx": pa.array([0, 0, 0, 0], type=pa.int32()),
+            # a: quad at pos 1..4 consumes "city" -> no trigram/bigram inside
+            "text": [
+                "x the big apple city new york city y",
+                "new york city",      # trigram beats bigram+unigram
+                "new new york",       # no bigram at 0 ("new new"); bigram at 1 taken
+                "york new york city", # unigram at 0, trigram at 1
+            ],
+        }
+    )
+    out = m(t).to_pandas()
+    got = {
+        (c, q, s)
+        for c, q, s in zip(out["conv_id"], out["qid"], out["surface"])
+    }
+    assert got == {
+        ("a", "Q301", "the big apple city"),
+        ("a", "Q201", "new york city"),
+        ("b", "Q201", "new york city"),
+        ("c", "Q101", "new york"),
+        ("d", "Q1", "york"),
+        ("d", "Q201", "new york city"),
+    }
+
+
+def test_maximal_munch_consumed_span_blocks_inner_match():
+    """A taken long match must also block matches STARTING inside its span:
+    'new york city' at pos 0 consumes pos 1-2, so 'york' (pos 1) never
+    fires even though it is in the dictionary."""
+    from wikidata_qrank_ray.stages.mentions import PhraseGazetteerMatcher
+
+    gaz = pd.DataFrame(
+        {
+            "qid": ["Q1", "Q2", "Q201"],
+            "surface": ["york", "city", "new york city"],
+            "prior": [100, 90, 10],
+        }
+    )
+    m = PhraseGazetteerMatcher(gaz)
+    t = pa.table(
+        {
+            "conv_id": ["a"],
+            "turn_idx": pa.array([0], type=pa.int32()),
+            "text": ["new york city city"],
+        }
+    )
+    out = m(t).to_pandas()
+    got = {(q, s) for q, s in zip(out["qid"], out["surface"])}
+    # trailing second "city" is outside the span -> unigram fires there
+    assert got == {("Q201", "new york city"), ("Q2", "city")}

@@ -103,6 +103,77 @@ gaz2 AS (
   ) WHERE rnk <= 15
 )"""
 
+def _sql_gazn(k: int, offset: int, top_n: int) -> str:
+    """k-gram phrase gazetteer CTE (mirrors SQL_GAZ2 at arbitrary k)."""
+    return rf"""
+gaz{k} AS (
+  SELECT 'Q' || CAST({offset} + rnk AS VARCHAR) AS qid, surface, CAST(cnt AS BIGINT) AS prior FROM (
+    SELECT surface, COUNT(*) AS cnt,
+           row_number() OVER (ORDER BY COUNT(*) DESC, surface ASC) AS rnk
+    FROM (
+      SELECT unnest([array_to_string(t[i:i+{k - 1}], ' ') FOR i IN range(1, len(t) - {k - 2})]) AS surface
+      FROM (SELECT regexp_extract_all(text, '\S+') AS t FROM documents)
+    )
+    GROUP BY surface
+  ) WHERE rnk <= {top_n}
+)"""
+
+
+SQL_GAZ3 = _sql_gazn(3, 200, 10)
+SQL_GAZ4 = _sql_gazn(4, 300, 10)
+
+# greedy MAXIMAL-MUNCH over arbitrary-length surfaces in SQL: per-position
+# longest-match candidates (all k-grams joined against the union
+# dictionary, longest k kept), then the left-to-right walk itself as a
+# recursive CTE over (turn, position) -- each step jumps the taken match's
+# span (or 1), exactly what stages.mentions.PhraseGazetteerMatcher's
+# frontier walk does
+SQL_WALK_K4 = r"""
+dict4 AS (
+  SELECT surface, qid, len(string_split(surface, ' ')) AS k FROM (
+    SELECT surface, qid FROM gaz UNION ALL SELECT surface, qid FROM gaz2
+    UNION ALL SELECT surface, qid FROM gaz3 UNION ALL SELECT surface, qid FROM gaz4)),
+tarr AS (SELECT conv_id, turn_idx, regexp_extract_all(text, '\S+') AS t FROM turns),
+tlen AS (SELECT conv_id, turn_idx, len(t) AS len FROM tarr WHERE len(t) > 0),
+allgrams AS (
+  SELECT conv_id, turn_idx,
+         unnest([{'pos': i, 's': t[i]} FOR i IN range(1, len(t) + 1)], recursive := true)
+  FROM tarr
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         unnest([{'pos': i, 's': array_to_string(t[i:i+1], ' ')} FOR i IN range(1, len(t))], recursive := true)
+  FROM tarr
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         unnest([{'pos': i, 's': array_to_string(t[i:i+2], ' ')} FOR i IN range(1, len(t) - 1)], recursive := true)
+  FROM tarr
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         unnest([{'pos': i, 's': array_to_string(t[i:i+3], ' ')} FOR i IN range(1, len(t) - 2)], recursive := true)
+  FROM tarr),
+best AS (
+  SELECT * FROM (
+    SELECT g.conv_id AS conv_id, g.turn_idx AS turn_idx, g.pos AS pos,
+           g.s AS surface, d.qid AS qid, d.k AS k,
+           row_number() OVER (PARTITION BY g.conv_id, g.turn_idx, g.pos
+                              ORDER BY d.k DESC) AS rn
+    FROM allgrams g JOIN dict4 d ON d.surface = g.s
+  ) WHERE rn = 1),
+walk(conv_id, turn_idx, pos) AS (
+  SELECT conv_id, turn_idx, 1 FROM tlen
+  UNION ALL
+  SELECT w.conv_id, w.turn_idx, w.pos + COALESCE(b.k, 1)
+  FROM walk w
+  JOIN tlen l ON l.conv_id = w.conv_id AND l.turn_idx = w.turn_idx
+  LEFT JOIN best b ON b.conv_id = w.conv_id AND b.turn_idx = w.turn_idx
+                  AND b.pos = w.pos
+  WHERE w.pos + COALESCE(b.k, 1) <= l.len),
+phits4 AS (
+  SELECT DISTINCT w.conv_id, w.turn_idx, b.qid, b.surface
+  FROM walk w JOIN best b ON b.conv_id = w.conv_id AND b.turn_idx = w.turn_idx
+                         AND b.pos = w.pos)"""
+
+
 # greedy longest-match phrase semantics in SQL: bigram candidates at
 # adjacent positions; within each maximal run of consecutive candidate
 # positions the even offsets are taken (gaps-and-islands + run parity --
@@ -306,6 +377,44 @@ def q_mentions_phrases(sf_dir: str):
 
     ds = derive_transcripts(sf_dir)
     return detect_mentions_phrases(ds, ray.put(_phrase_gaz(sf_dir)))
+
+
+def _phrase_gaz_k4(sf_dir: str) -> pd.DataFrame:
+    from ..sources.gazetteer import build_bigram_gazetteer, build_ngram_gazetteer
+
+    return pd.concat(
+        [
+            build_gazetteer(sf_dir),
+            build_bigram_gazetteer(sf_dir),
+            build_ngram_gazetteer(sf_dir, 3),
+            build_ngram_gazetteer(sf_dir, 4),
+        ],
+        ignore_index=True,
+    )
+
+
+def q_gazetteer_ngrams(sf_dir: str):
+    """3- and 4-token phrase dictionary tables (top-N adjacent k-grams,
+    disjoint qid offsets) -- the arbitrary-length dictionary keys of
+    titles.go:26-115."""
+    from ..sources.gazetteer import build_ngram_gazetteer
+
+    return pd.concat(
+        [build_ngram_gazetteer(sf_dir, 3), build_ngram_gazetteer(sf_dir, 4)],
+        ignore_index=True,
+    )
+
+
+def q_mentions_phrases_k4(sf_dir: str):
+    """Arbitrary-length phrase mention detection (uni/bi/tri/quad-gram
+    surfaces, left-to-right greedy MAXIMAL MUNCH -- at each unconsumed
+    position take the longest matching phrase and jump its span). The
+    oracle reproduces the greedy walk with a recursive CTE over
+    (turn, position), so 3- and 4-token surfaces are value-exact too."""
+    from ..stages.mentions import detect_mentions_phrases
+
+    ds = derive_transcripts(sf_dir)
+    return detect_mentions_phrases(ds, ray.put(_phrase_gaz_k4(sf_dir)))
 
 
 def q_phrase_rank(sf_dir: str):
@@ -1552,6 +1661,8 @@ def queries():
         "mentions": q_mentions,
         "gazetteer_phrases": q_gazetteer_phrases,
         "mentions_phrases": q_mentions_phrases,
+        "gazetteer_ngrams": q_gazetteer_ngrams,
+        "mentions_phrases_k4": q_mentions_phrases_k4,
         "phrase_rank": q_phrase_rank,
         "entity_rank": q_entity_rank,
         "entity_rank_salted": q_entity_rank_salted,
@@ -1842,6 +1953,13 @@ GROUP BY subj, pred, obj"""
             SQL_TURNS, SQL_GAZ, SQL_GAZ2, SQL_PHRASE_MATCH,
             select="SELECT conv_id, turn_idx, qid, surface FROM phits",
         ),
+        "gazetteer_ngrams": _with(
+            SQL_GAZ3, SQL_GAZ4,
+            select="SELECT qid, surface, prior FROM gaz3 UNION ALL SELECT qid, surface, prior FROM gaz4",
+        ),
+        "mentions_phrases_k4": "WITH RECURSIVE "
+        + ",".join([SQL_TURNS, SQL_GAZ, SQL_GAZ2, SQL_GAZ3, SQL_GAZ4, SQL_WALK_K4])
+        + "\nSELECT conv_id, turn_idx, qid, surface FROM phits4",
         "phrase_rank": _with(
             SQL_TURNS, SQL_GAZ, SQL_GAZ2, SQL_PHRASE_MATCH,
             select="SELECT qid, CAST(COUNT(*) AS BIGINT) AS mention_count FROM phits GROUP BY qid",

@@ -82,9 +82,10 @@ BIGRAM_TOP_N = 15
 BIGRAM_QID_OFFSET = 100
 
 
-def _partial_bigram_counts(batch: pa.Table) -> pa.Table:
-    """Per-batch adjacent-token-pair counts (map-side combine), vectorized:
-    one whitespace split, one object-array concat over same-doc positions."""
+def _partial_ngram_counts(batch: pa.Table, k: int) -> pa.Table:
+    """Per-batch adjacent-token k-gram counts (map-side combine),
+    vectorized: one whitespace split, k-1 object-array concats over
+    same-doc positions."""
     parts = pc.ascii_split_whitespace(batch["text"])
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
@@ -96,13 +97,21 @@ def _partial_bigram_counts(batch: pa.Table) -> pa.Table:
     mask = pc.not_equal(flat_arr, "")
     flat = flat_arr.filter(mask).to_numpy(zero_copy_only=False)
     parent = parent_arr.filter(mask).to_numpy()
-    if len(flat) < 2:
-        return pa.table({"surface": pa.array([], type=pa.string()),
-                         "cnt": pa.array([], type=pa.int64())})
+    empty = pa.table({"surface": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+    if len(flat) < k:
+        return empty
     toks = np.asarray(flat, dtype=object)
-    same = parent[:-1] == parent[1:]
-    cand = toks[:-1][same] + " "
-    cand = cand + toks[1:][same]
+    n = len(toks)
+    # k-gram starts where endpoints share a doc (positions are contiguous)
+    ok = parent[: n - k + 1] == parent[k - 1:]
+    idxs = np.nonzero(ok)[0]
+    if not len(idxs):
+        return empty
+    cand = toks[idxs].copy()
+    for j in range(1, k):
+        cand = cand + " "
+        cand = cand + toks[idxs + j]
     vc = pd.Series(cand).value_counts()
     return pa.table(
         {
@@ -110,6 +119,10 @@ def _partial_bigram_counts(batch: pa.Table) -> pa.Table:
             "cnt": pa.array(vc.to_numpy().astype(np.int64)),
         }
     )
+
+
+def _partial_bigram_counts(batch: pa.Table) -> pa.Table:
+    return _partial_ngram_counts(batch, 2)
 
 
 def merge_bigram_partials(
@@ -137,6 +150,28 @@ def build_bigram_gazetteer(
     reference's multi-word titles (titles.go:26-115)."""
     docs = read_table(sf_dir, "documents", columns=["text"])
     partial = docs.map_batches(_partial_bigram_counts, batch_format="pyarrow")
+    return merge_bigram_partials(partial.to_pandas(), top_n, offset)
+
+
+# arbitrary-length phrase surfaces: qid offset per length keeps the phrase
+# entity spaces disjoint (2 -> Q101.., 3 -> Q201.., 4 -> Q301..)
+NGRAM_TOP_N = 10
+NGRAM_QID_OFFSET = {3: 200, 4: 300}
+
+
+def build_ngram_gazetteer(
+    sf_dir: str, k: int, top_n: int = NGRAM_TOP_N, offset: int | None = None
+) -> pd.DataFrame:
+    """Top-N adjacent-token k-gram surfaces -> (qid, surface, prior),
+    qid = 'Q' + (offset + rank): the arbitrary-length dictionary-key
+    analogue of the reference's multi-word titles (titles.go:26-115, e.g.
+    3+-token namespace-prefixed titles titles.go:160-169)."""
+    if offset is None:
+        offset = NGRAM_QID_OFFSET[k]
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    partial = docs.map_batches(
+        lambda b, k=k: _partial_ngram_counts(b, k), batch_format="pyarrow"
+    )
     return merge_bigram_partials(partial.to_pandas(), top_n, offset)
 
 

@@ -144,25 +144,37 @@ class GazetteerMatcher:
         )
 
 class PhraseGazetteerMatcher:
-    """Multi-token (phrase) gazetteer matching -- greedy longest-match over
-    the token stream, fully vectorized (the Aho-Corasick step of SURVEY.md
-    §7.2; reference dictionary keys are multi-word titles, titles.go:26-115).
+    """Multi-token (phrase) gazetteer matching for ARBITRARY-length
+    surfaces -- left-to-right greedy maximal munch, the semantics of the
+    reference's longest-match dictionary keys (multi-word titles,
+    titles.go:26-115; namespace-prefixed titles titles.go:160-169): at
+    each unconsumed position take the LONGEST matching phrase starting
+    there and jump past its span, else advance one token.
 
-    Semantics (what a left-to-right greedy scanner does with max phrase
-    length 2): a bigram candidate at token position p is TAKEN iff p is not
-    consumed by a taken bigram at p-1 -- equivalently, within each maximal
-    run of consecutive bigram-candidate positions, the even offsets are
-    taken (run parity, no sequential loop). A unigram matches at p iff no
-    taken bigram covers p. The identical rule is expressible in SQL with
-    one gaps-and-islands window, so this path is oracle-gated.
+    Vectorized in two stages:
+    1. per-position longest-match tables: for each phrase length k, one
+       object-array concat over same-turn positions + one dict map --
+       L(p), qid(p), surface(p) with longer k overwriting shorter;
+    2. a BATCH-WIDE frontier walk: one cursor per turn, all turns advanced
+       together per step (cur += L or 1), so the Python loop runs
+       max-tokens-per-turn times regardless of batch size -- every step is
+       O(#turns) numpy, no per-token Python.
+
+    For dictionaries whose longest surface is 2 tokens this reproduces the
+    former run-parity implementation exactly (proven by the unchanged
+    mentions_phrases oracle); the greedy walk is also expressible in SQL
+    as a recursive CTE over (turn, position), so k>=3 stays oracle-gated
+    (mentions_phrases_k4).
     """
 
     def __init__(self, gaz_ref, text_col: str = "text"):
         gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
         cands = gazetteer_to_dict(gaz)
         best = {s: c[0][0] for s, c in cands.items()}
-        self.uni = {s: q for s, q in best.items() if " " not in s}
-        self.bi = {s: q for s, q in best.items() if s.count(" ") == 1}
+        self.by_len: dict[int, dict[str, str]] = {}
+        for s, q in best.items():
+            k = s.count(" ") + 1
+            self.by_len.setdefault(k, {})[s] = q
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -171,49 +183,62 @@ class PhraseGazetteerMatcher:
         n = len(toks)
         conv = batch["conv_id"].to_numpy(zero_copy_only=False)
         tix = batch["turn_idx"].to_numpy()
-        if n == 0:
-            return pa.table(
-                {
-                    "conv_id": pa.array([], type=pa.string()),
-                    "turn_idx": pa.array([], type=pa.int32()),
-                    "qid": pa.array([], type=pa.string()),
-                    "surface": pa.array([], type=pa.string()),
-                }
-            )
-        # bigram candidates at positions where p and p+1 share a turn
-        same = np.zeros(n, dtype=bool)
-        if n > 1:
-            same[:-1] = parent[:-1] == parent[1:]
-        bsurf = np.empty(n, dtype=object)
-        bqid = np.full(n, None, dtype=object)
-        sp = np.nonzero(same)[0]
-        if len(sp):
-            cand = toks[sp] + " "
-            cand = cand + toks[sp + 1]
-            bsurf[sp] = cand
-            bqid[sp] = pd.Series(cand).map(self.bi).to_numpy()
-        B = pd.notna(bqid)
-        # run-parity greedy: even offsets within each consecutive-B run
-        bpos = np.nonzero(B)[0]
-        covered = np.zeros(n, dtype=bool)
-        tb = np.array([], dtype=np.int64)
-        if len(bpos):
-            new_run = np.ones(len(bpos), dtype=bool)
-            new_run[1:] = np.diff(bpos) != 1
-            run_id = np.cumsum(new_run) - 1
-            run_first = bpos[new_run]
-            taken = ((bpos - run_first[run_id]) % 2) == 0
-            tb = bpos[taken]
-            covered[tb] = True
-            covered[tb + 1] = True
-        uqid = pd.Series(toks).map(self.uni).to_numpy()
-        up = np.nonzero(pd.notna(uqid) & ~covered)[0]
-        out = pd.DataFrame(
+        empty = pa.table(
             {
-                "parent": np.concatenate([parent[tb], parent[up]]),
-                "qid": np.concatenate([bqid[tb], uqid[up]]),
-                "surface": np.concatenate([bsurf[tb], toks[up]]),
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int32()),
+                "qid": pa.array([], type=pa.string()),
+                "surface": pa.array([], type=pa.string()),
             }
+        )
+        if n == 0:
+            return empty
+        # stage 1: longest match per position (ascending k; longer wins)
+        L = np.zeros(n, dtype=np.int64)
+        qid = np.empty(n, dtype=object)
+        surf = np.empty(n, dtype=object)
+        for k in sorted(self.by_len):
+            d = self.by_len[k]
+            if k == 1:
+                idxs = np.arange(n)
+                cand = toks
+            else:
+                if n < k:
+                    continue
+                # p..p+k-1 in one turn <=> endpoints share a parent
+                ok = parent[: n - k + 1] == parent[k - 1:]
+                idxs = np.nonzero(ok)[0]
+                if not len(idxs):
+                    continue
+                cand = toks[idxs].copy()
+                for j in range(1, k):
+                    cand = cand + " "
+                    cand = cand + toks[idxs + j]
+            m = pd.Series(cand).map(d).to_numpy()
+            hit = pd.notna(m)
+            hi = idxs[hit]
+            L[hi] = k
+            qid[hi] = m[hit]
+            surf[hi] = cand[hit]
+        step = np.where(L > 0, L, 1)
+        # stage 2: batch-wide greedy walk (one cursor per turn)
+        n_turns = int(parent[-1]) + 1 if n else 0
+        starts = np.searchsorted(parent, np.arange(n_turns))
+        ends = np.searchsorted(parent, np.arange(n_turns), side="right")
+        cur = starts.copy()
+        taken: list[np.ndarray] = []
+        while True:
+            alive = cur < ends
+            if not alive.any():
+                break
+            c = cur[alive]
+            taken.append(c[L[c] > 0])
+            cur[alive] = c + step[c]
+        mp = np.concatenate(taken) if taken else np.array([], dtype=np.int64)
+        if not len(mp):
+            return empty
+        out = pd.DataFrame(
+            {"parent": parent[mp], "qid": qid[mp], "surface": surf[mp]}
         ).drop_duplicates(["parent", "qid", "surface"])
         return pa.table(
             {
