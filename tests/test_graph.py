@@ -221,3 +221,60 @@ def test_triangles_triangle_free():
     e = pd.DataFrame({"a": [0, 1, 2], "b": [1, 2, 3]})
     got = triangle_counts(ray.data.from_pandas(e.astype(np.int64)), num_partitions=4)
     assert got.count() == 0
+
+
+def test_pagerank_sparse_tier_equality_1m_nodes():
+    """10^6-node graph through the distributed tier: per-batch partials are
+    SPARSE (node, contribution) rows -- no |V|-dense buffer per batch --
+    and the result equals the driver-tier power iteration."""
+    from wikidata_qrank_ray.stages.graph import _index_edges
+
+    rng = np.random.RandomState(11)
+    n_nodes, n_e = 1_000_000, 1_500_000
+    subj = rng.randint(1, n_nodes, n_e)
+    obj = subj + 1 + rng.randint(0, 50, n_e)  # guarantees subj != obj
+    edges = pd.DataFrame(
+        {
+            "subj": pd.Series(subj).map(lambda i: f"Q{i}"),
+            "obj": pd.Series(obj).map(lambda i: f"Q{i}"),
+            "weight": rng.randint(1, 4, n_e),
+        }
+    ).drop_duplicates(["subj", "obj"])
+    driver = pagerank_edges(edges, iters=3).sort_values("qid").reset_index(drop=True)
+    _, _, _, names = _index_edges(edges)
+    dist = (
+        pagerank_distributed(
+            ray.data.from_pandas(edges).repartition(8), names, iters=3
+        )
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    assert driver["qid"].tolist() == dist["qid"].tolist()
+    assert np.allclose(driver["pagerank"], dist["pagerank"], rtol=0, atol=1e-15)
+
+
+def test_pagerank_auto_tiers_agree():
+    from wikidata_qrank_ray.stages.graph import pagerank_auto
+
+    rng = np.random.RandomState(9)
+    n_e = 500
+    edges = pd.DataFrame(
+        {
+            "subj": [f"Q{i}" for i in rng.randint(1, 30, n_e)],
+            "obj": [f"Q{i}" for i in rng.randint(30, 60, n_e)],
+            "weight": rng.randint(1, 5, n_e),
+        }
+    ).drop_duplicates(["subj", "obj"])
+    ds = ray.data.from_pandas(edges).repartition(4)
+    small = pagerank_auto(ds, iters=8).sort_values("qid").reset_index(drop=True)
+    # force the distributed tier on the same edges
+    import wikidata_qrank_ray.stages.graph as G
+
+    old = G.PAGERANK_DRIVER_MAX_EDGES
+    G.PAGERANK_DRIVER_MAX_EDGES = 0
+    try:
+        big = pagerank_auto(ds, iters=8).sort_values("qid").reset_index(drop=True)
+    finally:
+        G.PAGERANK_DRIVER_MAX_EDGES = old
+    assert small["qid"].tolist() == big["qid"].tolist()
+    assert np.allclose(small["pagerank"], big["pagerank"], rtol=0, atol=1e-12)

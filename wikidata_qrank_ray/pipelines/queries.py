@@ -1339,12 +1339,16 @@ def q_graph_pagerank(sf_dir: str):
     deterministic power iterations, damping 0.85) -- the iterative,
     non-SQL-expressible operator family; rows-only for the driver, pinned
     by golden/invariant/tier-equality tests in tests/test_graph.py.
-    Emitted with an exact rank_pos ordering so the row set is stable."""
-    from ..stages.graph import pagerank_edges
+    Emitted with an exact rank_pos ordering so the row set is stable.
+    Edges feed the tier dispatcher as a DATASET -- the edge set only
+    reaches the driver in the small tier."""
+    from ..stages.graph import pagerank_auto
 
-    ct = q_canonical_triples(sf_dir).to_pandas()
-    edges = ct[ct["pred"] == "co_occurs"][["subj", "obj", "weight"]]
-    pr = pagerank_edges(edges)
+    edges = q_canonical_triples(sf_dir).map_batches(
+        lambda df: df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]],
+        batch_format="pandas",
+    )
+    pr = pagerank_auto(edges)
     pr = pr.sort_values(["pagerank", "qid"], ascending=[False, True], kind="mergesort")
     pr["rank_pos"] = np.arange(1, len(pr) + 1, dtype=np.int64)
     return pr.reset_index(drop=True)

@@ -77,10 +77,21 @@ def pagerank_distributed(
     damping: float = 0.85,
     iters: int = 20,
 ) -> pd.DataFrame:
-    """Distributed-matvec tier: rank vector broadcast per iteration,
-    per-batch dense contribution partials (|V|-sized) merged on the
-    driver. Edge batches never leave the object store; data motion per
-    iteration is batches x |V| doubles, independent of edge count."""
+    """Distributed tier with SPARSE per-batch partials: each edge batch
+    emits (node, contribution) rows only for the nodes it touches (bounded
+    by 2x batch rows, NOT |V|), a hash-partitioned aggregate sums them,
+    and the driver sees one |V|-row frame per iteration -- the algorithm
+    state itself (rank + degree vectors, broadcast via ray.put as
+    object-store reads), never batches x |V| buffers. Documented tier
+    limit: the state vectors are |V|-sized in the object store and on the
+    driver once per iteration; beyond that, partition the rank Dataset and
+    co-shuffle edges per iteration (one more shuffle per round).
+
+    Node ids are dense ordinals of ``names`` so the state vectors index
+    directly; output matches pagerank_edges bit-for-bit up to float
+    summation order (tier-equality pinned in tests/test_graph.py)."""
+    from .groupby import hash_partition_aggregate
+
     n = len(names)
     idx = {q: i for i, q in enumerate(names)}
     idx_ref = ray.put(idx)
@@ -97,18 +108,23 @@ def pagerank_distributed(
 
     indexed = edge_ds.map_batches(_to_idx, batch_format="pandas").materialize()
 
-    # weighted degree: one pass of |V|-sized partials
-    def _deg(df: pd.DataFrame) -> pd.DataFrame:
-        d = np.zeros(n)
-        np.add.at(d, df["s"].to_numpy(), df["w"].to_numpy())
-        np.add.at(d, df["o"].to_numpy(), df["w"].to_numpy())
-        return pd.DataFrame({"vec": [d.tobytes()]})
+    def _sparse(node_arr: np.ndarray, val_arr: np.ndarray) -> pd.DataFrame:
+        """Sum values per batch-local node -> sparse (node, c) rows."""
+        uniq, inv = np.unique(node_arr, return_inverse=True)
+        c = np.bincount(inv, weights=val_arr, minlength=len(uniq))
+        return pd.DataFrame({"node": uniq.astype(np.int64), "c": c})
 
+    # weighted degree: sparse partials + one hash-partitioned aggregate
+    def _deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        s, o, w = df["s"].to_numpy(), df["o"].to_numpy(), df["w"].to_numpy()
+        return _sparse(np.concatenate([s, o]), np.concatenate([w, w]))
+
+    deg_df = hash_partition_aggregate(
+        indexed.map_batches(_deg_part, batch_format="pandas"),
+        ["node"], {"c": ("c", "sum")}, stamp_batch_size=None,
+    ).to_pandas()
     deg = np.zeros(n)
-    for buf in indexed.map_batches(_deg, batch_format="pandas").to_pandas()["vec"]:
-        deg += np.frombuffer(buf)
-    # deg is |V|-sized like the rank vector: broadcast ONCE, not
-    # closure-shipped with every task of every iteration
+    deg[deg_df["node"].to_numpy(dtype=np.int64)] = deg_df["c"].to_numpy()
     deg_ref = ray.put(deg)
 
     r = np.full(n, 1.0 / n)
@@ -118,17 +134,56 @@ def pagerank_distributed(
         def _contrib(df: pd.DataFrame, r_ref=r_ref, deg_ref=deg_ref) -> pd.DataFrame:
             rv = ray.get(r_ref)
             dg = ray.get(deg_ref)
-            c = np.zeros(n)
             s, o, w = df["s"].to_numpy(), df["o"].to_numpy(), df["w"].to_numpy()
-            np.add.at(c, o, rv[s] / dg[s] * w)
-            np.add.at(c, s, rv[o] / dg[o] * w)
-            return pd.DataFrame({"vec": [c.tobytes()]})
+            return _sparse(
+                np.concatenate([o, s]),
+                np.concatenate([rv[s] / dg[s] * w, rv[o] / dg[o] * w]),
+            )
 
+        cdf = hash_partition_aggregate(
+            indexed.map_batches(_contrib, batch_format="pandas"),
+            ["node"], {"c": ("c", "sum")}, stamp_batch_size=None,
+        ).to_pandas()
         contrib = np.zeros(n)
-        for buf in indexed.map_batches(_contrib, batch_format="pandas").to_pandas()["vec"]:
-            contrib += np.frombuffer(buf)
+        contrib[cdf["node"].to_numpy(dtype=np.int64)] = cdf["c"].to_numpy()
         r = (1.0 - damping) / n + damping * contrib
     return pd.DataFrame({"qid": names, "pagerank": r})
+
+
+# above this many edges the driver tier's full edge pull stops being
+# "entity-space-bounded small" and the sparse distributed tier takes over
+PAGERANK_DRIVER_MAX_EDGES = 200_000
+
+
+def pagerank_auto(
+    edge_ds: ray.data.Dataset, damping: float = 0.85, iters: int = 20
+) -> pd.DataFrame:
+    """Tier dispatch over an EDGE DATASET (subj, obj, weight) -- the edge
+    set never reaches the driver in the distributed tier; the node-name
+    vector (== the output's own row space) is the only |V|-sized driver
+    object, derived by a distributed distinct."""
+    n_edges = edge_ds.count()
+    if n_edges == 0:
+        return pd.DataFrame({"qid": pd.Series([], dtype=object),
+                             "pagerank": pd.Series([], dtype=np.float64)})
+    if n_edges <= PAGERANK_DRIVER_MAX_EDGES:
+        return pagerank_edges(edge_ds.to_pandas(), damping, iters)
+    from .groupby import hash_partition_aggregate
+
+    def _nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"qid": pd.unique(np.concatenate([df["subj"].to_numpy(),
+                                              df["obj"].to_numpy()]))}
+        )
+
+    nd = hash_partition_aggregate(
+        edge_ds.map_batches(_nodes, batch_format="pandas"),
+        ["qid"], {"n": ("qid", "count")}, stamp_batch_size=None,
+    ).to_pandas()
+    names = np.array(
+        sorted(nd["qid"].tolist(), key=lambda q: int(q[1:])), dtype=object
+    )
+    return pagerank_distributed(edge_ds, names, damping, iters)
 
 
 # ---------------------------------------------------------------------------
