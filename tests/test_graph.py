@@ -278,3 +278,25 @@ def test_pagerank_auto_tiers_agree():
         G.PAGERANK_DRIVER_MAX_EDGES = old
     assert small["qid"].tolist() == big["qid"].tolist()
     assert np.allclose(small["pagerank"], big["pagerank"], rtol=0, atol=1e-12)
+
+
+def test_connected_components_auto_tiers_agree():
+    from wikidata_qrank_ray.stages.graph import connected_components_auto
+
+    rng = np.random.RandomState(3)
+    e = pd.DataFrame(
+        {"a": rng.randint(0, 500, 2000), "b": rng.randint(0, 500, 2000)}
+    )
+    e = e[e["a"] != e["b"]]
+    ds = ray.data.from_pandas(e).repartition(4)
+    small = (
+        connected_components_auto(ds, driver_max_edges=1_000_000)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    big = (
+        connected_components_auto(ds, driver_max_edges=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        small.astype(np.int64), big.astype(np.int64)
+    )

@@ -1567,17 +1567,19 @@ def q_ngram_jaccard(sf_dir: str):
 
 def q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTERS with no LSH approximation anywhere: exact
-    shared-shingle Jaccard pairs as edges, then DISTRIBUTED connected
-    components (large-star/small-star contraction, stages/graph.py) --
-    nothing edge-count-scaled touches the driver. Deterministic end to end,
-    so the DuckDB oracle reproduces it with a recursive CTE
-    (min-label reachability) over the identical pair definition."""
+    shared-shingle Jaccard pairs as edges, then connected components with
+    tier dispatch by edge count (driver union-find below
+    CC_DRIVER_MAX_EDGES, else the large-star/small-star contraction of
+    stages/graph.py where nothing edge-count-scaled touches the driver;
+    tiers are output-identical). Deterministic end to end, so the DuckDB
+    oracle reproduces it with a recursive CTE (min-label reachability)
+    over the identical pair definition."""
     from ..stages.dedup import exact_jaccard_pairs
-    from ..stages.graph import connected_components
+    from ..stages.graph import connected_components_auto
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = exact_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
-    comp = connected_components(pairs)
+    comp = connected_components_auto(pairs)
     return comp.map_batches(
         lambda df: df.rename(columns={"node": "doc_id", "rep": "cluster_rep"}),
         batch_format="pandas",

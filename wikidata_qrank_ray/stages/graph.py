@@ -245,6 +245,40 @@ def _edge_checksum(edges: ray.data.Dataset) -> tuple[int, int]:
     return int(parts["n"].sum()), int(np.uint64(parts["h"].to_numpy().sum()))
 
 
+# below this many edges the star-contraction rounds' fixed per-stage cost
+# (one shuffle per round x ~4 rounds) dominates; driver union-find is
+# output-identical (tests/test_dedup.py) and one object-store pull
+CC_DRIVER_MAX_EDGES = 65536
+
+
+def connected_components_auto(
+    edges: ray.data.Dataset, driver_max_edges: int = CC_DRIVER_MAX_EDGES
+) -> ray.data.Dataset:
+    """Tier dispatch for connected components over an (a, b) edge Dataset:
+    small edge sets run path-compressed union-find on the driver (the
+    star-contraction fixpoint costs ~4 chained shuffles of fixed overhead
+    that dwarfs toy inputs); large ones run the distributed contraction.
+    Both tiers return the identical (node, rep) contract."""
+    # pair-set-sized in the object store; the count is then metadata and
+    # the small tier's pull doesn't re-execute the upstream pair pipeline
+    edges = edges.materialize()
+    n = edges.count()
+    if n <= driver_max_edges:
+        from .dedup import _union_find_links
+
+        if n == 0:
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "rep": pd.Series([], dtype=np.int64)})
+            )
+        df = edges.to_pandas()
+        links = _union_find_links(df["a"], df["b"])
+        return ray.data.from_pandas(
+            links.rename(columns={"doc_id": "node", "dup_of": "rep"})
+        )
+    return connected_components(edges)
+
+
 def connected_components(
     edges: ray.data.Dataset,
     num_partitions: int | None = None,
