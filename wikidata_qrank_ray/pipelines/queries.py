@@ -1655,8 +1655,41 @@ def q_doc_splits(sf_dir: str):
 
 
 def queries():
+    # ORDER CONTRACT: the correctness driver samples a PREFIX of this dict
+    # in registry order (50 of 74 in round 2). Queries with no driver row
+    # yet lead (cheap before heavy, so a time budget covers more), the
+    # round-2-verified ones follow -- across rounds the union covers the
+    # whole registry. Every entry stays independently checkable via
+    # tools/check_oracles.py.
     return {
-        # KG pipeline (SURVEY.md §7 stages)
+        # --- not yet driver-sampled (round 2 took the first 50) ---
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "doc_systematic_sample": q_doc_systematic_sample,
+        "events_stratified_sample": q_events_stratified_sample,
+        "doc_splits": q_doc_splits,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "fingerprints": q_fingerprints,
+        "token_length_histogram": q_token_length_histogram,
+        "bpe_token_counts": q_bpe_token_counts,
+        "lang_id": q_lang_id,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_class": q_embedding_class,
+        "media_features": q_media_features,
+        "doc_quality_filter": q_doc_quality_filter,
+        "gazetteer_ngrams": q_gazetteer_ngrams,
+        "mentions_phrases_k4": q_mentions_phrases_k4,
+        "doc_commonness": q_doc_commonness,
+        "repeated_passages": q_repeated_passages,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_near_dups": q_simhash_near_dups,
+        "minhash_dedup": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        # --- KG pipeline (SURVEY.md §7 stages; driver-verified round 2) ---
         "transcripts_ingest": q_transcripts_ingest,
         "normalize_turns": q_normalize_turns,
         "conversation_stats": q_conversation_stats,
@@ -1667,8 +1700,6 @@ def queries():
         "mentions": q_mentions,
         "gazetteer_phrases": q_gazetteer_phrases,
         "mentions_phrases": q_mentions_phrases,
-        "gazetteer_ngrams": q_gazetteer_ngrams,
-        "mentions_phrases_k4": q_mentions_phrases_k4,
         "phrase_rank": q_phrase_rank,
         "entity_rank": q_entity_rank,
         "entity_rank_salted": q_entity_rank_salted,
@@ -1682,7 +1713,7 @@ def queries():
         "entity_triangles": q_entity_triangles,
         "graph_pagerank": q_graph_pagerank,
         "item_signals": q_item_signals,
-        # engine ops
+        # --- engine ops (driver-verified round 2) ---
         "pricing_summary": q_pricing_summary,
         "order_customer_join": q_order_customer_join,
         "customers_without_orders": q_customers_without_orders,
@@ -1710,31 +1741,6 @@ def queries():
         "distinct_langs": q_distinct_langs,
         "distinct_user_count": q_distinct_user_count,
         "approx_distinct_users": q_approx_distinct_users,
-        "doc_systematic_sample": q_doc_systematic_sample,
-        "events_stratified_sample": q_events_stratified_sample,
-        # training-data ops
-        "dedup_exact": q_dedup_exact,
-        "token_counts": q_token_counts,
-        "bpe_token_counts": q_bpe_token_counts,
-        "ann_ivf": q_ann_ivf,
-        "quality_scores": q_quality_scores,
-        "doc_quality_filter": q_doc_quality_filter,
-        "media_features": q_media_features,
-        "embedding_class": q_embedding_class,
-        "token_length_histogram": q_token_length_histogram,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "minhash_dedup": q_minhash_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "repeated_passages": q_repeated_passages,
-        "simhash": q_simhash,
-        "simhash_near_dups": q_simhash_near_dups,
-        "doc_splits": q_doc_splits,
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "doc_commonness": q_doc_commonness,
-        "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
     }
 
 

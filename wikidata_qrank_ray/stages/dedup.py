@@ -1052,6 +1052,12 @@ def repeated_passages(
     form of exact-substring dedup (flag training docs dominated by
     boilerplate shared across the corpus). Exact integers end to end.
 
+    CONTRACT for short docs (1..window-1 tokens): the whole tokenized text
+    counts as the doc's ONE window (the shingle fallback), so two short
+    docs with identical text flag each other as 100% repeated -- that is
+    the intended boilerplate signal, and the SQL oracle encodes the same
+    fallback. Docs with zero tokens report (0, 0).
+
     Plumbing is the shingle machinery with k=window: distinct passage rows,
     a distributed passage document-frequency count, a bucketed join of the
     rows against their frequency, and one per-doc aggregate -- nothing
