@@ -99,8 +99,11 @@ def test_registry_keys_consistent():
 
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q)
+    # minhash_dedup left this set in round 3 (polyhash signatures made it
+    # SQL-expressible); the remaining four are approximate/iterative by
+    # nature, each value-checked against an exact twin in tests
     assert set(q) - set(o) == {
         "ann_ivf", "approx_distinct_users", "embedding_near_dups_lsh",
-        "minhash_dedup", "graph_pagerank",
+        "graph_pagerank",
     }
-    assert len(q) >= 63
+    assert len(q) >= 76

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
 import ray.data
 
 
@@ -21,5 +22,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """``ray.data.read_parquet`` with column pruning; one Dataset per table."""
-    return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)
+    """``ray.data.read_parquet`` with column pruning; one Dataset per table.
+
+    The explicit metadata-FREE schema matters: pandas-written Parquet
+    carries a pandas metadata dict in the file schema, Ray hashes block
+    schemas for dedup when splitting/bundling blocks, and the unhashable
+    dict defeats that inside every read task (log spam + duplicated schema
+    objects). Overriding the schema strips it at the source -- blocks are
+    born clean."""
+    path = table_path(sf_dir, name)
+    sample = path if not os.path.isdir(path) else os.path.join(
+        path, sorted(f for f in os.listdir(path) if f.endswith(".parquet"))[0]
+    )
+    import pyarrow.parquet as pq
+
+    full = pq.read_schema(sample).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return ray.data.read_parquet(path, schema=schema, columns=columns)

@@ -28,6 +28,9 @@ def _norm_full(batch: pa.Table) -> pa.Table:
     # Vectorized fast path: for ASCII strings casefold==lower and NFC is the
     # identity, so lower + ctrl->"_" runs entirely in Arrow kernels; only
     # non-ASCII rows take the per-row casefold+NFC fallback.
+    # metadata strip: pandas-written source Parquet carries an unhashable
+    # pandas metadata dict that defeats Ray's block-schema dedup downstream
+    batch = batch.replace_schema_metadata(None)
     col = batch["text"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -51,6 +54,7 @@ def _norm_sql(batch: pa.Table) -> pa.Table:
     # utf8_lower is the vectorized Arrow kernel; for ASCII rows NFC is the
     # identity, so the Python NFC fallback runs ONLY on the (rare)
     # non-ASCII rows -- the same fast-path mask _norm_full uses.
+    batch = batch.replace_schema_metadata(None)  # see _norm_full
     col = batch["text"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
