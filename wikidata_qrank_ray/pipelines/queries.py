@@ -1649,6 +1649,64 @@ def q_doc_splits(sf_dir: str):
     return hash_split(docs, key_col="doc_id", ratios=(0.9, 0.05, 0.05))
 
 
+def q_split_contamination(sf_dir: str, window: int = 8):
+    """Eval decontamination (the GPT-3-style n-gram overlap check): for
+    each TEST-split doc, how many of its distinct ``window``-token text
+    windows also occur in at least one TRAIN-split doc ->
+    (doc_id, n_contaminated_windows), test docs with >= 1 leak only.
+    Composes the deterministic hash split, the shingle machinery, a
+    distinct-window train set (aggregate BEFORE the join, so the join
+    payload is window-vocabulary-sized), one bucketed window join, and a
+    keyed count. Every piece is SQL-exact, so the whole check is
+    value-oracle-gated; short docs use the whole-text window fallback
+    (repeated_passages contract)."""
+    from ..stages.dedup import shingle_rows
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+    from ..stages.textstats import hash_split
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    rows = shingle_rows(docs, window).map_batches(
+        lambda d: d[["doc_id", "s"]], batch_format="pandas"
+    )
+    sp = hash_split(
+        read_table(sf_dir, "documents", columns=["doc_id"]),
+        key_col="doc_id", ratios=(0.9, 0.05, 0.05),
+    ).map_batches(
+        lambda d: d.rename(columns={"doc_id": "doc_id_s"}), batch_format="pandas"
+    )
+    tagged = bucketed_hash_join(rows, sp, "doc_id", "doc_id_s").materialize()
+    train_w = hash_partition_aggregate(
+        tagged.map_batches(
+            lambda d: d[d["split"] == "train"][["s", "doc_id"]],
+            batch_format="pandas",
+        ),
+        ["s"], {"n": ("doc_id", "count")}, stamp_batch_size=None,
+    ).map_batches(
+        lambda d: d[["s"]].rename(columns={"s": "s_t"}), batch_format="pandas"
+    )
+    test_w = tagged.map_batches(
+        lambda d: d[d["split"] == "test"][["doc_id", "s"]], batch_format="pandas"
+    )
+    j = bucketed_hash_join(test_w, train_w, "s", "s_t")
+    per_doc = hash_partition_aggregate(
+        j.map_batches(lambda d: d[["doc_id", "s"]], batch_format="pandas"),
+        ["doc_id"], {"n_contaminated_windows": ("s", "count")},
+        stamp_batch_size=None,
+    )
+    out = per_doc.to_pandas()
+    # leak-set-sized by nature (this is a report, not a corpus transform);
+    # typed empty frame when no leaks so the schema survives zero rows
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_contaminated_windows": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out.astype({"doc_id": np.int64, "n_contaminated_windows": np.int64})
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1683,6 +1741,7 @@ def queries():
         "doc_quality_filter": q_doc_quality_filter,
         "gazetteer_ngrams": q_gazetteer_ngrams,
         "mentions_phrases_k4": q_mentions_phrases_k4,
+        "split_contamination": q_split_contamination,
         "doc_commonness": q_doc_commonness,
         "repeated_passages": q_repeated_passages,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2385,6 +2444,34 @@ WITH h AS (
 SELECT doc_id,
   CASE WHEN hv < 9000 THEN 'train' WHEN hv < 9500 THEN 'val' ELSE 'test' END AS split
 FROM h""",
+        # decontamination: split hash = the doc_splits SQL-proven
+        # expression; windows = the repeated_passages 8-token window
+        # definition (whole-text fallback); the check is one distinct-window
+        # train set + one join + one grouped count
+        "split_contamination": r"""
+WITH h AS (
+  SELECT doc_id,
+         (list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex('split' || CAST(doc_id AS VARCHAR), '')],
+                      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616)
+          * 2177342782468422677) % 18446744073709551616 % 10000 AS hv
+  FROM documents),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN hv < 9000 THEN 'train' WHEN hv < 9500 THEN 'val' ELSE 'test' END AS split
+  FROM h),
+toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8 THEN [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+ds AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+trainw AS (SELECT DISTINCT ds.s FROM ds JOIN sp USING (doc_id) WHERE sp.split = 'train')
+SELECT ds.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_windows
+FROM ds JOIN sp USING (doc_id) JOIN trainw ON trainw.s = ds.s
+WHERE sp.split = 'test'
+GROUP BY ds.doc_id""",
         # identical 10-token window definition (whole-text fallback for
         # short docs), distinct per doc; df = docs containing the window
         "repeated_passages": r"""
