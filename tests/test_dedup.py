@@ -374,3 +374,24 @@ def test_incremental_verify_tiers_identical(tmp_path):
                                    broadcast_max_bytes=0)
     pd.testing.assert_frame_equal(bc, jn)
     assert dict(zip(bc["doc_id"], bc["dup_of"])) == {50: 0}
+
+
+def test_minhash_cc_auto_tier_matches_driver():
+    import ray
+    import ray.data
+
+    from wikidata_qrank_ray.stages.dedup import minhash_dedup
+
+    texts = []
+    for i in range(40):
+        base = f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(12))
+        texts.append(base)
+        if i % 4 == 0:
+            texts.append(base + " tail")  # near-dup partner
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    a = minhash_dedup(docs, cc="driver").reset_index(drop=True)
+    b = minhash_dedup(docs, cc="auto").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

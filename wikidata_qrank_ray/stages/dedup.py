@@ -438,7 +438,9 @@ def minhash_dedup(
     right while edges fit in one process; "distributed" runs the
     large-star/small-star contraction (stages/graph.connected_components),
     the 100 TB path for dup-heavy corpora whose verified-pair set is itself
-    huge. Both tiers are output-identical (tests/test_dedup.py).
+    huge; "auto" dispatches by verified-edge count
+    (graph.connected_components_auto). All tiers are output-identical
+    (tests/test_dedup.py).
     """
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
@@ -456,10 +458,14 @@ def minhash_dedup(
     if n_cand == 0:
         return empty
     vp_ds = verified_pairs_ds(docs, cand_ds, n_cand, shingle_k, threshold)
-    if cc == "distributed":
-        from .graph import connected_components
+    if cc in ("distributed", "auto"):
+        from .graph import connected_components, connected_components_auto
 
-        comp = connected_components(vp_ds).to_pandas()
+        comp = (
+            connected_components_auto(vp_ds)
+            if cc == "auto"
+            else connected_components(vp_ds)
+        ).to_pandas()
         if comp.empty:
             return empty
         return (
