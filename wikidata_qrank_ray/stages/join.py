@@ -352,6 +352,10 @@ def bucketed_asof_join(
         batch_format="pyarrow",
     )
     lcols = [c for c in left.schema().base_schema.names if c != by_left]
+    # one canonical column order for BOTH sides: a union of blocks with the
+    # same names in different orders trips Ray's schema-consistency check
+    lnames = ["__by__" if c == by_left else c for c in left.schema().base_schema.names]
+    order = lnames + [_SIDE, f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_value_cols]
 
     def pad_l(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -362,7 +366,7 @@ def bucketed_asof_join(
             cols[f"{c}{suffix}"] = pa.nulls(
                 n, type=right.schema().base_schema.field(c).type
             )
-        return pa.table(cols)
+        return pa.table({c: cols[c] for c in order})
 
     def pad_r(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -372,7 +376,7 @@ def bucketed_asof_join(
             cols[c] = pa.nulls(n, type=left.schema().base_schema.field(c).type)
         # asof key for the right side lives in its suffixed column
         cols[on] = t[f"{on}{suffix}"]
-        return pa.table(cols)
+        return pa.table({c: cols[c] for c in order})
 
     u = lsel.map_batches(pad_l, batch_format="pyarrow").union(
         rsel.map_batches(pad_r, batch_format="pyarrow")
