@@ -303,6 +303,32 @@ def test_incremental_minhash_index(tmp_path):
     assert 201 not in got2
 
 
+def test_incremental_minhash_rejects_foreign_hash_index(tmp_path):
+    """An index built with a different (or unversioned) signature hash is
+    refused: mixed-hash signatures never collide, so increments would
+    silently miss every cross-increment duplicate."""
+    import json
+    import os
+
+    import pytest
+
+    from wikidata_qrank_ray.stages.dedup import (
+        incremental_minhash_dedup, write_minhash_index)
+
+    idx = str(tmp_path / "idx")
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [0], "text": [" ".join(f"w{i}" for i in range(20))]})
+    )
+    write_minhash_index(docs, idx)
+    man_path = os.path.join(idx, "manifest.json")
+    man = json.load(open(man_path))
+    assert man["hash_fn"]  # written by write_minhash_index
+    del man["hash_fn"]     # simulate a pre-versioning index
+    json.dump(man, open(man_path, "w"))
+    with pytest.raises(ValueError, match="signature hash"):
+        incremental_minhash_dedup(docs, idx)
+
+
 def test_repeated_passages_matches_bruteforce():
     from wikidata_qrank_ray.functions.hashing import shingles as mk_shingles
     from wikidata_qrank_ray.stages.dedup import repeated_passages

@@ -280,6 +280,27 @@ def test_pagerank_auto_tiers_agree():
     assert np.allclose(small["pagerank"], big["pagerank"], rtol=0, atol=1e-12)
 
 
+def test_connected_components_auto_self_loops_ignored_in_both_tiers():
+    """A node incident ONLY to a self-loop edge appears in neither tier's
+    output (the distributed _canon drops (x, x); the driver tier must
+    match)."""
+    from wikidata_qrank_ray.stages.graph import connected_components_auto
+
+    e = pd.DataFrame({"a": [1, 2, 9], "b": [2, 3, 9]})
+    ds = ray.data.from_pandas(e)
+    for cap in (1_000_000, 0):
+        out = (
+            connected_components_auto(ds, driver_max_edges=cap)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert list(out["node"]) == [1, 2, 3]
+        assert list(out["rep"]) == [1, 1, 1]
+    # all-self-loop edge set -> empty output in both tiers
+    loops = ray.data.from_pandas(pd.DataFrame({"a": [4, 5], "b": [4, 5]}))
+    for cap in (1_000_000, 0):
+        assert connected_components_auto(loops, driver_max_edges=cap).count() == 0
+
+
 def test_connected_components_auto_tiers_agree():
     from wikidata_qrank_ray.stages.graph import connected_components_auto
 

@@ -152,23 +152,34 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"outputs": {k: v for k, v in out.items() if k != "metrics"},
                               "metrics": out["metrics"]}, indent=1))
         else:
-            res = kg_build.run_streaming(args.input, concurrency=args.concurrency)
-            tri = res["triples"]
-            is_ds = not hasattr(tri, "to_parquet")  # Dataset above the combine threshold
-            summary = {
-                "triples": tri.count() if is_ds else len(tri),
-                "entities": len(res["qrank"]),
-                "stats": res["stats"],
-            }
             if args.out:
                 os.makedirs(args.out, exist_ok=True)
-                if is_ds:
-                    tri.write_parquet(os.path.join(args.out, "triples"), compression="zstd")
-                else:
-                    tri.to_parquet(os.path.join(args.out, "triples.parquet"), index=False)
+            # out_dir flows into run_streaming so the distributed tier sinks
+            # triples straight to Parquet (no materialize-then-rewrite)
+            res = kg_build.run_streaming(
+                args.input, concurrency=args.concurrency,
+                out_dir=args.out or None,
+            )
+            tri = res["triples"]
+            is_ds = not hasattr(tri, "to_parquet")  # Dataset above the combine threshold
+            if args.out:
+                # count from written Parquet metadata: Dataset.count() after
+                # write_parquet would re-execute the whole pipeline
+                import pyarrow.dataset as pads
+
+                n_triples = pads.dataset(
+                    res["triples_path"], format="parquet", partitioning="hive"
+                ).count_rows()
                 res["qrank"].to_csv(os.path.join(args.out, "qrank.csv"), index=False)
                 with open(os.path.join(args.out, "stats.json"), "w") as f:
                     json.dump(res["stats"], f, sort_keys=True)
+            else:
+                n_triples = tri.count() if is_ds else len(tri)
+            summary = {
+                "triples": n_triples,
+                "entities": len(res["qrank"]),
+                "stats": res["stats"],
+            }
             print(json.dumps(summary))
         return 0
     finally:

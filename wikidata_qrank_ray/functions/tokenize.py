@@ -1,0 +1,73 @@
+"""Shared whitespace tokenization + positional k-gram kernels.
+
+ONE home for the three subtle invariants every token-level operator
+(gazetteer n-gram counting, phrase mention matching, shingle-based dedup)
+must agree on, so they cannot silently desynchronize:
+
+- \\S+ token semantics: ``pc.ascii_split_whitespace`` splits on
+  [ \\t\\n\\v\\f\\r] exactly like RE2's \\s+ (the DuckDB oracles'
+  ``regexp_extract_all('\\S+')``) and is ~6x faster than the regex kernel,
+  but emits phantom "" fragments around leading/trailing/isolated
+  whitespace that \\S+ never produces -- they are filtered here, once.
+- parent-boundary masking: a k-gram starting at flat position p is valid
+  iff p and p+k-1 belong to the same source row (positions within a row
+  are contiguous after the phantom filter, so endpoint equality suffices).
+- copy-before-concat: the numpy object-array join must start from a copy
+  (``toks[idxs].copy()``) or the += style concat would mutate the shared
+  token array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def flat_tokens(
+    text_col, *, fill_null: bool = False
+) -> tuple[pa.Array, np.ndarray]:
+    """Column of strings -> (tokens as ONE flat Arrow string array, parent
+    row index per token), \\S+ semantics. ``fill_null`` treats null text as
+    "" (token-less) instead of propagating a null list."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    if fill_null:
+        text_col = pc.fill_null(text_col, "")
+    parts = pc.ascii_split_whitespace(text_col)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parent = parent.filter(mask)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, parent.to_numpy()
+
+
+def kgram_starts(parent: np.ndarray, k: int) -> np.ndarray:
+    """Flat positions where a full k-gram fits inside one source row:
+    p such that parent[p] == parent[p + k - 1]."""
+    n = len(parent)
+    if n < k:
+        return np.array([], dtype=np.int64)
+    if k == 1:
+        return np.arange(n, dtype=np.int64)
+    ok = parent[: n - k + 1] == parent[k - 1:]
+    return np.nonzero(ok)[0].astype(np.int64)
+
+
+def kgram_join(toks: np.ndarray, idxs: np.ndarray, k: int) -> np.ndarray:
+    """Single-space join of toks[i..i+k-1] for each start i in ``idxs``.
+    ``toks`` must be a numpy object array; returns a fresh object array."""
+    if not len(idxs):
+        return np.array([], dtype=object)
+    if k == 1:
+        return toks[idxs].copy()
+    cand = toks[idxs].copy()
+    for j in range(1, k):
+        cand = cand + " "
+        cand = cand + toks[idxs + j]
+    return cand

@@ -383,5 +383,14 @@ def run_streaming(
         ranks = adf[is_cnt][["subj", "weight"]].rename(
             columns={"subj": "qid", "weight": "mention_count"}
         )
+        if out_dir is not None:
+            # same top-level layout as the distributed tier: consumers read
+            # the ``triples/`` directory regardless of which tier ran
+            tdir = os.path.join(out_dir, "triples")
+            os.makedirs(tdir, exist_ok=True)
+            triples.to_parquet(os.path.join(tdir, "part-0.parquet"), index=False)
     qdf = qrank_order(ray.data.from_pandas(ranks)) if len(ranks) else ranks
-    return {"triples": triples, "qrank": qdf, "stats": rank_stats(qdf)}
+    out = {"triples": triples, "qrank": qdf, "stats": rank_stats(qdf)}
+    if out_dir is not None:
+        out["triples_path"] = os.path.join(out_dir, "triples")
+    return out

@@ -21,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.tokenize import flat_tokens, kgram_join, kgram_starts
 from .tables import read_table
 
 GAZETTEER_TOP_N = 30
@@ -30,14 +31,11 @@ _WS = re.compile(r"\s+")
 
 
 def tokens_of_batch(text_col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """All \\S+ tokens of a string column, flattened (vectorized: regex split
-    -> list flatten -> drop empties)."""
-    # ascii whitespace split == RE2 \s+ (oracle regexp_extract_all('\S+'))
-    parts = pc.ascii_split_whitespace(text_col)
-    flat = pc.list_flatten(parts)
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    return flat.filter(pc.not_equal(flat, ""))
+    """All \\S+ tokens of a string column, flattened (shared kernel in
+    functions.tokenize; ascii whitespace split == RE2 \\s+, the oracle's
+    regexp_extract_all('\\S+'))."""
+    flat, _ = flat_tokens(text_col)
+    return flat
 
 
 def _partial_counts(batch: pa.Table) -> pa.Table:
@@ -86,32 +84,15 @@ def _partial_ngram_counts(batch: pa.Table, k: int) -> pa.Table:
     """Per-batch adjacent-token k-gram counts (map-side combine),
     vectorized: one whitespace split, k-1 object-array concats over
     same-doc positions."""
-    parts = pc.ascii_split_whitespace(batch["text"])
-    if isinstance(parts, pa.ChunkedArray):
-        parts = parts.combine_chunks()
-    flat_arr = pc.list_flatten(parts)
-    parent_arr = pc.list_parent_indices(parts)
-    # drop the phantom "" tokens the Arrow split emits around leading /
-    # trailing whitespace (\S+ contract; only at text ends, so adjacency
-    # of the surviving tokens is unchanged)
-    mask = pc.not_equal(flat_arr, "")
-    flat = flat_arr.filter(mask).to_numpy(zero_copy_only=False)
-    parent = parent_arr.filter(mask).to_numpy()
+    flat_a, parent = flat_tokens(batch["text"])
     empty = pa.table({"surface": pa.array([], type=pa.string()),
                       "cnt": pa.array([], type=pa.int64())})
-    if len(flat) < k:
-        return empty
-    toks = np.asarray(flat, dtype=object)
-    n = len(toks)
     # k-gram starts where endpoints share a doc (positions are contiguous)
-    ok = parent[: n - k + 1] == parent[k - 1:]
-    idxs = np.nonzero(ok)[0]
+    idxs = kgram_starts(parent, k)
     if not len(idxs):
         return empty
-    cand = toks[idxs].copy()
-    for j in range(1, k):
-        cand = cand + " "
-        cand = cand + toks[idxs + j]
+    toks = np.asarray(flat_a.to_numpy(zero_copy_only=False), dtype=object)
+    cand = kgram_join(toks, idxs, k)
     vc = pd.Series(cand).value_counts()
     return pa.table(
         {

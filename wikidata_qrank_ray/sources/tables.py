@@ -31,9 +31,15 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.
     objects). Overriding the schema strips it at the source -- blocks are
     born clean."""
     path = table_path(sf_dir, name)
-    sample = path if not os.path.isdir(path) else os.path.join(
-        path, sorted(f for f in os.listdir(path) if f.endswith(".parquet"))[0]
-    )
+    if os.path.isdir(path):
+        shards = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not shards:
+            raise FileNotFoundError(
+                f"table {name!r}: no *.parquet files in directory {path}"
+            )
+        sample = os.path.join(path, shards[0])
+    else:
+        sample = path
     import pyarrow.parquet as pq
 
     full = pq.read_schema(sample).remove_metadata()

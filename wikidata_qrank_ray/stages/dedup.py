@@ -31,6 +31,13 @@ from ..functions.hashing import (
     shingles,
     simhash64_batch,
 )
+from ..functions.tokenize import flat_tokens, kgram_join, kgram_starts
+
+# Version tag of the MinHash signature hash function. Persisted in the
+# index manifest by write_minhash_index and checked by
+# incremental_minhash_dedup: signatures made with different hashes never
+# collide, so mixing them silently hides every cross-increment duplicate.
+SIG_HASH_FN = "polyhash64-v1"
 
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -183,13 +190,6 @@ def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> pd.DataFrame:
     return lsh_candidate_pairs_ds(band_rows).to_pandas().reset_index(drop=True)
 
 
-def _jaccard(t1: str, t2: str, k: int) -> float:
-    s1, s2 = set(shingles(t1.split(), k)), set(shingles(t2.split(), k))
-    if not s1 and not s2:
-        return 1.0
-    return len(s1 & s2) / max(1, len(s1 | s2))
-
-
 def _shingle_hash_sets(texts: np.ndarray, k: int) -> list[np.ndarray]:
     """Unique texts -> per-text SORTED unique uint64 shingle-hash arrays
     (polyhash64 over the exact shingles() strings): ONE vectorized
@@ -242,35 +242,15 @@ def _shingle_arrays(batch, k: int) -> tuple[np.ndarray, np.ndarray]:
     whitespace split, positional k-gram join via numpy object concat,
     per-doc whole-text fallback for short docs (matching
     functions.hashing.shingles semantics exactly)."""
-    import pyarrow.compute as pc
-
-    text = batch["text"]
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    parts = pc.ascii_split_whitespace(pc.fill_null(text, ""))
-    if isinstance(parts, pa.ChunkedArray):
-        parts = parts.combine_chunks()
-    flat_arr = pc.list_flatten(parts)
-    parent_arr = pc.list_parent_indices(parts)
-    # the Arrow split emits "" around leading/trailing/isolated whitespace;
-    # \S+ (the shingles()/tokenizer contract and every SQL twin) never
-    # does -- drop them, or padded and empty docs silently diverge from
-    # the oracles (phantom ""-tokens in shingles and signature votes)
-    nonempty = pc.not_equal(flat_arr, "")
-    flat = flat_arr.filter(nonempty).to_numpy(zero_copy_only=False)
-    parent = parent_arr.filter(nonempty).to_numpy()
+    flat_a, parent = flat_tokens(batch["text"], fill_null=True)
+    flat = np.asarray(flat_a.to_numpy(zero_copy_only=False), dtype=object)
     n = batch.num_rows
     counts = np.bincount(parent, minlength=n)
     starts = np.zeros(n, dtype=np.int64)
     starts[1:] = np.cumsum(counts)[:-1]
-    pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
-    # full k-grams (docs with >= k tokens)
-    valid = (pos + k) <= counts[parent]
-    base = np.nonzero(valid)[0]
-    sh = flat[base].copy() if len(base) else np.array([], dtype=object)
-    for j in range(1, k):
-        sh = sh + " "
-        sh = sh + flat[base + j]
+    # full k-grams (docs with >= k tokens): starts where endpoints share a doc
+    base = kgram_starts(parent, k)
+    sh = kgram_join(flat, base, k)
     out_pos = parent[base] if len(base) else np.array([], dtype=np.int64)
     # short docs (1..k-1 tokens): the whole tokenized text joined is the one
     # shingle -- joined from the FILTERED tokens (binary_join over raw parts
@@ -670,25 +650,8 @@ def _simhash_batch(batch: pa.Table) -> pd.DataFrame:
     is the Arrow whitespace split (same \\S+ semantics as the oracle's
     regexp_extract_all); the whole batch is one flat token array + one
     segmented bit-vote -- no per-row Python."""
-    import pyarrow.compute as pc
-
-    from ..functions.hashing import polyhash64
-
-    text = batch["text"]
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    parts = pc.ascii_split_whitespace(pc.fill_null(text, ""))
-    if isinstance(parts, pa.ChunkedArray):
-        parts = parts.combine_chunks()
-    flat_arr = pc.list_flatten(parts)
-    parent_arr = pc.list_parent_indices(parts)
-    # the Arrow split emits "" around leading/trailing/isolated whitespace;
-    # \S+ (the shingles()/tokenizer contract and every SQL twin) never
-    # does -- drop them, or padded and empty docs silently diverge from
-    # the oracles (phantom ""-tokens in shingles and signature votes)
-    nonempty = pc.not_equal(flat_arr, "")
-    flat = flat_arr.filter(nonempty).to_numpy(zero_copy_only=False)
-    parent = parent_arr.filter(nonempty).to_numpy()
+    flat_a, parent = flat_tokens(batch["text"], fill_null=True)
+    flat = flat_a.to_numpy(zero_copy_only=False)
     n = batch.num_rows
     counts = np.bincount(parent, minlength=n)
     starts = np.zeros(n, dtype=np.int64)
@@ -856,7 +819,16 @@ def write_minhash_index(
         batch_format="pyarrow",
     )
     sigs.write_parquet(sig_dir, compression="zstd")
-    manifest = {"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed}
+    # hash_fn versions the signature hash: signatures produced by a
+    # different hash share ~0 components with these, so a silent mix would
+    # make every cross-increment duplicate invisible. Increments refuse to
+    # run against a manifest whose hash_fn doesn't match the code's.
+    manifest = {
+        "num_perm": num_perm,
+        "shingle_k": shingle_k,
+        "seed": seed,
+        "hash_fn": SIG_HASH_FN,
+    }
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     return index_dir
@@ -904,6 +876,14 @@ def incremental_minhash_dedup(
     import uuid
 
     man = _read_index_manifest(index_dir)
+    idx_hash = man.get("hash_fn", "<unversioned pre-polyhash index>")
+    if idx_hash != SIG_HASH_FN:
+        raise ValueError(
+            f"MinHash index at {index_dir} was built with signature hash "
+            f"{idx_hash!r} but this code produces {SIG_HASH_FN!r}; mixed "
+            "signatures never collide, so duplicates would be silently "
+            "missed. Rebuild the index with write_minhash_index."
+        )
     num_perm = man["num_perm"]
     rows_per_band = num_perm // bands
     assert num_perm % bands == 0

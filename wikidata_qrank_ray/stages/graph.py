@@ -258,7 +258,9 @@ def connected_components_auto(
     small edge sets run path-compressed union-find on the driver (the
     star-contraction fixpoint costs ~4 chained shuffles of fixed overhead
     that dwarfs toy inputs); large ones run the distributed contraction.
-    Both tiers return the identical (node, rep) contract."""
+    Both tiers return the identical (node, rep) contract; self-loop edges
+    (a == b) are ignored by BOTH tiers, so a node incident only to a
+    self-loop is absent from the output."""
     # pair-set-sized in the object store; the count is then metadata and
     # the small tier's pull doesn't re-execute the upstream pair pipeline
     edges = edges.materialize()
@@ -272,6 +274,15 @@ def connected_components_auto(
                               "rep": pd.Series([], dtype=np.int64)})
             )
         df = edges.to_pandas()
+        # drop self-loops BEFORE union-find so this tier matches the
+        # distributed contraction, whose _canon filters them: a node
+        # incident only to (x, x) appears in neither tier's output
+        df = df[df["a"] != df["b"]]
+        if df.empty:
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "rep": pd.Series([], dtype=np.int64)})
+            )
         links = _union_find_links(df["a"], df["b"])
         return ray.data.from_pandas(
             links.rename(columns={"doc_id": "node", "dup_of": "rep"})

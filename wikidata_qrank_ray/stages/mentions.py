@@ -29,28 +29,13 @@ import ray
 import ray.data
 
 from ..context import pool_size
+from ..functions.tokenize import flat_tokens, kgram_join, kgram_starts
 
 
-def _tokenize_arrow(text_col) -> tuple[pa.Array, np.ndarray]:
-    """-> (tokens as one flat Arrow string array, parent row index per
-    token), dropping empty tokens. Fully vectorized; the token strings stay
-    in Arrow (zero object-array materialization).
-
-    ascii_split_whitespace splits on [ \\t\\n\\v\\f\\r] exactly like RE2's
-    \\s+ (the oracle's regexp_extract_all('\\S+')) and is ~6x faster than
-    the regex kernel; empty fragments from leading/trailing whitespace are
-    filtered identically."""
-    parts = pc.ascii_split_whitespace(text_col)
-    if isinstance(parts, pa.ChunkedArray):
-        parts = parts.combine_chunks()
-    flat = pc.list_flatten(parts)
-    parent = pc.list_parent_indices(parts)
-    mask = pc.not_equal(flat, "")
-    flat = flat.filter(mask)
-    parent = parent.filter(mask)
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    return flat, parent.to_numpy()
+# shared \S+ tokenization kernel (phantom-"" filtering, parent indices):
+# single-sourced in functions.tokenize so the gazetteer counter, the
+# phrase matcher and the dedup shinglers cannot desynchronize
+_tokenize_arrow = flat_tokens
 
 
 def gazetteer_to_dict(gaz: pd.DataFrame) -> dict[str, list[tuple[str, int]]]:
@@ -203,17 +188,11 @@ class PhraseGazetteerMatcher:
                 idxs = np.arange(n)
                 cand = toks
             else:
-                if n < k:
-                    continue
                 # p..p+k-1 in one turn <=> endpoints share a parent
-                ok = parent[: n - k + 1] == parent[k - 1:]
-                idxs = np.nonzero(ok)[0]
+                idxs = kgram_starts(parent, k)
                 if not len(idxs):
                     continue
-                cand = toks[idxs].copy()
-                for j in range(1, k):
-                    cand = cand + " "
-                    cand = cand + toks[idxs + j]
+                cand = kgram_join(toks, idxs, k)
             m = pd.Series(cand).map(d).to_numpy()
             hit = pd.notna(m)
             hi = idxs[hit]

@@ -16,17 +16,12 @@ import ray.data
 from ..context import pool_size
 
 from ..functions.hashing import rolling_fingerprint
+from ..functions.tokenize import flat_tokens
 from ..sources.gazetteer import STOPWORDS
 
 
 def _count_tokens(batch: pa.Table) -> pa.Table:
-    parts = pc.ascii_split_whitespace(batch["text"])
-    if isinstance(parts, pa.ChunkedArray):
-        parts = parts.combine_chunks()
-    flat = pc.list_flatten(parts)
-    parent = pc.list_parent_indices(parts)
-    nonempty = pc.not_equal(flat, "")
-    parent_np = parent.filter(nonempty).to_numpy()
+    _, parent_np = flat_tokens(batch["text"])
     n = batch.num_rows
     counts = np.bincount(parent_np, minlength=n).astype(np.int64)
     return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(counts)})
@@ -64,14 +59,7 @@ def bpe_token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 def _quality(batch: pa.Table) -> pa.Table:
     text = pc.fill_null(batch["text"], "")
-    parts = pc.ascii_split_whitespace(text)
-    if isinstance(parts, pa.ChunkedArray):
-        parts = parts.combine_chunks()
-    flat = pc.list_flatten(parts)
-    parent = pc.list_parent_indices(parts)
-    nonempty = pc.not_equal(flat, "")
-    flat_f = flat.filter(nonempty)
-    parent_np = parent.filter(nonempty).to_numpy()
+    flat_f, parent_np = flat_tokens(text)
     n = batch.num_rows
     n_tokens = np.bincount(parent_np, minlength=n).astype(np.int64)
     is_stop = pc.is_in(flat_f, value_set=pa.array(list(STOPWORDS))).to_numpy(zero_copy_only=False)
@@ -193,14 +181,8 @@ def _token_rows(batch: pa.Table) -> pd.DataFrame:
     """(doc_id, t) for every whitespace token (multiset; \\S+ semantics --
     the Arrow split emits "" for empty/whitespace-only docs, which \\S+
     never matches, so empty tokens are dropped)."""
-    parts = pc.ascii_split_whitespace(pc.fill_null(batch["text"], ""))
-    if isinstance(parts, pa.ChunkedArray):
-        parts = parts.combine_chunks()
-    flat_arr = pc.list_flatten(parts)
-    parent_arr = pc.list_parent_indices(parts)
-    nonempty = pc.not_equal(flat_arr, "")
-    flat = flat_arr.filter(nonempty).to_numpy(zero_copy_only=False)
-    parent = parent_arr.filter(nonempty).to_numpy()
+    flat_a, parent = flat_tokens(batch["text"], fill_null=True)
+    flat = flat_a.to_numpy(zero_copy_only=False)
     doc_ids = batch["doc_id"].to_numpy()
     return pd.DataFrame({"doc_id": doc_ids[parent], "t": flat})
 
