@@ -12,6 +12,7 @@ import os
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -156,7 +157,10 @@ def run(
             ray.data.read_parquet(norm_path, columns=["norm_text"]),
             text_col="norm_text",
         )
-        pq.write_table(pa.Table.from_pandas(gaz, preserve_index=False), gaz_file)
+        pq.write_table(
+            pa.Table.from_pandas(gaz, preserve_index=False).replace_schema_metadata(None),
+            gaz_file,
+        )
         ckpt.manifest["gazetteer"] = {"lineage": gl, "output": gaz_file, "rows": len(gaz)}
         ckpt._commit_manifest()
     gaz = pq.read_table(gaz_file).to_pandas()
@@ -192,11 +196,16 @@ def run(
             agg = hash_partition_aggregate(
                 partial, ["subj", "pred", "obj"], {"w": ("w", "sum")}
             ).materialize()
+            # Arrow-native filter+rename: keeps blocks metadata-free so the
+            # written triples parquet carries no pandas schema metadata
+            # (unhashable in Ray's block-schema dedup -> log spam downstream)
             triples_ds = agg.map_batches(
-                lambda df: df[df["pred"] != MENTIONS_PRED].rename(
-                    columns={"w": "weight"}
-                ),
-                batch_format="pandas",
+                lambda t: t.filter(pc.field("pred") != MENTIONS_PRED)
+                .rename_columns(
+                    ["weight" if c == "w" else c for c in t.column_names]
+                )
+                .replace_schema_metadata(None),
+                batch_format="pyarrow",
             )
             triples_ds.sort(["subj", "pred", "obj"]).write_parquet(
                 os.path.join(tmp, "triples"), partition_cols=["pred"],
@@ -225,7 +234,11 @@ def run(
             # partitioned sink (one directory per predicate): a rerun or a
             # downstream consumer can address predicates independently --
             # the resumable-output layout scaled down to this corpus
-            ray.data.from_pandas(triples_df).write_parquet(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(
+                    triples_df, preserve_index=False
+                ).replace_schema_metadata(None)
+            ).write_parquet(
                 os.path.join(tmp, "triples"), partition_cols=["pred"],
                 compression="zstd",
             )
@@ -234,7 +247,8 @@ def run(
             )
         qdf = qrank_order(ray.data.from_pandas(ranks_df))
         pq.write_table(
-            pa.Table.from_pandas(qdf, preserve_index=False), os.path.join(tmp, "qrank.parquet")
+            pa.Table.from_pandas(qdf, preserve_index=False).replace_schema_metadata(None),
+            os.path.join(tmp, "qrank.parquet"),
         )
         qdf.to_csv(os.path.join(tmp, "qrank.csv"), index=False)
         # reference-format publish artifact (Entity,QRank gzip CSV,
@@ -348,9 +362,12 @@ def run_streaming(
         agg = hash_partition_aggregate(
             partial, ["subj", "pred", "obj"], {"w": ("w", "sum")}
         ).materialize()
+        # Arrow-native filter+rename, metadata-free blocks (see write_graph)
         triples = agg.map_batches(
-            lambda df: df[df["pred"] != MENTIONS_PRED].rename(columns={"w": "weight"}),
-            batch_format="pandas",
+            lambda t: t.filter(pc.field("pred") != MENTIONS_PRED)
+            .rename_columns(["weight" if c == "w" else c for c in t.column_names])
+            .replace_schema_metadata(None),
+            batch_format="pyarrow",
         ).sort(["subj", "pred", "obj"])
         if out_dir is not None:
             triples.write_parquet(
@@ -388,7 +405,12 @@ def run_streaming(
             # the ``triples/`` directory regardless of which tier ran
             tdir = os.path.join(out_dir, "triples")
             os.makedirs(tdir, exist_ok=True)
-            triples.to_parquet(os.path.join(tdir, "part-0.parquet"), index=False)
+            pq.write_table(
+                pa.Table.from_pandas(
+                    triples, preserve_index=False
+                ).replace_schema_metadata(None),
+                os.path.join(tdir, "part-0.parquet"),
+            )
     qdf = qrank_order(ray.data.from_pandas(ranks)) if len(ranks) else ranks
     out = {"triples": triples, "qrank": qdf, "stats": rank_stats(qdf)}
     if out_dir is not None:

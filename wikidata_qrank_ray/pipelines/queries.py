@@ -1707,6 +1707,65 @@ def q_split_contamination(sf_dir: str, window: int = 8):
     return out.astype({"doc_id": np.int64, "n_contaminated_windows": np.int64})
 
 
+def _plant_pii(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministically append synthetic PII to a doc-id-keyed slice of the
+    corpus (test scaffolding; the SQL oracle plants the identical strings,
+    so the redaction kernels are exercised on non-trivial matches)."""
+    d = df["doc_id"].to_numpy()
+
+    def s(arr) -> pd.Series:
+        return pd.Series(arr, index=df.index).astype(str)
+
+    text = df["text"].fillna("").astype(str)
+    email = (" contact u" + s(d) + "@example" + s(d % 7) + ".com").where(
+        d % 3 == 0, ""
+    )
+    ip = (" from 10." + s(d % 250) + ".0." + s(d % 200)).where(d % 4 == 0, "")
+    phone = (" call +1-555-" + s(1000 + d % 9000)).where(d % 5 == 0, "")
+    return pd.DataFrame({"doc_id": d, "text": text + email + ip + phone})
+
+
+def q_pii_redaction(sf_dir: str):
+    """PII detect + redact (emails / IPv4 / phones) over the documents
+    corpus with deterministically planted PII -> (doc_id, n_email, n_ip,
+    n_phone, redacted). Both the counts and the redacted TEXT are
+    value-exact vs the oracle: Arrow and DuckDB are both RE2, and
+    stages.pii shares its pattern strings verbatim with the SQL twin."""
+    from ..stages.pii import redact_pii
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    planted = docs.map_batches(_plant_pii, batch_format="pandas")
+    return redact_pii(planted)
+
+
+def _pii_sql() -> str:
+    from ..stages.pii import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(coalesce(array_length(regexp_extract_all(text, '{pat}')), 0) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         COALESCE(text, '')
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                 || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
+                 || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  {counts},
+  {red} AS redacted
+FROM planted"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1721,6 +1780,7 @@ def queries():
     # tools/check_oracles.py.
     return {
         # --- not yet driver-sampled (round 2 took the first 50) ---
+        "pii_redaction": q_pii_redaction,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -2302,6 +2362,7 @@ SELECT event_id, event_type FROM (
 WHERE (r - 1) % 20 = 0""",
         "dedup_exact": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text""",
+        "pii_redaction": _pii_sql(),
         "token_counts": r"""
 SELECT doc_id,
        CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
