@@ -1116,27 +1116,42 @@ def q_customer_order_counts(sf_dir: str):
 
 def q_purchase_after_signup(sf_dir: str):
     """As-of join: for each purchase, the latest signup at-or-before it by
-    the same user (inner). Co-partitioned pd.merge_asof."""
-    from ..stages.join import bucketed_asof_join
+    the same user (inner). Single-SOURCE self-asof: both sides are slices of
+    the events stream, so the tagged union is built in ONE scan (one operator
+    instead of two padded branches) and fed to the shared partitioned
+    merge_asof (stages.join.asof_join_tagged)."""
+    from ..stages.join import _SIDE, asof_join_tagged
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
     import pyarrow.compute as pc
 
-    purchases = ev.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
-            ["event_id", "user_id", "ts"]
-        ),
-        batch_format="pyarrow",
-    )
-    signups = ev.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], "signup")).select(
-            ["event_id", "user_id", "ts"]
-        ),
-        batch_format="pyarrow",
-    )
-    joined = bucketed_asof_join(
-        purchases, signups, on="ts", by_left="user_id", by_right="user_id",
-        right_value_cols=[], direction="backward",
+    def tag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        p = t.filter(pc.equal(et, "purchase"))
+        s = t.filter(pc.equal(et, "signup"))
+        pt = pa.table(
+            {
+                "event_id": p["event_id"],
+                "__by__": p["user_id"],
+                "ts": p["ts"],
+                _SIDE: pa.array(np.zeros(p.num_rows, dtype=np.int8)),
+                "ts_r": pa.nulls(p.num_rows, type=t.schema.field("ts").type),
+            }
+        )
+        st = pa.table(
+            {
+                "event_id": pa.nulls(s.num_rows, type=t.schema.field("event_id").type),
+                "__by__": s["user_id"],
+                "ts": s["ts"],
+                _SIDE: pa.array(np.ones(s.num_rows, dtype=np.int8)),
+                "ts_r": s["ts"],
+            }
+        )
+        return pa.concat_tables([pt, st])
+
+    joined = asof_join_tagged(
+        ev.map_batches(tag, batch_format="pyarrow"),
+        on="ts", right_value_cols=[], direction="backward",
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:

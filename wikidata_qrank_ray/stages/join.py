@@ -351,21 +351,26 @@ def bucketed_asof_join(
         ),
         batch_format="pyarrow",
     )
-    lcols = [c for c in left.schema().base_schema.names if c != by_left]
+    # schema lookups hoisted OUT of the pad closures: a Dataset handle
+    # captured in a task closure serializes the whole plan into every task
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = [c for c in lschema.names if c != by_left]
+    ltypes = {c: lschema.field(c).type for c in lcols}
+    rtypes = {c: rschema.field(c).type for c in right_value_cols}
+    on_type = lschema.field(on).type
     # one canonical column order for BOTH sides: a union of blocks with the
     # same names in different orders trips Ray's schema-consistency check
-    lnames = ["__by__" if c == by_left else c for c in left.schema().base_schema.names]
+    lnames = ["__by__" if c == by_left else c for c in lschema.names]
     order = lnames + [_SIDE, f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_value_cols]
 
     def pad_l(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {c: t[c] for c in t.schema.names}
         cols[_SIDE] = pa.array(np.zeros(n, dtype=np.int8))
-        cols[f"{on}{suffix}"] = pa.nulls(n, type=t.schema.field(on).type)
+        cols[f"{on}{suffix}"] = pa.nulls(n, type=on_type)
         for c in right_value_cols:
-            cols[f"{c}{suffix}"] = pa.nulls(
-                n, type=right.schema().base_schema.field(c).type
-            )
+            cols[f"{c}{suffix}"] = pa.nulls(n, type=rtypes[c])
         return pa.table({c: cols[c] for c in order})
 
     def pad_r(t: pa.Table) -> pa.Table:
@@ -373,7 +378,7 @@ def bucketed_asof_join(
         cols = {c: t[c] for c in t.schema.names}
         cols[_SIDE] = pa.array(np.ones(n, dtype=np.int8))
         for c in lcols:
-            cols[c] = pa.nulls(n, type=left.schema().base_schema.field(c).type)
+            cols[c] = pa.nulls(n, type=ltypes[c])
         # asof key for the right side lives in its suffixed column
         cols[on] = t[f"{on}{suffix}"]
         return pa.table({c: cols[c] for c in order})
@@ -381,16 +386,39 @@ def bucketed_asof_join(
     u = lsel.map_batches(pad_l, batch_format="pyarrow").union(
         rsel.map_batches(pad_r, batch_format="pyarrow")
     )
+    return asof_join_tagged(
+        u, on, right_value_cols=right_value_cols, direction=direction, suffix=suffix
+    )
+
+
+def asof_join_tagged(
+    u: ray.data.Dataset,
+    on: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """As-of join over a PRE-TAGGED union dataset (the layout
+    ``bucketed_asof_join`` builds): left columns with the by-key renamed
+    ``__by__``, an int8 ``_SIDE`` column (0=left, 1=right), and suffixed
+    right columns; right rows carry their asof key in BOTH ``on`` and
+    ``on+suffix`` and nulls in left-only columns.
+
+    Single-SOURCE self-asof joins (two event-type slices of one stream)
+    should build this union in one ``map_batches`` pass over the source and
+    call this directly -- one scan and one operator instead of two padded
+    branches, same partitioned merge_asof."""
 
     def _asof(part: pd.DataFrame) -> pd.DataFrame:
+        rsuff = [f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_value_cols]
         lf = part[part[_SIDE] == 0].drop(columns=[_SIDE]).sort_values(on, kind="mergesort")
-        rf = part[part[_SIDE] == 1][
-            ["__by__", f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_value_cols]
-        ].sort_values(f"{on}{suffix}", kind="mergesort")
+        rf = part[part[_SIDE] == 1][["__by__"] + rsuff].sort_values(
+            f"{on}{suffix}", kind="mergesort"
+        )
         if len(lf) == 0:
-            return lf.drop(columns=[f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_value_cols], errors="ignore")
-        out = pd.merge_asof(
-            lf.drop(columns=[f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_value_cols]),
+            return lf.drop(columns=rsuff, errors="ignore")
+        return pd.merge_asof(
+            lf.drop(columns=rsuff),
             rf,
             left_on=on,
             right_on=f"{on}{suffix}",
@@ -398,6 +426,5 @@ def bucketed_asof_join(
             direction=direction,
             allow_exact_matches=True,
         )
-        return out
 
     return hash_partition_apply(u, ["__by__"], _asof)
