@@ -1,0 +1,100 @@
+"""Sliding-window aggregate: RANGE-frame semantics vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from wikidata_qrank_ray.stages.window import _sweep_grouped, sliding_window_aggregate
+
+
+def _brute(df, window):
+    rows = []
+    for _, r in df.iterrows():
+        m = df[
+            (df["k"] == r["k"]) & (df["t"] >= r["t"] - window) & (df["t"] <= r["t"])
+        ]
+        rows.append((r["i"], r["k"], len(m), int(m["v"].sum())))
+    return (
+        pd.DataFrame(rows, columns=["i", "k", "w_count", "w_sum"])
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+
+
+def _run(df, window):
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    )
+    out = sliding_window_aggregate(
+        ds, by="k", ts_col="t", value_col="v", window_us=window, id_cols=["i"]
+    )
+    return out.to_pandas().sort_values("i").reset_index(drop=True)
+
+
+def test_matches_brute_force_random():
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "i": np.arange(n),
+            "k": rng.integers(0, 12, n),
+            "t": rng.integers(0, 1000, n).astype(np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    got = _run(df, 100)
+    want = _brute(df, 100)
+    pd.testing.assert_frame_equal(
+        got.astype({"w_count": np.int64, "w_sum": np.int64}), want.astype(
+            {"w_count": np.int64, "w_sum": np.int64}
+        ), check_dtype=False
+    )
+
+
+def test_timestamp_peers_share_frame():
+    # RANGE semantics: rows tying on ts are peers -- every peer's frame
+    # includes ALL peers (not just earlier-indexed ones)
+    df = pd.DataFrame(
+        {"i": [0, 1, 2], "k": [1, 1, 1], "t": [10, 10, 10], "v": [1, 2, 4]}
+    )
+    got = _run(df, 5)
+    assert list(got["w_count"]) == [3, 3, 3]
+    assert list(got["w_sum"]) == [7, 7, 7]
+
+
+def test_window_lower_bound_inclusive_and_keys_isolated():
+    df = pd.DataFrame(
+        {
+            "i": [0, 1, 2, 3, 4],
+            "k": [1, 1, 1, 1, 2],
+            "t": [0, 100, 200, 301, 100],
+            "v": [1, 10, 100, 1000, 7],
+        }
+    )
+    got = _run(df, 100)
+    by_i = got.set_index("i")
+    assert by_i.loc[1, "w_sum"] == 11  # t=0 is exactly at 100-100: included
+    assert by_i.loc[2, "w_sum"] == 110  # frame [100,200]: t=0 fell out
+    assert by_i.loc[3, "w_sum"] == 1000  # frame [201,301]: alone
+    assert by_i.loc[4, "w_sum"] == 7  # other key untouched
+
+
+def test_overflow_fallback_equality():
+    rng = np.random.default_rng(11)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "i": np.arange(n),
+            "k": rng.integers(0, 9, n),
+            "t": rng.integers(0, 500, n).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    fast = _run(df, 60)
+    slow = (
+        _sweep_grouped(df, "k", "t", "v", 60, ["i"], "w_count", "w_sum")
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)

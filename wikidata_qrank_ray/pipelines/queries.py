@@ -1722,6 +1722,34 @@ def q_split_contamination(sf_dir: str, window: int = 8):
     return out.astype({"doc_id": np.int64, "n_contaminated_windows": np.int64})
 
 
+def q_events_sliding_window(sf_dir: str):
+    """Sliding event-time window aggregate: for each event, the count and
+    exact cent-sum of the SAME user's events in the trailing 24 hours
+    (RANGE-frame semantics incl. timestamp peers) -> (event_id, user_id,
+    w_count, w_sum_cents). One hash-partition shuffle + a fully vectorized
+    per-partition sweep (stages/window.py)."""
+    from ..stages.window import sliding_window_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_c(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "vc": pa.array(_cents(t["value"].to_numpy())),
+            }
+        )
+
+    return sliding_window_aggregate(
+        ev.map_batches(to_c, batch_format="pyarrow"),
+        by="user_id", ts_col="ts", value_col="vc",
+        window_us=24 * 3600 * 1_000_000,
+        id_cols=["event_id"], out_sum="w_sum_cents",
+    )
+
+
 def _plant_pii(df: pd.DataFrame) -> pd.DataFrame:
     """Deterministically append synthetic PII to a doc-id-keyed slice of the
     corpus (test scaffolding; the SQL oracle plants the identical strings,
@@ -1796,6 +1824,7 @@ def queries():
     return {
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "pii_redaction": q_pii_redaction,
+        "events_sliding_window": q_events_sliding_window,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -2378,6 +2407,13 @@ WHERE (r - 1) % 20 = 0""",
         "dedup_exact": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text""",
         "pii_redaction": _pii_sql(),
+        "events_sliding_window": """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS w_count,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS w_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)""",
         "token_counts": r"""
 SELECT doc_id,
        CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
