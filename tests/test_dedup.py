@@ -421,3 +421,30 @@ def test_minhash_cc_auto_tier_matches_driver():
     b = minhash_dedup(docs, cc="auto").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_survivor_selection_policy():
+    """Highest score survives per cluster (tie -> lowest id); singletons
+    keep themselves; every doc maps to exactly one survivor."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.dedup import survivor_selection
+
+    quality = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 4, 5, 6], "n_tokens": [5, 9, 9, 2, 7, 7]})
+    )
+    # cluster A = {1,2,3} (2 and 3 tie at 9 -> 2 wins), cluster B = {5,6}
+    # (tie -> 5), doc 4 is a singleton
+    members = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 5, 6], "cluster_rep": [1, 1, 1, 5, 5]})
+    )
+    out = (
+        survivor_selection(quality, members)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2, 3, 4, 5, 6]
+    assert list(out["survivor"]) == [2, 2, 2, 4, 5, 5]
+    assert list(out["kept"]) == [False, True, False, True, True, False]

@@ -1601,6 +1601,25 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup survivor policy over the exact near-dup
+    clusters: each cluster keeps its highest-token-count member (ties ->
+    lowest doc_id), singletons keep themselves -> (doc_id, survivor,
+    kept). The policy half of dedup -- clustering decides WHO is
+    duplicated, this decides WHICH copy the training set keeps."""
+    from ..stages.dedup import exact_jaccard_pairs, survivor_selection
+    from ..stages.graph import connected_components_auto
+    from ..stages.textstats import token_counts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    members = connected_components_auto(pairs).map_batches(
+        lambda df: df.rename(columns={"node": "doc_id", "rep": "cluster_rep"}),
+        batch_format="pandas",
+    )
+    return survivor_selection(token_counts(docs), members)
+
+
 def q_repeated_passages(sf_dir: str):
     """Per-doc cross-document repeated-passage counts (10-token windows) --
     the passage-granular exact-substring dedup signal, exact integers."""
@@ -1825,6 +1844,7 @@ def queries():
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "pii_redaction": q_pii_redaction,
         "events_sliding_window": q_events_sliding_window,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -2519,6 +2539,49 @@ reach(node, r) AS (
   SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
 )
 SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node""",
+        # same recursive-CTE clusters + per-cluster argmax survivor policy
+        "dedup_keep_best": r"""
+WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+ds AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+pairs AS (
+  SELECT i.a AS a, i.b AS b
+  FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+clusters AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+qual AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+  FROM documents),
+allm AS (
+  SELECT q.doc_id, COALESCE(c.cluster, q.doc_id) AS cluster, q.n_tokens
+  FROM qual q LEFT JOIN clusters c USING (doc_id)),
+surv AS (
+  SELECT cluster, doc_id AS survivor FROM (
+    SELECT cluster, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY n_tokens DESC, doc_id ASC) AS rn
+    FROM allm) WHERE rn = 1)
+SELECT m.doc_id, s.survivor, m.doc_id = s.survivor AS kept
+FROM allm m JOIN surv s USING (cluster)""",
         # corpus-global token frequency sum per doc: pure integer counts
         "doc_commonness": r"""
 WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),

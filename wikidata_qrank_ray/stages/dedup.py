@@ -22,6 +22,7 @@ from functools import lru_cache as _lru_cache
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import (
@@ -1091,3 +1092,81 @@ def repeated_passages(
         ),
         batch_format="pandas",
     )
+
+
+def survivor_selection(
+    quality: ray.data.Dataset,
+    members: ray.data.Dataset,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_rep",
+    score_col: str = "n_tokens",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Quality-aware dedup survivor policy: for each near-dup cluster keep
+    the member with the highest ``score_col`` (ties -> lowest id), and map
+    every doc to its cluster's survivor -> (doc_id, survivor, kept).
+
+    ``quality`` covers the WHOLE corpus (id, score); ``members`` is the
+    cluster membership (id, cluster) from connected components -- docs
+    absent from it are singletons and survive as themselves.
+
+    Scale shape: two hash-partition shuffles and nothing else. Stage 1
+    co-partitions quality+membership by id (tagged union) and attaches each
+    doc's cluster (self when unclustered); stage 2 co-partitions by cluster
+    and broadcasts the per-cluster argmax to its members inside the
+    partition sweep. Cluster sizes ride the partitions; the driver never
+    sees a row. The policy half of exact/MinHash dedup: those stages decide
+    WHO is duplicated, this decides WHICH copy a training set keeps.
+    """
+    from .groupby import hash_partition_apply
+
+    def _tag_quality(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "id": pc.cast(t[id_col], pa.int64()),
+                "cluster": pa.nulls(n, type=pa.int64()),
+                "score": pc.cast(t[score_col], pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def _tag_members(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "id": pc.cast(t[id_col], pa.int64()),
+                "cluster": pc.cast(t[cluster_col], pa.int64()),
+                "score": pa.nulls(n, type=pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    u = quality.map_batches(_tag_quality, batch_format="pyarrow").union(
+        members.map_batches(_tag_members, batch_format="pyarrow")
+    )
+
+    def _attach(part: pd.DataFrame) -> pd.DataFrame:
+        q = part[part["side"] == 0][["id", "score"]]
+        m = part[part["side"] == 1][["id", "cluster"]]
+        out = q.merge(m, on="id", how="left")
+        out["cluster"] = out["cluster"].fillna(out["id"]).astype(np.int64)
+        return out[["id", "cluster", "score"]]
+
+    attached = hash_partition_apply(u, ["id"], _attach, num_partitions)
+
+    def _pick(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(
+            ["cluster", "score", "id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        surv = srt.groupby("cluster", sort=False)["id"].transform("first")
+        return pd.DataFrame(
+            {
+                "doc_id": srt["id"].to_numpy(np.int64),
+                "survivor": surv.to_numpy(np.int64),
+                "kept": (srt["id"].to_numpy() == surv.to_numpy()),
+            }
+        )
+
+    return hash_partition_apply(attached, ["cluster"], _pick, num_partitions)
