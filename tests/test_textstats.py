@@ -128,3 +128,36 @@ def test_hash_split_string_keys_group_consistency():
     per_conv = out.groupby("conv_id")["split"].nunique()
     assert (per_conv == 1).all()
     assert out["split"].nunique() >= 2
+
+
+def test_mixture_sample_rates_and_blocklist():
+    """Kept counts match the exact integer rate derivation; a source
+    absent from the weights is dropped entirely; decision is a pure
+    function of the key (rerun-identical)."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.textstats import mixture_sample
+
+    n = 600
+    src = ["a"] * 300 + ["b"] * 200 + ["blocked"] * 100
+    t = pa.table({"doc_id": list(range(n)), "source": src})
+    weights = {"a": 1, "b": 3}  # b is under-represented vs its target
+    ds = ray.data.from_arrow(t)
+    out = mixture_sample(ds, weights).to_pandas()
+    out2 = mixture_sample(ray.data.from_arrow(t), weights).to_pandas()
+    # determinism
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # blocklist: weight-0 source gone
+    assert not (out["source"] == "blocked").any()
+    # exact derivation: C = min(300*10000//1, 200*10000//3) = 666666
+    # target_a = 666666*1//10000 = 66, target_b = 666666*3//10000 = 199
+    # thresholds: a -> 1e6*66//300 = 220000, b -> 1e6*199//200 = 995000
+    ka = (out["source"] == "a").sum()
+    kb = (out["source"] == "b").sum()
+    # hash-Bernoulli keeps are close to the target (exact count is
+    # hash-dependent; the ORACLE equality is checked by the driver)
+    assert abs(ka - 66) <= 20
+    assert abs(kb - 199) <= 10
+    # b keeps nearly everything (rate 0.995), a ~22%
+    assert kb > 180 and ka < 100

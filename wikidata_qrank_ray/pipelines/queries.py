@@ -1601,6 +1601,18 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_mixture_sample(sf_dir: str):
+    """Deterministic data-mixture rebalancing: downsample each source
+    toward target weights (source srcN gets weight N+1 -- testdata's
+    source-name convention) with exact integer rate derivation and the
+    hash_split keyed-hash keep decision -> (doc_id, source) kept rows."""
+    from ..stages.textstats import mixture_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    weights = {f"src{i}": i + 1 for i in range(256)}
+    return mixture_sample(docs, weights)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Quality-aware dedup survivor policy over the exact near-dup
     clusters: each cluster keeps its highest-token-count member (ties ->
@@ -1845,6 +1857,7 @@ def queries():
         "pii_redaction": q_pii_redaction,
         "events_sliding_window": q_events_sliding_window,
         "dedup_keep_best": q_dedup_keep_best,
+        "mixture_sample": q_mixture_sample,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -2427,6 +2440,19 @@ WHERE (r - 1) % 20 = 0""",
         "dedup_exact": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text""",
         "pii_redaction": _pii_sql(),
+        # exact integer mixture-rate derivation + the doc_splits keyed hash
+        "mixture_sample": r"""
+WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+w AS (SELECT source, CAST(substr(source, 4) AS BIGINT) + 1 AS wt, n FROM cnt),
+cmin AS (SELECT MIN(n * 10000 // wt) AS cc FROM w),
+thr AS (SELECT source, (1000000 * ((cc * wt) // 10000)) // n AS th FROM w, cmin),
+h AS (
+  SELECT doc_id, source,
+         (list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex('mix' || CAST(doc_id AS VARCHAR), '')],
+                      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616)
+          * 2177342782468422677) % 18446744073709551616 % 1000000 AS hv
+  FROM documents)
+SELECT h.doc_id, h.source FROM h JOIN thr USING (source) WHERE hv < th""",
         "events_sliding_window": """
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS w_count,

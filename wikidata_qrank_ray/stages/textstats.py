@@ -291,3 +291,66 @@ def weighted_sample(
         return df[h.astype(np.int64) < thresh]
 
     return ds.map_batches(_keep, batch_format="pandas")
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    weights: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    hash_mod: int = 1_000_000,
+    weight_scale: int = 10_000,
+) -> ray.data.Dataset:
+    """Deterministic mixture rebalancing: downsample each source so the
+    kept corpus approaches the target mixture ``weights`` (integer weights,
+    any scale) WITHOUT upsampling.
+
+    Exact integer rate derivation (SQL-reproducible end to end):
+      n_s        = COUNT(*) per source (distributed, exact)
+      C          = min_s floor(n_s * weight_scale / w_s)   -- the largest
+                   total the target mixture supports with rate <= 1
+      target_s   = floor(C * w_s / weight_scale)
+      thresh_s   = floor(hash_mod * target_s / n_s)
+      keep row  <=> keyed_hash(salt+key) % hash_mod < thresh_s
+    The keep decision is the hash_split mul/mod recurrence -- a pure
+    function of the key, independent of partitioning, no RNG.
+
+    Scale shape: the per-source count is a distributed aggregate whose
+    result is #sources-sized (the gazetteer-broadcast discipline:
+    driver holds only the vocabulary-scale table, thresholds ship to the
+    elastic filter tasks in the closure); the filter pass itself is
+    embarrassingly parallel. Sources absent from ``weights`` get weight 0
+    (dropped) -- the domain-blocklist special case.
+    """
+    from ..functions.hashing import polyhash64
+
+    counts = {
+        r[source_col]: int(r["count()"])
+        for r in ds.groupby(source_col).count().take_all()
+    }
+    rates = {}
+    c = None
+    for s, n in counts.items():
+        w = int(weights.get(s, 0))
+        if w > 0:
+            c_s = n * weight_scale // w
+            c = c_s if c is None else min(c, c_s)
+    for s, n in counts.items():
+        w = int(weights.get(s, 0))
+        if w <= 0 or c is None:
+            rates[s] = 0
+        else:
+            target = c * w // weight_scale
+            rates[s] = hash_mod * target // n
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        keys = np.array([salt + str(k) for k in df[key_col]], dtype=object)
+        with np.errstate(over="ignore"):
+            h = (polyhash64(keys) * np.uint64(2177342782468422677)) % np.uint64(
+                hash_mod
+            )
+        thresh = df[source_col].map(rates).fillna(0).to_numpy(np.int64)
+        return df[h.astype(np.int64) < thresh]
+
+    return ds.map_batches(_keep, batch_format="pandas")
