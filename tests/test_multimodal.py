@@ -35,3 +35,51 @@ def test_frame_sampler_counts():
     # durations are 0/1500/3000/4500 ms cycling -> 0/1/3/4 frames for non-images
     per = out.groupby("media_id").size()
     assert (per >= 1).all()
+
+
+def test_resize_images_layout_and_determinism():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.multimodal import (
+        DecodeUnavailable,
+        ImageResizer,
+        resize_images,
+        synth_media_table,
+    )
+
+    t = synth_media_table(n=12)
+    out = (
+        resize_images(ray.data.from_arrow(t), 4, 3)
+        .to_pandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    src = t.to_pandas().set_index("media_id").sort_index()
+    for mid, row in out.iterrows():
+        if src.loc[mid, "kind"] == "image" and src.loc[mid, "width"] > 0:
+            assert row["width"] == 4 and row["height"] == 3
+            assert len(row["payload"]) == 12
+        else:  # non-images pass through untouched
+            assert row["payload"] == src.loc[mid, "payload"]
+    # deterministic: nearest-neighbor of a known 2x2 raster
+    r = ImageResizer(2, 2)
+    one = pa.table(
+        {
+            "media_id": pa.array([1], type=pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([bytes([10, 20, 30, 40])], type=pa.binary()),
+            "mime": pa.array(["x"]),
+            "width": pa.array([2], type=pa.int32()),
+            "height": pa.array([2], type=pa.int32()),
+            "duration_ms": pa.array([-1], type=pa.int32()),
+        }
+    )
+    got = r(one)["payload"].to_pylist()[0]
+    assert got == bytes([10, 20, 30, 40])  # identity resize
+    try:
+        ImageResizer(2, 2, fake=False)
+        raise AssertionError("expected DecodeUnavailable")
+    except DecodeUnavailable:
+        pass

@@ -162,3 +162,70 @@ def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
             ),
         }
     )
+
+
+class ImageResizer:
+    """Actor-pool stage: media rows -> same layout with ``payload`` resized
+    to ``(target_w, target_h)`` and width/height updated.
+
+    The real kernel (decode -> resample -> re-encode) needs an image
+    library this container doesn't have -- ``fake=False`` raises
+    ``DecodeUnavailable``. The default deterministic fake treats the
+    payload as a row-major byte raster of the row's (width, height) and
+    nearest-neighbor samples it to the target size, so output payload
+    length is EXACTLY target_w*target_h and downstream stages exercise
+    real re-sized binary columns. Rows with unknown dims (-1) pass
+    through unchanged.
+    """
+
+    def __init__(self, target_w: int, target_h: int, fake: bool = True):
+        if not fake:
+            raise DecodeUnavailable("no image decode library in this environment")
+        self.tw = int(target_w)
+        self.th = int(target_h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for buf, w, h, kind in zip(payloads, ws, hs, kinds):
+            if kind != "image" or not buf or w is None or w <= 0 or h is None or h <= 0:
+                out_p.append(buf)
+                out_w.append(w if w is not None else -1)
+                out_h.append(h if h is not None else -1)
+                continue
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            arr = arr[: w * h]
+            if len(arr) < w * h:  # short payload: pad to the declared raster
+                arr = np.pad(arr, (0, w * h - len(arr)))
+            img = arr.reshape(h, w)
+            yi = (np.arange(self.th) * h) // self.th
+            xi = (np.arange(self.tw) * w) // self.tw
+            out_p.append(img[np.ix_(yi, xi)].tobytes())
+            out_w.append(self.tw)
+            out_h.append(self.th)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(out_p, type=pa.binary()),
+                "mime": batch["mime"],
+                "width": pa.array(out_w, type=pa.int32()),
+                "height": pa.array(out_h, type=pa.int32()),
+                "duration_ms": batch["duration_ms"],
+            }
+        )
+
+
+def resize_images(
+    media: ray.data.Dataset, target_w: int, target_h: int, concurrency: int = 2
+) -> ray.data.Dataset:
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
