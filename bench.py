@@ -60,6 +60,10 @@ QUERY_NAMES = [
     "ann_topk",
     "minhash_dedup",
     "embedding_near_dups",
+    "pii_redaction",
+    "events_sliding_window",
+    "dedup_keep_best",
+    "mixture_sample",
 ]
 
 

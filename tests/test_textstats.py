@@ -161,3 +161,34 @@ def test_mixture_sample_rates_and_blocklist():
     assert abs(kb - 199) <= 10
     # b keeps nearly everything (rate 0.995), a ~22%
     assert kb > 180 and ka < 100
+
+
+def test_chunk_documents_boundaries():
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.textstats import chunk_documents
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a b c d e",  # 5 tokens, C=2 -> 3 chunks (2,2,1)
+                    "x",  # 1 token -> 1 chunk
+                    "",  # 0 tokens -> no rows
+                    None,  # null -> no rows
+                ],
+            }
+        )
+    )
+    out = (
+        chunk_documents(docs, chunk_tokens=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 1, 1, 2]
+    assert list(out["chunk_idx"]) == [0, 1, 2, 0]
+    assert list(out["chunk_text"]) == ["a b", "c d", "e", "x"]
+    assert list(out["n_tokens"]) == [2, 2, 1, 1]

@@ -1601,6 +1601,17 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_doc_chunks(sf_dir: str):
+    """Context-window chunking: each doc split into consecutive 32-token
+    windows -> (doc_id, chunk_idx, chunk_text, n_tokens); the
+    truncation/packing primitive for training rows."""
+    from ..stages.textstats import chunk_documents
+
+    return chunk_documents(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), chunk_tokens=32
+    )
+
+
 def q_mixture_sample(sf_dir: str):
     """Deterministic data-mixture rebalancing: downsample each source
     toward target weights (source srcN gets weight N+1 -- testdata's
@@ -1858,6 +1869,7 @@ def queries():
         "events_sliding_window": q_events_sliding_window,
         "dedup_keep_best": q_dedup_keep_best,
         "mixture_sample": q_mixture_sample,
+        "doc_chunks": q_doc_chunks,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -2453,6 +2465,18 @@ h AS (
           * 2177342782468422677) % 18446744073709551616 % 1000000 AS hv
   FROM documents)
 SELECT h.doc_id, h.source FROM h JOIN thr USING (source) WHERE hv < th""",
+        "doc_chunks": r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         [{'ci': CAST((i - 1) // 32 AS BIGINT),
+           'ct': array_to_string(t[i:i+31], ' '),
+           'nt': CAST(least(32, len(t) - i + 1) AS BIGINT)}
+          FOR i IN range(1, len(t) + 1, 32)] AS cl
+  FROM toks
+  WHERE len(t) > 0),
+u AS (SELECT doc_id, unnest(cl) AS s FROM c)
+SELECT doc_id, s.ci AS chunk_idx, s.ct AS chunk_text, s.nt AS n_tokens FROM u""",
         "events_sliding_window": """
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS w_count,

@@ -354,3 +354,64 @@ def mixture_sample(
         return df[h.astype(np.int64) < thresh]
 
     return ds.map_batches(_keep, batch_format="pandas")
+
+
+def chunk_documents(
+    docs: ray.data.Dataset,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Context-window chunking: split each doc into consecutive
+    ``chunk_tokens``-token windows -> (doc_id, chunk_idx, chunk_text,
+    n_tokens). The truncation/packing primitive of a training pipeline --
+    long docs become multiple training rows instead of being clipped.
+
+    Embarrassingly parallel (doc-local, no shuffle) and fully
+    Arrow-vectorized: one flat-token explode (the shared tokenize kernel),
+    chunk boundaries as a ListArray offsets vector, one
+    ``pc.binary_join`` to re-assemble chunk texts. Rows scale with token
+    count exactly as the shingle stages do; zero-token docs produce no
+    rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import flat_tokens
+
+    def _chunk(t: pa.Table) -> pa.Table:
+        flat, parent = flat_tokens(t[text_col], fill_null=True)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(parent)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        # within-doc token position (vectorized run reset at doc changes)
+        starts = np.zeros(n, dtype=np.int64)
+        newdoc = np.flatnonzero(np.diff(parent)) + 1
+        starts[newdoc] = newdoc
+        starts = np.maximum.accumulate(starts)
+        pos = np.arange(n, dtype=np.int64) - starts
+        # a chunk starts at every in-doc position that is a multiple of C
+        head = np.flatnonzero(pos % chunk_tokens == 0)
+        offsets = np.concatenate([head, [n]]).astype(np.int32)
+        chunk_text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat), " "
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[parent[head]], type=pa.int64()),
+                "chunk_idx": pa.array(pos[head] // chunk_tokens, type=pa.int64()),
+                "chunk_text": chunk_text,
+                "n_tokens": pa.array(np.diff(offsets).astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(_chunk, batch_format="pyarrow")
