@@ -192,3 +192,29 @@ def test_chunk_documents_boundaries():
     assert list(out["chunk_idx"]) == [0, 1, 2, 0]
     assert list(out["chunk_text"]) == ["a b", "c d", "e", "x"]
     assert list(out["n_tokens"]) == [2, 2, 1, 1]
+
+
+def test_inverted_index_postings():
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.textstats import inverted_index
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [3, 1, 2],
+                "text": ["b a a", "a c", None],  # dup token in one doc counted once
+            }
+        )
+    )
+    out = (
+        inverted_index(docs)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+        .set_index("token")
+    )
+    assert out.loc["a", "df"] == 2 and out.loc["a", "postings"] == "1,3"
+    assert out.loc["b", "df"] == 1 and out.loc["b", "postings"] == "3"
+    assert out.loc["c", "df"] == 1 and out.loc["c", "postings"] == "1"

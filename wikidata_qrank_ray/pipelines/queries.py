@@ -1601,6 +1601,14 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_inverted_index(sf_dir: str):
+    """Corpus inverted index: (token, df, postings) with postings the
+    ascending comma-joined doc-id list (distinct containment)."""
+    from ..stages.textstats import inverted_index
+
+    return inverted_index(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_doc_chunks(sf_dir: str):
     """Context-window chunking: each doc split into consecutive 32-token
     windows -> (doc_id, chunk_idx, chunk_text, n_tokens); the
@@ -1870,6 +1878,7 @@ def queries():
         "dedup_keep_best": q_dedup_keep_best,
         "mixture_sample": q_mixture_sample,
         "doc_chunks": q_doc_chunks,
+        "inverted_index": q_inverted_index,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -2465,6 +2474,13 @@ h AS (
           * 2177342782468422677) % 18446744073709551616 % 1000000 AS hv
   FROM documents)
 SELECT h.doc_id, h.source FROM h JOIN thr USING (source) WHERE hv < th""",
+        "inverted_index": r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+  FROM documents)
+SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tok GROUP BY t""",
         "doc_chunks": r"""
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
 c AS (

@@ -415,3 +415,70 @@ def chunk_documents(
         )
 
     return docs.map_batches(_chunk, batch_format="pyarrow")
+
+
+def inverted_index(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Corpus inverted index -> (token, df, postings) where ``postings`` is
+    the comma-joined ascending doc-id list of docs containing the token
+    (distinct containment, not term frequency).
+
+    Scale shape: flat-token explode + per-batch (token, doc) dedup, ONE
+    hash-partition shuffle on the token, per-partition vectorized sort +
+    C-level groupby join. Posting lists ride their token's partition --
+    a hot token's list is partition-local, never driver-side; the classic
+    retrieval-index build re-expressed as a Dataset transform.
+    """
+    import pyarrow as pa
+
+    from ..functions.tokenize import flat_tokens
+    from .groupby import hash_partition_apply
+
+    def _explode(t: pa.Table) -> pa.Table:
+        flat, parent = flat_tokens(t[text_col], fill_null=True)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pd.DataFrame({"token": flat.to_pandas(), "doc_id": ids[parent]})
+        # map-side distinct: shrink before the shuffle
+        out = out.drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def _index(part: pd.DataFrame) -> pa.Table:
+        part = part.drop_duplicates().sort_values(
+            ["token", "doc_id"], kind="mergesort"
+        )
+        if len(part) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "df": pa.array([], type=pa.int64()),
+                    "postings": pa.array([], type=pa.string()),
+                }
+            )
+        toks = part["token"].to_numpy()
+        n = len(toks)
+        head = np.concatenate([[0], np.flatnonzero(toks[1:] != toks[:-1]) + 1])
+        offsets = np.concatenate([head, [n]]).astype(np.int32)
+        ids_str = pa.array(part["doc_id"].astype(str).to_numpy(dtype=object))
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), ids_str), ","
+        )
+        return pa.table(
+            {
+                "token": pa.array(toks[head]),
+                "df": pa.array(np.diff(offsets).astype(np.int64)),
+                "postings": postings,
+            }
+        )
+
+    return hash_partition_apply(
+        docs.map_batches(_explode, batch_format="pyarrow"),
+        ["token"],
+        _index,
+        num_partitions,
+    )
