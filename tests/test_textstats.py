@@ -218,3 +218,36 @@ def test_inverted_index_postings():
     assert out.loc["a", "df"] == 2 and out.loc["a", "postings"] == "1,3"
     assert out.loc["b", "df"] == 1 and out.loc["b", "postings"] == "3"
     assert out.loc["c", "df"] == 1 and out.loc["c", "postings"] == "1"
+
+
+def test_sequence_pack_offsets_contiguous():
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.textstats import sequence_pack_offsets
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 2, 4, 1],  # two pack partitions (mod 2)
+                "text": ["a b c", "d d d d", "", "x y"],
+            }
+        )
+    )
+    out = (
+        sequence_pack_offsets(docs, context_tokens=4, pack_partitions=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # partition 0: docs 0 (3 toks), 2 (4), 4 (0) -> offsets 0-3, 3-7, 7-7
+    assert (out.loc[0, "start_offset"], out.loc[0, "end_offset"]) == (0, 3)
+    assert (out.loc[2, "start_offset"], out.loc[2, "end_offset"]) == (3, 7)
+    assert (out.loc[4, "start_offset"], out.loc[4, "end_offset"]) == (7, 7)
+    # doc 2 straddles the 4-token cut: bins 0..1
+    assert (out.loc[2, "first_bin"], out.loc[2, "last_bin"]) == (0, 1)
+    # zero-token doc sits at its offset's bin with an empty span
+    assert out.loc[4, "first_bin"] == out.loc[4, "last_bin"] == 1
+    # partition 1: doc 1 alone
+    assert (out.loc[1, "start_offset"], out.loc[1, "end_offset"]) == (0, 2)
+    assert out.loc[1, "pack_partition"] == 1

@@ -1601,6 +1601,19 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_sequence_pack(sf_dir: str):
+    """Token-stream sequence-packing layout: per pack partition
+    (doc_id % 64), doc-id-ordered concatenation offsets and 512-token bin
+    spans -- what a packed-training-row writer consumes."""
+    from ..stages.textstats import sequence_pack_offsets
+
+    return sequence_pack_offsets(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        context_tokens=512,
+        pack_partitions=64,
+    )
+
+
 def q_inverted_index(sf_dir: str):
     """Corpus inverted index: (token, df, postings) with postings the
     ascending comma-joined doc-id list (distinct containment)."""
@@ -1879,6 +1892,7 @@ def queries():
         "mixture_sample": q_mixture_sample,
         "doc_chunks": q_doc_chunks,
         "inverted_index": q_inverted_index,
+        "sequence_pack": q_sequence_pack,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -2474,6 +2488,22 @@ h AS (
           * 2177342782468422677) % 18446744073709551616 % 1000000 AS hv
   FROM documents)
 SELECT h.doc_id, h.source FROM h JOIN thr USING (source) WHERE hv < th""",
+        "sequence_pack": r"""
+WITH tc AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n
+  FROM documents),
+w AS (
+  SELECT doc_id, doc_id % 64 AS p, n,
+         SUM(n) OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS cum
+  FROM tc)
+SELECT doc_id, CAST(p AS BIGINT) AS pack_partition, n AS n_tokens,
+       CAST(cum - n AS BIGINT) AS start_offset,
+       CAST(cum AS BIGINT) AS end_offset,
+       CAST((cum - n) // 512 AS BIGINT) AS first_bin,
+       CAST(CASE WHEN n > 0 THEN (cum - 1) // 512
+                 ELSE (cum - n) // 512 END AS BIGINT) AS last_bin
+FROM w""",
         "inverted_index": r"""
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t

@@ -482,3 +482,73 @@ def inverted_index(
         _index,
         num_partitions,
     )
+
+
+def sequence_pack_offsets(
+    docs: ray.data.Dataset,
+    context_tokens: int = 512,
+    pack_partitions: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Token-stream sequence packing layout (the GPT-style packer): within
+    each deterministic pack partition (``doc_id % pack_partitions`` -- mod,
+    not hash, so the layout is reproducible anywhere) docs are concatenated
+    in doc-id order and the stream is cut every ``context_tokens`` tokens;
+    docs may straddle a cut. Emits per doc:
+    (doc_id, pack_partition, n_tokens, start_offset, end_offset,
+    first_bin, last_bin) -- everything a writer needs to materialize packed
+    training rows without ever holding the stream.
+
+    Fully vectorized: per-doc token counts (shared kernel), ONE
+    hash-partition shuffle on the pack partition, per-partition sort +
+    cumsum. The greedy never-split packer is sequential by nature; this
+    offset layout is the scalable equivalent (pure prefix sum) and is what
+    large trainers actually use.
+    """
+    from .groupby import hash_partition_apply
+
+    def _count(t: pa.Table) -> pa.Table:
+        from ..functions.tokenize import flat_tokens
+
+        _, parent = flat_tokens(t[text_col], fill_null=True)
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        if len(parent):
+            np.add.at(n, parent, 1)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "p": pa.array(ids % pack_partitions),
+                "n_tokens": pa.array(n),
+            }
+        )
+
+    def _pack(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["p", "doc_id"], kind="mergesort")
+        n = part["n_tokens"].to_numpy(np.int64)
+        # per-p cumsum (reset at partition-key change, vectorized)
+        cum = np.cumsum(n)
+        pvals = part["p"].to_numpy(np.int64)
+        new_p = np.flatnonzero(np.diff(pvals)) + 1
+        base = np.zeros(len(part), dtype=np.int64)
+        base[new_p] = cum[new_p - 1]
+        base = np.maximum.accumulate(base)
+        cum = cum - base
+        start = cum - n
+        last = np.where(n > 0, (cum - 1) // context_tokens, start // context_tokens)
+        return pd.DataFrame(
+            {
+                "doc_id": part["doc_id"].to_numpy(np.int64),
+                "pack_partition": pvals,
+                "n_tokens": n,
+                "start_offset": start,
+                "end_offset": cum,
+                "first_bin": start // context_tokens,
+                "last_bin": last,
+            }
+        )
+
+    return hash_partition_apply(
+        docs.map_batches(_count, batch_format="pyarrow"), ["p"], _pack
+    )
