@@ -251,3 +251,29 @@ def test_sequence_pack_offsets_contiguous():
     # partition 1: doc 1 alone
     assert (out.loc[1, "start_offset"], out.loc[1, "end_offset"]) == (0, 2)
     assert out.loc[1, "pack_partition"] == 1
+
+
+def test_group_topk_semantics():
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.groupby import group_topk
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": ["a", "a", "a", "a", "b", "b"],
+                "id": [1, 2, 3, 4, 5, 6],
+                "v": [10, 30, 30, 5, 7, 7],
+            }
+        )
+    )
+    out = (
+        group_topk(ds, ["g"], "v", k=2, tie_cols=["id"])
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    # a: 30(id2), 30(id3) win (tie -> lower id first, both fit in k=2)
+    # b: both rows (group smaller than k)
+    assert list(out["id"]) == [2, 3, 5, 6]

@@ -1601,6 +1601,53 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_top_docs_per_source(sf_dir: str):
+    """Per-domain diversity cap: the top-3 docs of each source by token
+    count (ties -> lowest doc_id) -> (source, doc_id, n_tokens)."""
+    from ..stages.groupby import group_topk
+    from ..stages.textstats import token_counts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    counted = token_counts(docs.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+    ))
+    src = docs.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+    from ..stages.join import bucketed_hash_join
+
+    joined = bucketed_hash_join(src, counted, "doc_id", "doc_id")
+    picked = group_topk(
+        joined, ["source"], "n_tokens", k=3, tie_cols=["doc_id"]
+    )
+    return picked.map_batches(
+        lambda df: df[["source", "doc_id", "n_tokens"]].astype(
+            {"doc_id": np.int64, "n_tokens": np.int64}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_bigram_counts(sf_dir: str):
+    """Corpus bigram (2-gram) counts -> (bigram, cnt): the n-gram LM /
+    collocation statistic, multiset semantics."""
+    from ..functions.tokenize import flat_tokens, kgram_join, kgram_starts
+    from ..stages.groupby import hash_partition_aggregate
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _bigrams(t: pa.Table) -> pa.Table:
+        flat, parent = flat_tokens(t["text"], fill_null=True)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        starts = kgram_starts(parent, 2)
+        return pa.table({"bigram": pa.array(kgram_join(toks, starts, 2))})
+
+    rows = docs.map_batches(_bigrams, batch_format="pyarrow")
+    return hash_partition_aggregate(
+        rows, ["bigram"], {"cnt": ("bigram", "count")}, stamp_batch_size=None
+    )
+
+
 def q_sequence_pack(sf_dir: str):
     """Token-stream sequence-packing layout: per pack partition
     (doc_id % 64), doc-id-ordered concatenation offsets and 512-token bin
@@ -1893,6 +1940,8 @@ def queries():
         "doc_chunks": q_doc_chunks,
         "inverted_index": q_inverted_index,
         "sequence_pack": q_sequence_pack,
+        "top_docs_per_source": q_top_docs_per_source,
+        "bigram_counts": q_bigram_counts,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -2488,6 +2537,25 @@ h AS (
           * 2177342782468422677) % 18446744073709551616 % 1000000 AS hv
   FROM documents)
 SELECT h.doc_id, h.source FROM h JOIN thr USING (source) WHERE hv < th""",
+        "top_docs_per_source": r"""
+WITH tc AS (
+  SELECT doc_id, source,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT source, doc_id, n_tokens FROM (
+  SELECT source, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM tc)
+WHERE rn <= 3""",
+        "bigram_counts": r"""
+WITH toks AS (SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+bg AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+                     THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+                     ELSE [] END) AS bigram
+  FROM toks)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram""",
         "sequence_pack": r"""
 WITH tc AS (
   SELECT doc_id,

@@ -179,3 +179,35 @@ def hash_partition_map_groups(
         return pd.concat(outs, ignore_index=True)
 
     return hash_partition_apply(ds, keys, _per_part, num_partitions)
+
+
+def group_topk(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tie_cols: list[str] | None = None,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Top-k rows PER GROUP by ``order_col`` (ties broken by ``tie_cols``
+    ascending -- deterministic, matching a ROW_NUMBER() OVER (PARTITION BY
+    keys ORDER BY order_col, ties) <= k oracle). The per-domain diversity
+    cap of a data pipeline: k>1 generalization of the argmax-per-group
+    pattern.
+
+    One hash-partition shuffle on the group keys; the partition sweep is a
+    vectorized sort + C-level grouped cumcount -- group sizes ride the
+    partitions, k does not bound memory anywhere but the output."""
+    tie_cols = list(tie_cols or [])
+
+    def _pick(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(
+            keys + [order_col] + tie_cols,
+            ascending=[True] * len(keys) + [ascending] + [True] * len(tie_cols),
+            kind="mergesort",
+        )
+        rank = srt.groupby(keys, sort=False).cumcount()
+        return srt[rank < k]
+
+    return hash_partition_apply(ds, keys, _pick, num_partitions)
