@@ -474,6 +474,69 @@ def q_canonical_triples(sf_dir: str):
     return canonicalize_triples(extract_triples(ds, gaz_ref), mapping_ref)
 
 
+def q_cooccurrence_pmi(sf_dir: str):
+    """Integer-exact PMI count table over the canonical co-occurrence
+    graph -> (subj, obj, pair_w, subj_w, obj_w, total_w): everything a PMI
+    / collocation score needs (PMI = log(pair_w*total_w / (subj_w*obj_w))
+    is derived downstream so the oracle stays integer-exact). Edge list
+    stays a Dataset: marginals via the hash-partitioned aggregate, pair
+    enrichment via two bucketed joins; the only driver scalar is
+    total_w."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    ct = q_canonical_triples(sf_dir)
+    edges = ct.map_batches(
+        lambda df: df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]],
+        batch_format="pandas",
+    ).materialize()
+    ends = edges.map_batches(
+        lambda df: pd.concat(
+            [
+                df[["subj", "weight"]].rename(columns={"subj": "qid"}),
+                df[["obj", "weight"]].rename(columns={"obj": "qid"}),
+            ],
+            ignore_index=True,
+        ),
+        batch_format="pandas",
+    )
+    marg = hash_partition_aggregate(
+        ends, ["qid"], {"w_marg": ("weight", "sum")}, stamp_batch_size=None
+    )
+    total_w = int(edges.sum("weight") or 0)
+    j1 = bucketed_hash_join(
+        edges,
+        marg.map_batches(
+            lambda df: df.rename(columns={"qid": "subj", "w_marg": "subj_w"}),
+            batch_format="pandas",
+        ),
+        "subj",
+        "subj",
+    )
+    j2 = bucketed_hash_join(
+        j1,
+        marg.map_batches(
+            lambda df: df.rename(columns={"qid": "obj", "w_marg": "obj_w"}),
+            batch_format="pandas",
+        ),
+        "obj",
+        "obj",
+    )
+    return j2.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "subj": df["subj"],
+                "obj": df["obj"],
+                "pair_w": df["weight"].to_numpy(np.int64),
+                "subj_w": df["subj_w"].to_numpy(np.int64),
+                "obj_w": df["obj_w"].to_numpy(np.int64),
+                "total_w": np.full(len(df), total_w, dtype=np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_rank_stats(sf_dir: str):
     return rank_stats_table(q_canonical_qrank(sf_dir))
 
@@ -1942,6 +2005,7 @@ def queries():
         "sequence_pack": q_sequence_pack,
         "top_docs_per_source": q_top_docs_per_source,
         "bigram_counts": q_bigram_counts,
+        "cooccurrence_pmi": q_cooccurrence_pmi,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -2291,6 +2355,22 @@ SELECT conv_id,
        CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
        CAST(SUM(length(text)) AS BIGINT) AS n_chars
 FROM turns GROUP BY conv_id""",
+        ),
+        "cooccurrence_pmi": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""pmi_edges AS (
+  SELECT subj, obj, weight FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+pmi_marg AS (
+  SELECT qid, CAST(SUM(weight) AS BIGINT) AS w_marg FROM (
+    SELECT subj AS qid, weight FROM pmi_edges
+    UNION ALL SELECT obj, weight FROM pmi_edges) GROUP BY qid),
+pmi_tot AS (SELECT CAST(COALESCE(SUM(weight), 0) AS BIGINT) AS total_w FROM pmi_edges)""",
+            select="""
+SELECT e.subj, e.obj, CAST(e.weight AS BIGINT) AS pair_w,
+       ms.w_marg AS subj_w, mo.w_marg AS obj_w, pmi_tot.total_w AS total_w
+FROM pmi_edges e
+JOIN pmi_marg ms ON e.subj = ms.qid
+JOIN pmi_marg mo ON e.obj = mo.qid, pmi_tot""",
         ),
         "entity_triangles": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
