@@ -244,6 +244,18 @@ def _with(*parts: str, select: str) -> str:
     return "WITH " + ",".join(parts) + "\n" + select
 
 
+def _pd(ds, cols: dict[str, object]) -> pd.DataFrame:
+    """Driver-side to_pandas that survives a zero-block Dataset: Ray drops
+    the schema when every block is empty, so downstream column access would
+    KeyError. ``cols`` maps column -> dtype for the restored empty frame --
+    the engine's empty-input contract (empty in, correctly-typed empty
+    out, never an incidental crash)."""
+    df = ds if isinstance(ds, pd.DataFrame) else ds.to_pandas()
+    if len(df) == 0 and len(df.columns) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Ray-side helpers
 # ---------------------------------------------------------------------------
@@ -651,7 +663,11 @@ def q_pricing_summary(sf_dir: str):
             Count(alias_name="count_order"),
         )
     )
-    df = agg.to_pandas()
+    df = _pd(
+        agg,
+        {"l_returnflag": object, "l_linestatus": object, "sum_qty": "int64",
+         "sum_base_price": "int64", "sum_disc_price": "int64", "count_order": "int64"},
+    )
     df["sum_qty"] = df["sum_qty"].astype(np.int64) / 100.0
     df["sum_base_price"] = df["sum_base_price"].astype(np.int64) / 100.0
     df["sum_disc_price"] = df["sum_disc_price"].astype(np.int64) / 10000.0
@@ -693,7 +709,10 @@ def q_top_orders_by_revenue(sf_dir: str):
     # dimension side: customer is dim-sized -> driver filter + broadcast;
     # orders is a FACT table -> filter it DISTRIBUTED and collect only the
     # surviving keys (they are the next stage's broadcast payload anyway)
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _pd(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        {"c_custkey": "int64", "c_mktsegment": object},
+    )
     cust_ref = ray.put(
         np.sort(
             cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(np.int64)
@@ -709,12 +728,11 @@ def q_top_orders_by_revenue(sf_dir: str):
         pos[pos == len(keys)] = 0
         return df[keys[pos] == ck][["o_orderkey"]]
 
-    keep_orders = (
+    keep_orders = _pd(
         read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-        .map_batches(_order_filter, batch_format="pandas")
-        .to_pandas()["o_orderkey"]
-        .to_numpy(np.int64)
-    )
+        .map_batches(_order_filter, batch_format="pandas"),
+        {"o_orderkey": "int64"},
+    )["o_orderkey"].to_numpy(np.int64)
     keys_ref = ray.put(np.sort(keep_orders))
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -727,7 +745,7 @@ def q_top_orders_by_revenue(sf_dir: str):
     agg = hash_partition_aggregate(
         partial, ["o_orderkey"], {"revenue_c4": ("revenue_c4", "sum")}, partial=False
     )
-    df = agg.to_pandas()
+    df = _pd(agg, {"o_orderkey": "int64", "revenue_c4": "int64"})
     df = df.sort_values(["revenue_c4", "o_orderkey"], ascending=[False, True]).head(10)
     df["revenue"] = df.pop("revenue_c4").astype(np.int64) / 10000.0
     return df.reset_index(drop=True)[["o_orderkey", "revenue"]]
@@ -737,7 +755,10 @@ def q_brand_revenue(sf_dir: str):
     """lineitem ⨝ part via broadcast dict lookup inside map_batches.
     Revenue summed in exact scaled int64 (scale 10^-4), one final divide --
     bitwise-deterministic regardless of block order (see q_pricing_summary)."""
-    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    part = _pd(
+        read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]),
+        {"p_partkey": "int64", "p_brand": object},
+    )
     brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
 
     def add_brand(batch: pd.DataFrame) -> pd.DataFrame:
@@ -754,15 +775,23 @@ def q_brand_revenue(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
     agg = li.map_batches(add_brand, batch_format="pandas").groupby("p_brand").sum("revenue_c4")
-    df = agg.to_pandas().rename(columns={"sum(revenue_c4)": "revenue"})
+    df = _pd(agg, {"p_brand": object, "sum(revenue_c4)": "int64"}).rename(
+        columns={"sum(revenue_c4)": "revenue"}
+    )
     df["revenue"] = df["revenue"].astype(np.int64) / 10000.0
     return df
 
 
 def q_region_customers(sf_dir: str):
     """customer ⨝ nation ⨝ region with the dimension chain broadcast."""
-    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
-    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    nation = _pd(
+        read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]),
+        {"n_nationkey": "int64", "n_regionkey": "int64"},
+    )
+    region = _pd(
+        read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]),
+        {"r_regionkey": "int64", "r_name": object},
+    )
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2n = dict(zip(region["r_regionkey"], region["r_name"]))
     lookup_ref = ray.put({k: r2n[v] for k, v in n2r.items()})
@@ -775,7 +804,9 @@ def q_region_customers(sf_dir: str):
 
     cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
     agg = cust.map_batches(to_region, batch_format="pandas").groupby("r_name").sum("cnt")
-    df = agg.to_pandas().rename(columns={"sum(cnt)": "n_customers"})
+    df = _pd(agg, {"r_name": object, "sum(cnt)": "int64"}).rename(
+        columns={"sum(cnt)": "n_customers"}
+    )
     df["n_customers"] = df["n_customers"].astype(np.int64)
     return df
 
@@ -811,7 +842,8 @@ def q_events_hourly(sf_dir: str):
         {"n_events": ("n_events", "sum"), "sum_value_c": ("sum_value_c", "sum")},
         partial=False,
     )
-    df = agg.to_pandas()
+    df = _pd(agg, {"user_id": "int64", "hour_us": "int64",
+                   "n_events": "int64", "sum_value_c": "int64"})
     df["hour"] = pd.to_datetime(df.pop("hour_us"), unit="us")
     df["n_events"] = df["n_events"].astype(np.int64)
     df["sum_value"] = df.pop("sum_value_c").astype(np.int64) / 100.0
@@ -849,7 +881,8 @@ def q_events_hopping(sf_dir: str):
         {"n_events": ("n_events", "sum"), "sum_value_c": ("sum_value_c", "sum")},
         partial=False,
     )
-    df = agg.to_pandas()
+    df = _pd(agg, {"ws_us": "int64", "event_type": object,
+                   "n_events": "int64", "sum_value_c": "int64"})
     df["window_start"] = pd.to_datetime(df.pop("ws_us"), unit="us")
     df["n_events"] = df["n_events"].astype(np.int64)
     df["sum_value"] = df.pop("sum_value_c").astype(np.int64) / 100.0
@@ -882,7 +915,10 @@ def q_top_tokens(sf_dir: str):
         return s.head(20)
 
     partials = docs.map_batches(partial, batch_format="pyarrow")
-    tops = hash_partition_apply(partials, ["token"], part_top).to_pandas()
+    tops = _pd(
+        hash_partition_apply(partials, ["token"], part_top),
+        {"token": object, "cnt": "int64"},
+    )
     tops = tops.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
     out = tops.head(20).reset_index(drop=True)
     out["cnt"] = out["cnt"].astype(np.int64)
@@ -904,11 +940,16 @@ def q_value_percentiles(sf_dir: str):
         return pd.DataFrame({"value_c": u, "n": n.astype(np.int64)})
 
     partial = ev.map_batches(hist, batch_format="pandas", batch_size=65536)
-    agg = hash_partition_aggregate(
-        partial, ["value_c"], {"n": ("n", "sum")}, partial=False
-    ).to_pandas()
+    agg = _pd(
+        hash_partition_aggregate(partial, ["value_c"], {"n": ("n", "sum")}, partial=False),
+        {"value_c": "int64", "n": "int64"},
+    )
     agg = agg.sort_values("value_c").reset_index(drop=True)
     total = int(agg["n"].sum())
+    if total == 0:
+        # empty stream: percentiles are NULL, matching the SQL aggregate
+        nan = float("nan")
+        return pd.DataFrame({"p50": [nan], "p90": [nan], "p99": [nan]})
     cum = agg["n"].cumsum().to_numpy()
 
     def pick(p: float) -> float:
@@ -1008,7 +1049,9 @@ def q_sessionize(sf_dir: str):
 def q_event_type_counts(sf_dir: str):
     ev = read_table(sf_dir, "events", columns=["event_type"])
     agg = ev.groupby("event_type").count()
-    df = agg.to_pandas().rename(columns={"count()": "n"})
+    df = _pd(agg, {"event_type": object, "count()": "int64"}).rename(
+        columns={"count()": "n"}
+    )
     df["n"] = df["n"].astype(np.int64)
     return df
 
@@ -1047,12 +1090,12 @@ def q_events_stratified_sample(sf_dir: str):
 
 def q_distinct_langs(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["lang"])
-    return pd.DataFrame({"lang": sorted(docs.unique("lang"))})
+    return pd.DataFrame({"lang": pd.Series(sorted(docs.unique("lang") or []), dtype=object)})
 
 
 def q_distinct_user_count(sf_dir: str):
     ev = read_table(sf_dir, "events", columns=["user_id"])
-    return pd.DataFrame({"n_users": [np.int64(len(ev.unique("user_id")))]})
+    return pd.DataFrame({"n_users": [np.int64(len(ev.unique("user_id") or []))]})
 
 
 def q_approx_distinct_users(sf_dir: str):
@@ -1084,7 +1127,9 @@ def q_order_customer_join(sf_dir: str):
         .rename(columns={"size": "n"}),
         batch_format="pandas",
     )
-    df = partial.to_pandas().groupby(["c_mktsegment", "o_orderpriority"], as_index=False)["n"].sum()
+    df = _pd(
+        partial, {"c_mktsegment": object, "o_orderpriority": object, "n": "int64"}
+    ).groupby(["c_mktsegment", "o_orderpriority"], as_index=False)["n"].sum()
     df["n"] = df["n"].astype(np.int64)
     return df
 
@@ -1096,15 +1141,13 @@ def q_customers_without_orders(sf_dir: str):
 
     # filter the FACT table distributedly; only the qualifying key set (the
     # broadcast payload) reaches the driver
-    big = (
-        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(
+    big = _pd(
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
             lambda df: df.loc[df["o_totalprice"] > 250000, ["o_custkey"]],
             batch_format="pandas",
-        )
-        .to_pandas()["o_custkey"]
-        .to_numpy()
-    )
+        ),
+        {"o_custkey": "int64"},
+    )["o_custkey"].to_numpy()
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return broadcast_semi_join(cust, "c_custkey", big, anti=True)
 
@@ -1140,7 +1183,9 @@ def q_nation_revenue_3way(sf_dir: str):
         lambda df: df.groupby("c_nationkey", as_index=False)["revenue_c4"].sum(),
         batch_format="pandas",
     )
-    df = partial.to_pandas().groupby("c_nationkey", as_index=False)["revenue_c4"].sum()
+    df = _pd(partial, {"c_nationkey": "int64", "revenue_c4": "int64"}).groupby(
+        "c_nationkey", as_index=False
+    )["revenue_c4"].sum()
     df["revenue"] = df.pop("revenue_c4").astype(np.int64) / 10000.0
     return df
 
@@ -1291,7 +1336,10 @@ def q_top_part_per_brand(sf_dir: str):
     partkey-cardinality partials. Exact int64 money sums."""
     from ..stages.groupby import hash_partition_apply
 
-    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    part = _pd(
+        read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]),
+        {"p_partkey": "int64", "p_brand": object},
+    )
     brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1588,7 +1636,10 @@ def q_token_length_histogram(sf_dir: str):
         g = b.value_counts().rename_axis("bucket").reset_index(name="n_docs")
         return g
 
-    df = tc.map_batches(partial, batch_format="pandas").to_pandas()
+    df = _pd(
+        tc.map_batches(partial, batch_format="pandas"),
+        {"bucket": "int64", "n_docs": "int64"},
+    )
     out = df.groupby("bucket", as_index=False)["n_docs"].sum()
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out
@@ -1598,7 +1649,10 @@ def q_ann_ivf(sf_dir: str):
     from ..stages.similarity import ann_ivf_topk
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann_ivf_topk(emb, _query_vec(sf_dir), k=10)
+    q = _query_vec(sf_dir)
+    if q is None:
+        return _empty_topk()
+    return ann_ivf_topk(emb, q, k=10)
 
 
 def q_embedding_class(sf_dir: str):
@@ -1615,20 +1669,34 @@ def q_quality_scores(sf_dir: str):
     return quality_scores(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
-def _query_vec(sf_dir: str) -> np.ndarray:
+def _query_vec(sf_dir: str) -> np.ndarray | None:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     df = t.to_pandas().set_index("vec_id")
+    if 0 not in df.index:
+        return None  # empty corpus: ANN queries return no neighbors
     return np.array(df.loc[0, "embedding"], dtype=np.float64)
+
+
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"pos": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64")}
+    )
 
 
 def q_ann_topk(sf_dir: str):
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann_brute_topk(emb, _query_vec(sf_dir), k=10)
+    q = _query_vec(sf_dir)
+    if q is None:
+        return _empty_topk()
+    return ann_brute_topk(emb, q, k=10)
 
 
 def q_ann_lsh(sf_dir: str):
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann_lsh_topk(emb, _query_vec(sf_dir), k=10)
+    q = _query_vec(sf_dir)
+    if q is None:
+        return _empty_topk()
+    return ann_lsh_topk(emb, q, k=10)
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -2405,15 +2473,15 @@ GROUP BY qid""",
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS, crank_cte,
             select="""
 SELECT CAST(COUNT(*) AS BIGINT) AS entity_count,
-       (SELECT mention_count FROM (
+       COALESCE((SELECT mention_count FROM (
           SELECT mention_count,
                  row_number() OVER (ORDER BY mention_count DESC,
                                     CAST(substr(qid, 2) AS BIGINT) ASC) AS rp
           FROM crank)
-        WHERE rp = (SELECT (COUNT(*) + 1) // 2 FROM crank)) AS median_value,
-       CAST(MAX(mention_count) AS BIGINT) AS max_value,
-       CAST(MIN(mention_count) AS BIGINT) AS min_value,
-       CAST(SUM(mention_count) AS BIGINT) AS total_mass
+        WHERE rp = (SELECT (COUNT(*) + 1) // 2 FROM crank)), 0) AS median_value,
+       CAST(COALESCE(MAX(mention_count), 0) AS BIGINT) AS max_value,
+       CAST(COALESCE(MIN(mention_count), 0) AS BIGINT) AS min_value,
+       CAST(COALESCE(SUM(mention_count), 0) AS BIGINT) AS total_mass
 FROM crank""",
         ),
         "item_signals": _with(

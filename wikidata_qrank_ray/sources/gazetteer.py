@@ -49,19 +49,33 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
     )
 
 
+def _schemaful_partials(partial_df: pd.DataFrame) -> pd.DataFrame:
+    """An all-empty Dataset loses its schema through to_pandas (zero
+    blocks); restore the (surface, cnt) columns so an EMPTY corpus yields
+    an empty gazetteer instead of a KeyError deep in the merge."""
+    if len(partial_df) == 0 and "surface" not in partial_df.columns:
+        return pd.DataFrame(
+            {"surface": pd.Series(dtype=object), "cnt": pd.Series(dtype="int64")}
+        )
+    return partial_df
+
+
 def merge_token_partials(partial_df: pd.DataFrame, top_n: int) -> pd.DataFrame:
     """Driver-side final combine of per-batch token-count partials (the
     mergeable-sketch pattern: partials are vocabulary-sized, so the merge is
     trivially small -- Ray's Aggregate operator costs ~0.2s per input block
     and would dominate here)."""
+    partial_df = _schemaful_partials(partial_df)
     df = partial_df.groupby("surface", as_index=False)["cnt"].sum()
     df = df[~df["surface"].isin(STOPWORDS)]
     df = df.sort_values(["cnt", "surface"], ascending=[False, True], kind="mergesort")
     df = df.head(top_n).reset_index(drop=True)
     return pd.DataFrame(
         {
-            "qid": ["Q" + str(i + 1) for i in range(len(df))],
-            "surface": df["surface"].to_numpy(),
+            "qid": pd.Series(
+                ["Q" + str(i + 1) for i in range(len(df))], dtype=object
+            ),
+            "surface": pd.Series(df["surface"].to_numpy(), dtype=object),
             "prior": df["cnt"].astype("int64").to_numpy(),
         }
     )
@@ -111,13 +125,16 @@ def merge_bigram_partials(
 ) -> pd.DataFrame:
     """Driver-side merge of the (vocabulary-sized) bigram partials; qid
     space offset so phrase entities never collide with unigram qids."""
+    partial_df = _schemaful_partials(partial_df)
     df = partial_df.groupby("surface", as_index=False)["cnt"].sum()
     df = df.sort_values(["cnt", "surface"], ascending=[False, True], kind="mergesort")
     df = df.head(top_n).reset_index(drop=True)
     return pd.DataFrame(
         {
-            "qid": ["Q" + str(offset + i + 1) for i in range(len(df))],
-            "surface": df["surface"].to_numpy(),
+            "qid": pd.Series(
+                ["Q" + str(offset + i + 1) for i in range(len(df))], dtype=object
+            ),
+            "surface": pd.Series(df["surface"].to_numpy(), dtype=object),
             "prior": df["cnt"].astype("int64").to_numpy(),
         }
     )

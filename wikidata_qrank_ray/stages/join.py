@@ -198,6 +198,20 @@ def bucketed_hash_join(
         left = left.map_batches(_salt_left, batch_format="pyarrow")
         right = right.map_batches(_replicate_right, batch_format="pyarrow")
 
+    # a zero-block side has no readable schema (Ray drops it), so the typed
+    # null padding is unconstructible. The join semantics stay exact: an
+    # empty side contributes no matches, so inner/semi results ARE the
+    # empty side, and left/right/outer keep the intact side (its would-be
+    # null-padded columns are untypable and therefore absent -- only
+    # reachable when the other side is a schema-less empty).
+    ls, rs = left.schema(), right.schema()
+    if ls is None or rs is None:
+        if ls is None and rs is None:
+            return left
+        if ls is None:
+            return right if how in ("right", "outer") else left
+        return left if how in ("left", "outer") else right
+
     shared = ("__salt__",) if salt_buckets > 1 else ()
     u, lcols, rcols, ltypes, rtypes = _pad_union(
         left, right, left_key, right_key, shared=shared
@@ -239,6 +253,11 @@ def bucketed_range_join(
     Ray Data lacks (SURVEY.md §1.4): composition of map_batches + one
     hash shuffle."""
     import pyarrow as pa
+
+    # inner-join semantics: a zero-block (schema-less) side means an empty
+    # result -- return that empty side (see bucketed_hash_join note)
+    if left.schema() is None or right.schema() is None:
+        return left if left.schema() is None else right
 
     lsel = left.map_batches(
         lambda t: t.rename_columns(["__by__" if c == by_left else c for c in t.schema.names]),
@@ -338,6 +357,19 @@ def bucketed_asof_join(
     ``on`` <= left's ``on`` (direction=backward) within the same ``by`` key.
     Co-partition by the by-key hash, sort within partition, pd.merge_asof."""
     import pyarrow as pa
+
+    if left.schema() is None:
+        return left  # no left rows -> empty result (schema-less empty)
+    if right.schema() is None:
+        # no right rows: every left row keeps null asof columns; right
+        # value types are unreadable from a zero-block side -> null-typed
+        right = ray.data.from_arrow(
+            pa.table(
+                {by_right: pa.array([], type=left.schema().base_schema.field(by_left).type),
+                 on: pa.array([], type=left.schema().base_schema.field(on).type)}
+                | {c: pa.array([], type=pa.null()) for c in right_value_cols}
+            )
+        )
 
     rsel = right.map_batches(
         lambda t: t.select([by_right, on] + right_value_cols).rename_columns(

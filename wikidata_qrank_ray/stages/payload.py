@@ -66,6 +66,8 @@ def discover_payload_schema(ds: ray.data.Dataset, col: str = "props") -> dict[st
         lambda b, c=col: _schema_partial(b, c), batch_format="pandas"
     ).to_pandas()
     schema: dict[str, str] = {}
+    if len(partial) == 0:
+        return schema  # empty stream discovers an empty schema
     for key, typ in zip(partial["key"], partial["typ"]):
         cur = schema.get(key)
         if cur is None or _RANK[typ] > _RANK[cur]:

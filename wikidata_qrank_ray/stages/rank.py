@@ -61,6 +61,15 @@ def qrank_order(rank_ds: ray.data.Dataset, value_col: str = "mention_count") -> 
     larger entity spaces this becomes ``ds.sort`` + per-block offset ranks.
     """
     df = rank_ds.to_pandas()
+    if len(df) == 0 and "qid" not in df.columns:
+        # zero-block Dataset lost its schema through to_pandas; an empty
+        # corpus ranks to an empty, correctly-typed table
+        df = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype=object),
+                value_col: pd.Series(dtype="int64"),
+            }
+        )
     df["_qn"] = qid_num(df["qid"])
     df = df.sort_values([value_col, "_qn"], ascending=[False, True], kind="mergesort")
     df = df.drop(columns=["_qn"]).reset_index(drop=True)

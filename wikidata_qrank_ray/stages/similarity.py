@@ -52,6 +52,11 @@ def ann_brute_topk(
 
 
 def _pair_block_sims(ta: pa.Table, tb: pa.Table, threshold: float, same: bool) -> pd.DataFrame:
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64)})
+    # an all-empty input repartitions into schema-less blocks
+    if "vec_id" not in ta.column_names or "vec_id" not in tb.column_names:
+        return empty
     ids_a = ta["vec_id"].to_numpy()
     ids_b = tb["vec_id"].to_numpy()
     if len(ids_a) == 0 or len(ids_b) == 0:

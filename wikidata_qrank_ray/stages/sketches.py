@@ -69,6 +69,8 @@ def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
 
     parts = ds.map_batches(_sketch, batch_format="pandas", batch_size=65536).to_pandas()
     merged = HyperLogLog(p)
+    if len(parts) == 0:
+        return 0.0  # empty stream: zero distinct (zero-block schema loss)
     for buf in parts["registers"]:
         other = HyperLogLog(p)
         other.registers = np.frombuffer(buf, dtype=np.uint8).copy()

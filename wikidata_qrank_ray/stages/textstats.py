@@ -227,6 +227,11 @@ def doc_commonness(
 
     if freq.size_bytes() <= broadcast_max_bytes:
         fdf = freq.to_pandas()
+        if len(fdf) == 0 and "freq" not in fdf.columns:
+            # zero-block frequency table lost its schema (empty corpus)
+            fdf = pd.DataFrame(
+                {"t": pd.Series(dtype=object), "freq": pd.Series(dtype="int64")}
+            )
         freq_ref = ray.put(
             pd.Series(fdf["freq"].to_numpy(np.int64), index=fdf["t"].to_numpy())
         )
