@@ -448,3 +448,80 @@ def test_survivor_selection_policy():
     assert list(out["doc_id"]) == [1, 2, 3, 4, 5, 6]
     assert list(out["survivor"]) == [2, 2, 2, 4, 5, 5]
     assert list(out["kept"]) == [False, True, False, True, True, False]
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook scalar Levenshtein (the spec the vectorized DP must match)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_vec_matches_scalar():
+    import itertools
+    import random
+
+    import numpy as np
+
+    from wikidata_qrank_ray.stages.dedup import _levenshtein_pairs_vec
+
+    rng = random.Random(7)
+    words = ["", "a", "ab", "abc", "kitten", "sitting", "flaw", "lawn",
+             "chapter 1", "chapter 2", "über", "uber", "日本語", "日本"]
+    pool = words + ["".join(rng.choice("abc x") for _ in range(rng.randint(1, 12)))
+                    for _ in range(30)]
+    pairs = list(itertools.product(pool, repeat=2))
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    got = _levenshtein_pairs_vec(a, b)
+    want = np.array([_lev_ref(x, y) for x, y in pairs])
+    assert (got == want).all()
+
+
+def test_edit_near_dups_planted():
+    """Planted typo pairs across length-band boundaries come back with
+    exact distances; far keys and cross-band-unreachable keys don't."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.dedup import edit_near_dups
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "the quick brown fox jumps",      # key len 19
+            "the quick brown fx jumps",       # deletion -> dist 1
+            "the quick brown cat naps",       # dist > 3 from 1/2
+            "zz",                             # short key, its own band
+            "zzq",                            # dist 1 from doc 4, adjacent band
+            "completely different words here",
+        ],
+    }))
+    out = (
+        edit_near_dups(docs, key_tokens=4, max_dist=3, num_partitions=8)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    got = {(r.a, r.b): r.dist for r in out.itertuples()}
+    assert got[(1, 2)] == 1
+    assert got[(4, 5)] == 1
+    assert got[(1, 3)] == 3  # fox -> cat: exactly 3 substitutions
+    assert not any(6 in p for p in got)  # far key pairs with nothing
+    assert all(a < b for a, b in got)
+
+
+def test_edit_near_dups_empty_input():
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.dedup import edit_near_dups
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    )
+    out = edit_near_dups(docs).to_pandas()
+    assert len(out) == 0

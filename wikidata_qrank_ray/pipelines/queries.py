@@ -1868,6 +1868,19 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_edit_near_dups(sf_dir: str):
+    """All doc pairs whose 4-token title key is within Levenshtein
+    distance 3 -- EXACT: length banding is lossless (|len diff| <= k is
+    necessary), so the banded distributed pipeline equals the oracle's
+    length-filtered all-pairs levenshtein() scan value-for-value."""
+    from ..stages.dedup import edit_near_dups
+
+    return edit_near_dups(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        key_tokens=4, max_dist=3,
+    )
+
+
 def q_lang_id(sf_dir: str):
     return lang_id(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -2064,6 +2077,7 @@ def queries():
     # tools/check_oracles.py.
     return {
         # --- not yet driver-sampled (round 2 took the first 50) ---
+        "edit_near_dups": q_edit_near_dups,
         "pii_redaction": q_pii_redaction,
         "events_sliding_window": q_events_sliding_window,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3051,6 +3065,20 @@ SELECT a, b, hamming FROM (
          CAST(bit_count(xor(x.ss, y.ss)) AS BIGINT) AS hamming
   FROM sb x JOIN sb y ON x.doc_id < y.doc_id
 ) WHERE hamming <= 3""",
+        # edit_near_dups: brute-force levenshtein over length-filtered
+        # pairs -- proves the length-band blocking lossless, not just
+        # self-consistent (same oracle philosophy as simhash_near_dups)
+        "edit_near_dups": r"""
+WITH k AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(COALESCE(text, ''), '\S+')[1:4], ' ') AS key
+  FROM documents)
+SELECT a, b, dist FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(levenshtein(x.key, y.key) AS BIGINT) AS dist
+  FROM k x JOIN k y ON x.doc_id < y.doc_id
+    AND abs(length(x.key) - length(y.key)) <= 3
+) WHERE dist <= 3""",
         # ann_ivf (data-dependent k-means quantizer) /
         # approx_distinct_users (HLL estimate): approximate by design ->
         # rows-only here, value-checked against their exact twins in tests

@@ -1170,3 +1170,142 @@ def survivor_selection(
         )
 
     return hash_partition_apply(attached, ["cluster"], _pick, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup join
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein_pairs_vec(
+    keys_a: np.ndarray, keys_b: np.ndarray
+) -> np.ndarray:
+    """Unit-cost Levenshtein distance for npairs (a, b) string pairs at
+    once: the DP loops run over CHARACTER POSITIONS (<= max key length),
+    every step a numpy op across all pairs -- no per-pair Python loop.
+
+    The in-row left-to-right dependency (cur[j] = min(cand[j],
+    cur[j-1]+1)) is resolved with a min-plus prefix scan: cur[j] =
+    j + running_min(cand[i] - i), so each DP row is O(npairs * Lb)
+    vector work instead of a scalar inner loop."""
+    n = len(keys_a)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    # numpy unicode arrays are fixed-width UCS4 -> zero-copy codepoint grid,
+    # padded with NUL (never read: positions beyond la/lb cannot influence
+    # prev[:, lb] because DP dependencies flow left-to-right)
+    aw = max(1, max(len(s) for s in keys_a))
+    bw = max(1, max(len(s) for s in keys_b))
+    A = np.array(list(keys_a), dtype=f"U{aw}").view(np.uint32).reshape(n, aw)
+    B = np.array(list(keys_b), dtype=f"U{bw}").view(np.uint32).reshape(n, bw)
+    la = np.fromiter((len(s) for s in keys_a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in keys_b), dtype=np.int64, count=n)
+    prev = np.broadcast_to(
+        np.arange(bw + 1, dtype=np.int64), (n, bw + 1)
+    ).copy()
+    pos = np.arange(bw + 1, dtype=np.int64)
+    for i in range(1, int(la.max()) + 1 if n else 1):
+        active = la >= i
+        cost = (A[:, i - 1 : i] != B).astype(np.int64)  # (n, bw)
+        cand = np.empty((n, bw + 1), dtype=np.int64)
+        cand[:, 0] = i  # cur[0] = i deletions
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=cand[:, 1:])
+        cur = np.minimum.accumulate(cand - pos, axis=1) + pos
+        prev[active] = cur[active]
+    return prev[np.arange(n), lb]
+
+
+def edit_near_dups(
+    docs: ray.data.Dataset,
+    key_tokens: int = 4,
+    max_dist: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """All doc pairs whose title key (first ``key_tokens`` whitespace
+    tokens of ``text``, single-space joined) is within unit-cost
+    Levenshtein distance ``max_dist`` -> (a, b, dist), a < b by doc_id.
+    The typo-tolerant near-dup join (title/URL variant collapsing) the
+    set-similarity family cannot express -- Jaccard sees 'chapter 1' and
+    'chapter 2' as disjoint tokens; edit distance sees one substitution.
+
+    Blocking is LOSSLESS length banding: |len(ka)-len(kb)| <= max_dist is
+    necessary for dist <= max_dist, so each key goes to its native band
+    floor(len/(max_dist+1)) plus a ghost copy in the next band; a
+    qualifying pair either shares a band (both native there) or straddles
+    adjacent bands (ghost meets native) -- emitted exactly once by the
+    not-both-ghosts rule. One hash-partition shuffle on the band id; the
+    per-band sweep generates length-filtered candidate pairs and scores
+    them with the vectorized multi-pair DP above.
+
+    SCALE NOTE: candidate generation is O(m^2) per length band (the exact
+    semantics require it); for corpora whose key length concentrates in
+    one band, compose with a secondary blocking key (first character,
+    SimHash band) before this operator, trading recall for the cap --
+    same skew story as simhash_near_dups' per-band-value bound."""
+    from .groupby import hash_partition_apply
+
+    width = max_dist + 1
+
+    def _keys(t: pa.Table) -> pd.DataFrame:
+        flat, parent = flat_tokens(t["text"], fill_null=True)
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        nrow = t.num_rows
+        rows = np.arange(nrow, dtype=np.int64)
+        first = np.searchsorted(parent, rows, side="left")
+        cnt = np.searchsorted(parent, rows, side="right") - first
+        take = np.minimum(cnt, key_tokens)
+        key = np.full(nrow, "", dtype=object)
+        has = take >= 1
+        key[has] = toks[first[has]].copy()
+        for j in range(1, key_tokens):
+            m = take > j
+            key[m] = key[m] + " "
+            key[m] = key[m] + toks[first[m] + j]
+        klen = np.fromiter((len(s) for s in key), dtype=np.int64, count=nrow)
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        band = klen // width
+        # native copy + ghost copy in the next band up
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([doc_id, doc_id]),
+                "key": np.concatenate([key, key]),
+                "band": np.concatenate([band, band + 1]),
+                "ghost": np.repeat([False, True], nrow),
+            }
+        )
+
+    staged = docs.map_batches(_keys, batch_format="pyarrow", batch_size=65536)
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("band", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            ids = g["doc_id"].to_numpy(np.int64)
+            keys = g["key"].to_numpy()
+            ghost = g["ghost"].to_numpy()
+            klen = np.fromiter((len(s) for s in keys), dtype=np.int64, count=m)
+            ii, jj = np.triu_indices(m, 1)
+            keep = ~(ghost[ii] & ghost[jj])
+            keep &= np.abs(klen[ii] - klen[jj]) <= max_dist
+            keep &= ids[ii] != ids[jj]  # a doc never pairs with its ghost
+            ii, jj = ii[keep], jj[keep]
+            if not len(ii):
+                continue
+            dist = _levenshtein_pairs_vec(keys[ii], keys[jj])
+            ok = dist <= max_dist
+            a = np.minimum(ids[ii][ok], ids[jj][ok])
+            b = np.maximum(ids[ii][ok], ids[jj][ok])
+            outs.append(pd.DataFrame({"a": a, "b": b, "dist": dist[ok]}))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "dist": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_partition_apply(staged, ["band"], _pairs, num_partitions)
