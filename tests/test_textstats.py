@@ -277,3 +277,34 @@ def test_group_topk_semantics():
     # a: 30(id2), 30(id3) win (tie -> lower id first, both fit in k=2)
     # b: both rows (group smaller than k)
     assert list(out["id"]) == [2, 3, 5, 6]
+
+
+def test_revenue_rollup_levels(tmp_path):
+    """All three ROLLUP levels present; subtotals sum to the grand total."""
+    import numpy as np
+
+    from wikidata_qrank_ray.pipelines.queries import q_revenue_rollup
+
+    df = q_revenue_rollup("/root/testdata/sf0.001")
+    top = df[df["o_orderpriority"].isna()]
+    mid = df[df["o_orderpriority"].notna() & df["o_orderstatus"].isna()]
+    fine = df[df["o_orderstatus"].notna()]
+    assert len(top) == 1
+    assert int(top["n_orders"].iloc[0]) == int(fine["n_orders"].sum()) == int(mid["n_orders"].sum())
+    assert np.isclose(top["revenue"].iloc[0], fine["revenue"].sum())
+
+
+def test_events_pivot_row_sums():
+    """Pivot counts per user sum back to that user's event count."""
+    import duckdb
+
+    from wikidata_qrank_ray.pipelines.queries import q_events_pivot
+
+    df = q_events_pivot("/root/testdata/sf0.001")
+    want = duckdb.sql(
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM "
+        "'/root/testdata/sf0.001/events.parquet' GROUP BY user_id"
+    ).df().set_index("user_id")["n"]
+    typ = [c for c in df.columns if c != "user_id"]
+    got = df.set_index("user_id")[typ].sum(axis=1)
+    assert got.sort_index().equals(want.sort_index().astype(got.dtype))

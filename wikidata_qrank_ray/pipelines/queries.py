@@ -1868,6 +1868,93 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus) over orders --
+    multi-level subtotals + grand total in ONE pass: the finest-level
+    aggregate is the only shuffle (exact scaled-int money, see
+    q_pricing_summary); the coarser levels re-aggregate the tiny finest
+    result (|priorities| x |statuses| rows) on the driver -- the classic
+    rollup optimization, nothing row-count-scaled leaves the aggregate.
+    Rolled-up key columns are NULL exactly as SQL ROLLUP emits them."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "price_c": _cents(batch["o_totalprice"].to_numpy()),
+                "n": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    fine = _pd(
+        hash_partition_aggregate(
+            orders.map_batches(prep, batch_format="pandas", batch_size=65536),
+            ["o_orderpriority", "o_orderstatus"],
+            {"n_orders": ("n", "sum"), "revenue_c": ("price_c", "sum")},
+        ),
+        {"o_orderpriority": object, "o_orderstatus": object,
+         "n_orders": "int64", "revenue_c": "int64"},
+    )
+    mid = fine.groupby("o_orderpriority", as_index=False)[["n_orders", "revenue_c"]].sum()
+    mid["o_orderstatus"] = None
+    top = pd.DataFrame(
+        {
+            "o_orderpriority": [None], "o_orderstatus": [None],
+            "n_orders": [int(fine["n_orders"].sum())],
+            # empty input: SQL ROLLUP still emits the grand-total row,
+            # with COUNT(*) = 0 and SUM = NULL
+            "revenue_c": [fine["revenue_c"].sum() if len(fine) else np.nan],
+        }
+    )
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue"] = out.pop("revenue_c").astype(np.float64) / 100.0
+    return out[["o_orderpriority", "o_orderstatus", "n_orders", "revenue"]]
+
+
+def q_events_pivot(sf_dir: str):
+    """Long-to-wide pivot: one row per user, one count column per
+    event_type. The type vocabulary is discovered distributedly (distinct
+    event_type -- a tiny aggregate, the only driver-sized piece); the wide
+    table itself comes from per-batch crosstab partials finished by a
+    hash-partitioned sum, so the shuffle moves |users| x |types| counts,
+    never raw events. Column names are the type values, exactly like
+    SQL PIVOT ... ON event_type."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    # Dataset.unique runs as a distributed aggregate; only the tiny type
+    # vocabulary itself reaches the driver (None on a zero-block Dataset)
+    types = sorted(ev.unique("event_type") or [])
+    if not types:
+        # SQL PIVOT of an empty stream: just the group key, zero rows
+        return pd.DataFrame({"user_id": pd.Series(dtype=np.int64)})
+
+    def crosstab(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["user_id", "event_type"], as_index=False).size()
+        wide = g.pivot(index="user_id", columns="event_type", values="size")
+        wide = wide.reindex(columns=types).fillna(0).astype(np.int64)
+        return wide.rename_axis(None, axis=1).reset_index()
+
+    agg = hash_partition_aggregate(
+        ev.map_batches(crosstab, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        {t: (t, "sum") for t in types},
+        partial=False,
+    )
+    df = _pd(agg, {"user_id": "int64", **{t: "int64" for t in types}})
+    for t in types:
+        df[t] = df[t].astype(np.int64)
+    return df[["user_id", *types]]
+
+
 def q_edit_near_dups(sf_dir: str):
     """All doc pairs whose 4-token title key is within Levenshtein
     distance 3 -- EXACT: length banding is lossless (|len diff| <= k is
@@ -2078,6 +2165,8 @@ def queries():
     return {
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
+        "revenue_rollup": q_revenue_rollup,
+        "events_pivot": q_events_pivot,
         "pii_redaction": q_pii_redaction,
         "events_sliding_window": q_events_sliding_window,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3065,6 +3154,16 @@ SELECT a, b, hamming FROM (
          CAST(bit_count(xor(x.ss, y.ss)) AS BIGINT) AS hamming
   FROM sb x JOIN sb y ON x.doc_id < y.doc_id
 ) WHERE hamming <= 3""",
+        # revenue_rollup: SQL ROLLUP is the spec; the Ray side derives the
+        # coarse levels from the finest exact-cents aggregate
+        "revenue_rollup": """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
+        # events_pivot: dynamic PIVOT discovers the same type vocabulary
+        # from the same data, so column sets agree by construction
+        "events_pivot": "PIVOT events ON event_type USING COUNT(*) GROUP BY user_id",
         # edit_near_dups: brute-force levenshtein over length-filtered
         # pairs -- proves the length-band blocking lossless, not just
         # self-consistent (same oracle philosophy as simhash_near_dups)
