@@ -98,3 +98,37 @@ def test_overflow_fallback_equality():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_gapfill_plants_zero_hours(tmp_path):
+    """A type with a 3-hour hole gets exactly those hours back at zero."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.pipelines.queries import q_events_gapfill
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 04:10",
+         "2024-01-01 01:10"]
+    ).astype("datetime64[us]")
+    pq.write_table(
+        pa.table({
+            "event_id": [1, 2, 3, 4],
+            "ts": ts,
+            "user_id": [1, 1, 2, 3],
+            "event_type": ["a", "a", "a", "b"],
+            "value": [1.0, 1.0, 1.0, 1.0],
+            "props": ["{}"] * 4,
+        }),
+        d / "events.parquet",
+    )
+    df = q_events_gapfill(str(d)).sort_values(["event_type", "hour"])
+    a = df[df["event_type"] == "a"]
+    assert len(a) == 5  # hours 00..04 inclusive
+    assert list(a["n_events"]) == [2, 0, 0, 0, 1]
+    b = df[df["event_type"] == "b"]
+    assert len(b) == 1 and int(b["n_events"].iloc[0]) == 1

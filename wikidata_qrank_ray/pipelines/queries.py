@@ -1868,6 +1868,60 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_events_gapfill(sf_dir: str):
+    """Time-series densify: per event_type, EVERY hour bucket between that
+    type's first and last event, zero-filled where no events landed -- the
+    gap-fill step every downstream window/trend computation assumes.
+
+    One shuffle total: map-side partial (type, hour) counts, then a single
+    hash partition by event_type whose sweep finishes the count AND
+    generates the dense np.arange grid in the same pass -- the dense rows
+    are born distributed, never on the driver (a type's full span rides
+    its partition; spans are hours-count-sized, not event-count-sized)."""
+    from ..stages.groupby import hash_partition_apply
+
+    HOUR_US = 3_600_000_000
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "hour_us": batch["ts"].dt.floor("h").astype("datetime64[us]").astype("int64"),
+            }
+        )
+        return out.groupby(["event_type", "hour_us"], as_index=False).agg(
+            n=("hour_us", "size")
+        )
+
+    partial = ev.map_batches(bucket, batch_format="pandas", batch_size=65536)
+
+    def densify(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            fin = g.groupby("hour_us")["n"].sum()
+            grid = np.arange(fin.index.min(), fin.index.max() + 1, HOUR_US)
+            n = fin.reindex(grid, fill_value=0).to_numpy(np.int64)
+            outs.append(pd.DataFrame(
+                {"event_type": et, "hour_us": grid, "n_events": n}
+            ))
+        if not outs:
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=object),
+                 "hour_us": pd.Series(dtype=np.int64),
+                 "n_events": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    df = _pd(
+        hash_partition_apply(partial, ["event_type"], densify),
+        {"event_type": object, "hour_us": "int64", "n_events": "int64"},
+    )
+    df["hour"] = pd.to_datetime(df.pop("hour_us"), unit="us")
+    df["n_events"] = df["n_events"].astype(np.int64)
+    return df[["event_type", "hour", "n_events"]]
+
+
 def q_revenue_rollup(sf_dir: str):
     """GROUP BY ROLLUP(o_orderpriority, o_orderstatus) over orders --
     multi-level subtotals + grand total in ONE pass: the finest-level
@@ -2165,6 +2219,7 @@ def queries():
     return {
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
+        "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
         "events_pivot": q_events_pivot,
         "pii_redaction": q_pii_redaction,
@@ -3156,6 +3211,17 @@ SELECT a, b, hamming FROM (
 ) WHERE hamming <= 3""",
         # revenue_rollup: SQL ROLLUP is the spec; the Ray side derives the
         # coarse levels from the finest exact-cents aggregate
+        # events_gapfill: generate_series is the dense-grid spec
+        "events_gapfill": """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1),
+grid AS (
+  SELECT s.event_type, unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour
+  FROM span s)
+SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS n_events
+FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour""",
         "revenue_rollup": """
 SELECT o_orderpriority, o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
