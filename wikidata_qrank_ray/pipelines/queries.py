@@ -1868,6 +1868,44 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_doc_top_terms(sf_dir: str):
+    """Top-3 most distinctive terms per document, TF-IDF shape kept
+    integer-exact: rank by (tf DESC, df ASC, term ASC) -- term frequency
+    first, rarer-in-corpus breaking ties -- emitting (doc_id, term, tf,
+    df). tf is exact per batch (a doc's text lives in one row, so no
+    shuffle); df is one hash-partitioned count over distinct (doc, term);
+    the df attach is a bucketed join on term and the per-doc cut is the
+    group_topk operator -- three shuffles, all key-hashed, nothing
+    corpus-scaled on the driver."""
+    from ..functions.tokenize import flat_tokens
+    from ..stages.groupby import group_topk, hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(t: pa.Table) -> pd.DataFrame:
+        flat, parent = flat_tokens(t["text"], fill_null=True)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {"doc_id": ids[parent], "term": np.asarray(flat.to_pandas(), dtype=object)}
+        )
+        return df.groupby(["doc_id", "term"], as_index=False).agg(tf=("term", "size"))
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow", batch_size=4096).materialize()
+    df_counts = hash_partition_aggregate(
+        tf, ["term"], {"df": ("doc_id", "count")}, stamp_batch_size=None
+    )
+    joined = bucketed_hash_join(tf, df_counts, "term", "term")
+    top = group_topk(
+        joined, keys=["doc_id"], order_col="tf", k=3,
+        ascending=False, tie_cols=["df", "term"],
+    )
+    out = _pd(top, {"doc_id": "int64", "term": object, "tf": "int64", "df": "int64"})
+    out["tf"] = out["tf"].astype(np.int64)
+    out["df"] = out["df"].astype(np.int64)
+    return out[["doc_id", "term", "tf", "df"]].reset_index(drop=True)
+
+
 def q_events_gapfill(sf_dir: str):
     """Time-series densify: per event_type, EVERY hour bucket between that
     type's first and last event, zero-filled where no events landed -- the
@@ -2219,6 +2257,7 @@ def queries():
     return {
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
+        "doc_top_terms": q_doc_top_terms,
         "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
         "events_pivot": q_events_pivot,
@@ -3211,6 +3250,20 @@ SELECT a, b, hamming FROM (
 ) WHERE hamming <= 3""",
         # revenue_rollup: SQL ROLLUP is the spec; the Ray side derives the
         # coarse levels from the finest exact-cents aggregate
+        # doc_top_terms: integer-exact tf/df ranking (no float idf)
+        "doc_top_terms": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1)
+SELECT doc_id, term, tf, df FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfr.df ASC, tf.term ASC) AS rn
+  FROM tf JOIN dfr USING (term))
+WHERE rn <= 3""",
         # events_gapfill: generate_series is the dense-grid spec
         "events_gapfill": """
 WITH c AS (
