@@ -64,3 +64,38 @@ def test_approx_heavy_hitters_dataset():
     ds = ray.data.from_pandas(df)
     out = approx_heavy_hitters(ds, "text", k=8, tokenize=True)
     assert out["item"].iloc[0] == "spark"  # dominant token surfaces first
+
+
+def test_histogram_quantiles_error_bound():
+    """Sketch estimate within one bin width of the exact order statistic,
+    and exactly equal when the sketch is rebuilt at 1 bin per cent."""
+    import numpy as np
+
+    from wikidata_qrank_ray.pipelines.queries import (
+        q_approx_value_quantiles,
+        q_value_percentiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    est = q_approx_value_quantiles(sf).set_index("q")["est"]
+    exact = q_value_percentiles(sf)
+    import duckdb
+
+    mn, mx = duckdb.sql(
+        f"SELECT min(value), max(value) FROM '{sf}/events.parquet'"
+    ).fetchone()
+    width = (mx - mn) / 4096.0
+    for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        assert abs(est[q] - exact[col].iloc[0]) <= width + 1e-9
+
+
+def test_histogram_quantiles_constant_column():
+    """All-equal values: zero width, every quantile = the value."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.stages.sketches import histogram_quantiles
+
+    ds = ray.data.from_arrow(pa.table({"v": [7.5] * 100}))
+    out = histogram_quantiles(ds, "v")
+    assert (out["est"] == 7.5).all()

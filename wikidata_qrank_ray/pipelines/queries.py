@@ -1868,6 +1868,19 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_approx_value_quantiles(sf_dir: str):
+    """Histogram-sketch p50/p90/p99 of events.value: fixed-size mergeable
+    partials (4096-bin bincount per batch), deterministic float binning --
+    the unbounded-cardinality quantile path, value-oracle-gated because
+    the binning expression is reproduced op-for-op in SQL. Exact twin:
+    value_percentiles (cent histogram)."""
+    from ..stages.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        read_table(sf_dir, "events", columns=["value"]), "value", bins=4096
+    )
+
+
 def q_doc_top_terms(sf_dir: str):
     """Top-3 most distinctive terms per document, TF-IDF shape kept
     integer-exact: rank by (tf DESC, df ASC, term ASC) -- term frequency
@@ -2258,6 +2271,7 @@ def queries():
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
+        "approx_value_quantiles": q_approx_value_quantiles,
         "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
         "events_pivot": q_events_pivot,
@@ -3250,6 +3264,25 @@ SELECT a, b, hamming FROM (
 ) WHERE hamming <= 3""",
         # revenue_rollup: SQL ROLLUP is the spec; the Ray side derives the
         # coarse levels from the finest exact-cents aggregate
+        # approx_value_quantiles: the binning float expression mirrors the
+        # numpy one op-for-op (IEEE round-to-nearest per op), so even this
+        # SKETCH is bitwise-oracled
+        "approx_value_quantiles": """
+WITH mm AS (SELECT min(value) AS mn, max(value) AS mx,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM events),
+b AS (
+  SELECT CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE LEAST(CAST(floor(((e.value - mm.mn) * 4096.0) / (mm.mx - mm.mn))
+                              AS BIGINT), 4095) END AS bin
+  FROM events e, mm),
+h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h),
+qs(q) AS (VALUES (0.5), (0.9), (0.99))
+SELECT qs.q AS q,
+       mm.mn + ((CAST(MIN(c.bin) AS DOUBLE) * (mm.mx - mm.mn)) / 4096.0) AS est
+FROM qs, mm, cum c
+WHERE c.cum >= CAST(ceil(qs.q * mm.n) AS BIGINT)
+GROUP BY qs.q, mm.mn, mm.mx, mm.n""",
         # doc_top_terms: integer-exact tf/df ranking (no float idf)
         "doc_top_terms": r"""
 WITH tok AS (

@@ -136,3 +136,61 @@ def approx_heavy_hitters(
         merged = {key: c - cut for key, c in merged.items() if c - cut > 0}
     out = pd.DataFrame({"item": list(merged.keys()), "est": list(merged.values())})
     return out.sort_values(["est", "item"], ascending=[False, True]).reset_index(drop=True)
+
+
+def histogram_quantiles(
+    ds: "ray.data.Dataset",
+    column: str,
+    bins: int = 4096,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> "pd.DataFrame":
+    """Mergeable fixed-bin histogram quantile sketch -> (q, est) rows:
+    est is the LOWER EDGE of the bin holding the k-th value (k =
+    ceil(q*n), 1-indexed). Error bound: one bin width = (max-min)/bins.
+
+    The canonical 100 TB quantile pattern: pass 1 is a (min, max, n)
+    aggregate; pass 2 emits a FIXED-SIZE partial per batch (np.bincount
+    over ``bins`` slots) merged by vector sum -- partial size is
+    data-independent, unlike the exact cent-histogram twin
+    (value_percentiles) whose partial rides the value cardinality.
+
+    Fully deterministic, so it is ORACLE-EXACT, not rows-only: binning is
+    floor(((v - min) * bins) / (max - min)) -- every float op IEEE
+    round-to-nearest with this exact association, reproduced verbatim in
+    the DuckDB twin."""
+    import pandas as pd
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Min(column), Max(column), Count())
+    n = int(agg.get("count()", 0) or 0)
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                             "est": pd.Series(dtype=np.float64)})
+    mn = float(agg[f"min({column})"])
+    mx = float(agg[f"max({column})"])
+    fbins = float(bins)
+
+    def hist(batch: "pd.DataFrame") -> "pd.DataFrame":
+        v = batch[column].to_numpy(dtype=np.float64)
+        if mx == mn:
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            b = np.floor(((v - mn) * fbins) / (mx - mn)).astype(np.int64)
+            b = np.minimum(b, bins - 1)
+        return pd.DataFrame({"c": np.bincount(b, minlength=bins).astype(np.int64),
+                             "bin": np.arange(bins, dtype=np.int64)})
+
+    # fixed-size partials: driver merge is bins-sized regardless of data
+    parts = ds.map_batches(hist, batch_format="pandas", batch_size=65536).to_pandas()
+    counts = parts.groupby("bin")["c"].sum().reindex(range(bins), fill_value=0)
+    cum = counts.cumsum().to_numpy()
+
+    out_q, out_est = [], []
+    for q in quantiles:
+        k = int(np.ceil(q * n))
+        b = int(np.searchsorted(cum, k))
+        out_q.append(q)
+        out_est.append(mn + ((float(b) * (mx - mn)) / fbins))
+    return pd.DataFrame({"q": np.array(out_q, dtype=np.float64),
+                         "est": np.array(out_est, dtype=np.float64)})
