@@ -64,6 +64,12 @@ QUERY_NAMES = [
     "events_sliding_window",
     "dedup_keep_best",
     "mixture_sample",
+    "edit_near_dups",
+    "doc_top_terms",
+    "events_gapfill",
+    "revenue_rollup",
+    "events_pivot",
+    "approx_value_quantiles",
 ]
 
 

@@ -132,3 +132,43 @@ def test_gapfill_plants_zero_hours(tmp_path):
     assert list(a["n_events"]) == [2, 0, 0, 0, 1]
     b = df[df["event_type"] == "b"]
     assert len(b) == 1 and int(b["n_events"].iloc[0]) == 1
+
+
+def test_event_funnel_ordering_semantics(tmp_path):
+    """Stage times must be strictly increasing: a purchase BEFORE the
+    first click doesn't count; a user with no view is stage 0."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.pipelines.queries import q_event_funnel
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows = [
+        # user 1: full ordered chain
+        (1, "view", "2024-01-01 00:00"), (1, "click", "2024-01-01 01:00"),
+        (1, "purchase", "2024-01-01 02:00"),
+        # user 2: purchase precedes click -> stalls at stage 2
+        (2, "view", "2024-01-01 00:00"), (2, "purchase", "2024-01-01 00:30"),
+        (2, "click", "2024-01-01 01:00"),
+        # user 3: clicks but never viewed -> stage 0
+        (3, "click", "2024-01-01 00:00"),
+        # user 4: only non-funnel events -> absent from output
+        (4, "error", "2024-01-01 00:00"),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": list(range(len(rows))),
+            "ts": pd.to_datetime([r[2] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }),
+        d / "events.parquet",
+    )
+    df = q_event_funnel(str(d)).set_index("user_id").sort_index()
+    assert list(df.index) == [1, 2, 3]
+    assert list(df["funnel_stage"]) == [3, 2, 0]
+    assert pd.isna(df.loc[2, "t3"]) and pd.isna(df.loc[3, "t1"])

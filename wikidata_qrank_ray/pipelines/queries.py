@@ -1868,6 +1868,59 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered-funnel analysis: per user, how deep into the
+    view -> click -> purchase chain they got, each stage STRICTLY after
+    the previous one in event time (the product-analytics funnel; also
+    the shape of multi-turn tool-use sequence mining). Output (user_id,
+    funnel_stage, t1, t2, t3) with the earliest completion times.
+
+    Greedy earliest-completion semantics: t1 = first view, t2 = first
+    click after t1, t3 = first purchase after t2 -- greedy is optimal for
+    chain depth, and makes the result SQL-expressible as three chained
+    min-aggregates (the oracle). One shuffle: hash partition by user_id,
+    vectorized per-partition sweep (sort + grouped transform, no per-user
+    Python)."""
+    from ..stages.groupby import hash_partition_apply
+
+    STAGES = ["view", "click", "purchase"]
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part["event_type"].isin(STAGES)]
+        users = part["user_id"].unique()
+        prev = pd.Series(pd.Timestamp.min, index=users)
+        ts_out = []
+        for stage in STAGES:
+            s = part[part["event_type"] == stage]
+            gate = prev.reindex(s["user_id"]).to_numpy()
+            ok = s[s["ts"].to_numpy() > gate]
+            t = ok.groupby("user_id")["ts"].min().reindex(users)
+            ts_out.append(t)
+            prev = t.fillna(pd.Timestamp.max)
+        t1, t2, t3 = ts_out
+        stage_n = (
+            t1.notna().astype(np.int64)
+            + t2.notna().astype(np.int64)
+            + t3.notna().astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": np.asarray(users, dtype=np.int64),
+                "funnel_stage": stage_n.to_numpy(np.int64),
+                "t1": t1.to_numpy(),
+                "t2": t2.to_numpy(),
+                "t3": t3.to_numpy(),
+            }
+        )
+
+    return _pd(
+        hash_partition_apply(ev, ["user_id"], sweep),
+        {"user_id": "int64", "funnel_stage": "int64",
+         "t1": "datetime64[us]", "t2": "datetime64[us]", "t3": "datetime64[us]"},
+    )
+
+
 def q_approx_value_quantiles(sf_dir: str):
     """Histogram-sketch p50/p90/p99 of events.value: fixed-size mergeable
     partials (4096-bin bincount per batch), deterministic float binning --
@@ -2272,6 +2325,7 @@ def queries():
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
         "approx_value_quantiles": q_approx_value_quantiles,
+        "event_funnel": q_event_funnel,
         "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
         "events_pivot": q_events_pivot,
@@ -3264,6 +3318,24 @@ SELECT a, b, hamming FROM (
 ) WHERE hamming <= 3""",
         # revenue_rollup: SQL ROLLUP is the spec; the Ray side derives the
         # coarse levels from the finest exact-cents aggregate
+        # event_funnel: greedy earliest-completion chain = three chained
+        # min-aggregates
+        "event_funnel": """
+WITH f AS (SELECT user_id, event_type, ts FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+u AS (SELECT DISTINCT user_id FROM f),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM f WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT f.user_id, min(f.ts) AS t2 FROM f JOIN s1 USING (user_id)
+       WHERE f.event_type = 'click' AND f.ts > s1.t1 GROUP BY f.user_id),
+s3 AS (SELECT f.user_id, min(f.ts) AS t3 FROM f JOIN s2 USING (user_id)
+       WHERE f.event_type = 'purchase' AND f.ts > s2.t2 GROUP BY f.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS funnel_stage,
+       s1.t1 AS t1, s2.t2 AS t2, s3.t3 AS t3
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)""",
         # approx_value_quantiles: the binning float expression mirrors the
         # numpy one op-for-op (IEEE round-to-nearest per op), so even this
         # SKETCH is bitwise-oracled
