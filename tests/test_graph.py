@@ -321,3 +321,45 @@ def test_connected_components_auto_tiers_agree():
     pd.testing.assert_frame_equal(
         small.astype(np.int64), big.astype(np.int64)
     )
+
+
+def test_bfs_levels_path_graph():
+    """Path graph 0-1-2-3-4-5-6: hop distances from node 0 stop at
+    max_hops; disconnected node 9 never appears; undirected edges walk
+    both ways from a mid-path source."""
+    import pandas as pd
+    import ray.data
+
+    from wikidata_qrank_ray.stages.graph import bfs_levels
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": [0, 1, 2, 3, 4, 5, 9], "v": [1, 2, 3, 4, 5, 6, 9]})
+    )
+    out = (
+        bfs_levels(edges, [0], max_hops=4, num_partitions=8)
+        .to_pandas().set_index("node")["dist"].sort_index()
+    )
+    assert dict(out) == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    mid = (
+        bfs_levels(edges, [3], max_hops=2, num_partitions=8)
+        .to_pandas().set_index("node")["dist"].sort_index()
+    )
+    assert dict(mid) == {1: 2, 2: 1, 3: 0, 4: 1, 5: 2}
+
+
+def test_bfs_levels_multi_source_min():
+    """Two sources: every node takes the NEARER source's distance."""
+    import pandas as pd
+    import ray.data
+
+    from wikidata_qrank_ray.stages.graph import bfs_levels
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": [0, 1, 2, 3], "v": [1, 2, 3, 4]})
+    )
+    out = (
+        bfs_levels(edges, [0, 4], max_hops=4, num_partitions=8)
+        .to_pandas().set_index("node")["dist"].sort_index()
+    )
+    assert dict(out) == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}

@@ -1868,6 +1868,39 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_entity_bfs(sf_dir: str):
+    """Hop distance (<= 4) from the top-ranked canonical entity over the
+    undirected canonical co-occurrence graph -> (qid, dist). The bounded
+    neighborhood-expansion primitive, level-synchronous distributed BFS
+    (stages/graph.bfs_levels: one co-partitioned join + one keyed
+    min-aggregate per hop). Source = rank_pos 1 of canonical_qrank
+    (max mention_count, ties to the lowest numeric qid)."""
+    from ..stages.graph import bfs_levels
+
+    rank = q_canonical_rank(sf_dir)
+    rdf = rank.to_pandas() if not isinstance(rank, pd.DataFrame) else rank
+    if len(rdf) == 0:
+        return pd.DataFrame({"qid": pd.Series(dtype=object),
+                             "dist": pd.Series(dtype=np.int64)})
+    rdf = rdf.assign(qnum=rdf["qid"].str[1:].astype(np.int64))
+    top = rdf.sort_values(["mention_count", "qnum"], ascending=[False, True])[
+        "qid"
+    ].iloc[0]
+
+    edges = q_canonical_triples(sf_dir).map_batches(
+        lambda df: df[df["pred"] == "co_occurs"][["subj", "obj"]].rename(
+            columns={"subj": "u", "obj": "v"}
+        ),
+        batch_format="pandas",
+    )
+    out = _pd(
+        bfs_levels(edges, [top], max_hops=4),
+        {"node": object, "dist": "int64"},
+    ).rename(columns={"node": "qid"})
+    out["dist"] = out["dist"].astype(np.int64)
+    return out[["qid", "dist"]]
+
+
 def q_event_funnel(sf_dir: str):
     """Ordered-funnel analysis: per user, how deep into the
     view -> click -> purchase chain they got, each stage STRICTLY after
@@ -2326,6 +2359,7 @@ def queries():
         "doc_top_terms": q_doc_top_terms,
         "approx_value_quantiles": q_approx_value_quantiles,
         "event_funnel": q_event_funnel,
+        "entity_bfs": q_entity_bfs,
         "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
         "events_pivot": q_events_pivot,
@@ -2734,6 +2768,25 @@ FROM (
 )
 GROUP BY qid""",
         ),
+        # entity_bfs: recursive-CTE reachability with a hop bound is the
+        # BFS spec (paths enumerated, MIN(d) collapses them to distances)
+        "entity_bfs": "WITH RECURSIVE "
+        + ",".join([SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS,
+                    crank_cte, SQL_TRIPLES])
+        + f""",
+bfs_edges AS (
+  SELECT subj AS u, obj AS v FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+bfs_und AS (SELECT u, v FROM bfs_edges UNION ALL SELECT v, u FROM bfs_edges),
+bfs_src AS (
+  SELECT qid FROM (
+    SELECT qid, row_number() OVER (ORDER BY mention_count DESC,
+                                   CAST(substr(qid, 2) AS BIGINT) ASC) AS rp
+    FROM crank) WHERE rp = 1),
+walk(node, d) AS (
+  SELECT qid, 0 FROM bfs_src
+  UNION ALL
+  SELECT e.v, w.d + 1 FROM walk w JOIN bfs_und e ON e.u = w.node WHERE w.d < 4)
+SELECT node AS qid, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node""",
         "rank_stats": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS, crank_cte,
             select="""

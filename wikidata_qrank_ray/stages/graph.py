@@ -467,3 +467,57 @@ def triangle_counts(
         partials, ["node"], {"triangles": ("n", "sum")}, num_partitions,
         stamp_batch_size=None,
     )
+
+
+def bfs_levels(
+    edges: ray.data.Dataset,
+    source_nodes: list,
+    max_hops: int,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distances over an undirected edge Dataset with
+    columns (u, v) -> (node, dist) for every node within ``max_hops`` of a
+    source. The bounded-neighborhood primitive (entity context expansion,
+    contamination blast radius, link-spam neighborhoods).
+
+    Level-synchronous: each round is ONE co-partitioned join of the
+    current frontier against the edge list plus one keyed min-aggregate --
+    a hop costs two key-hashed shuffles and nothing node- or edge-scaled
+    ever lands on the driver (the early-exit probe is a count()). Frontier
+    dedup happens in the min-aggregate, so revisits die at round
+    boundaries exactly like the textbook BFS invariant."""
+    from .groupby import hash_partition_aggregate
+    from .join import bucketed_hash_join
+
+    def _undirect(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df[["u", "v"]].rename(columns={"u": "src", "v": "dst"})
+        rev = df[["v", "u"]].rename(columns={"v": "src", "u": "dst"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    und = edges.map_batches(_undirect, batch_format="pandas").materialize()
+
+    dist = ray.data.from_pandas(
+        pd.DataFrame({"node": source_nodes, "dist": np.int64(0)})
+    ).materialize()
+    for k in range(max_hops):
+        frontier = dist.map_batches(
+            lambda df, k=k: df[df["dist"] == k][["node"]].rename(
+                columns={"node": "src"}
+            ),
+            batch_format="pandas",
+        )
+        if frontier.count() == 0:
+            break
+        hop = bucketed_hash_join(
+            frontier, und, "src", "src", num_partitions=num_partitions
+        ).map_batches(
+            lambda df, k=k: pd.DataFrame(
+                {"node": df["dst"], "dist": np.int64(k + 1)}
+            ),
+            batch_format="pandas",
+        )
+        dist = hash_partition_aggregate(
+            dist.union(hop), ["node"], {"dist": ("dist", "min")},
+            num_partitions, stamp_batch_size=None,
+        ).materialize()
+    return dist
