@@ -1868,6 +1868,69 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_value_outliers(sf_dir: str):
+    """Robust per-stratum outlier detection: events whose value exceeds
+    p75 + 1.5*IQR of their event_type -- entirely in exact integers
+    (quartiles are k = ceil(p*n) order statistics over cent values; the
+    1.5x rule is doubled to 2*v > 2*p75 + 3*IQR, so no float ever enters
+    the decision). Pipeline: distributed (type, cent) histogram ->
+    per-type quartile pick co-partitioned by stratum -> types-sized
+    cutoff dict broadcast into a vectorized flag pass. Two shuffles, and
+    the only driver state is one row per event type."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"event_type": batch["event_type"], "vc": _cents(batch["value"].to_numpy())}
+        )
+        return d.groupby(["event_type", "vc"], as_index=False).agg(n=("vc", "size"))
+
+    agg = hash_partition_aggregate(
+        ev.map_batches(hist, batch_format="pandas", batch_size=65536),
+        ["event_type", "vc"], {"n": ("n", "sum")},
+    )
+
+    def quartiles(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("vc")
+            cum = g["n"].cumsum().to_numpy()
+            total = int(cum[-1])
+            vc = g["vc"].to_numpy(np.int64)
+
+            def pick(p: float) -> int:
+                return int(vc[np.searchsorted(cum, int(np.ceil(p * total)))])
+
+            outs.append((et, pick(0.25), pick(0.75)))
+        return pd.DataFrame(outs, columns=["event_type", "p25", "p75"]).astype(
+            {"p25": np.int64, "p75": np.int64}
+        )
+
+    cuts = _pd(
+        hash_partition_apply(agg, ["event_type"], quartiles, stamp_batch_size=None),
+        {"event_type": object, "p25": "int64", "p75": "int64"},
+    )
+    # 2*cutoff = 2*p75 + 3*(p75 - p25), exact in integers
+    dbl_cut = {
+        r.event_type: 2 * r.p75 + 3 * (r.p75 - r.p25) for r in cuts.itertuples()
+    }
+    cut_ref = ray.put(dbl_cut)
+
+    def flag(batch: pd.DataFrame, ref=cut_ref) -> pd.DataFrame:
+        cut = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        thr = batch["event_type"].map(cut).to_numpy(dtype=np.float64)
+        keep = 2 * _cents(batch["value"].to_numpy()) > thr
+        return batch[keep][["event_id", "event_type", "value"]]
+
+    out = _pd(
+        ev.map_batches(flag, batch_format="pandas", batch_size=65536),
+        {"event_id": "int64", "event_type": object, "value": "float64"},
+    )
+    return out.reset_index(drop=True)
+
+
 def q_entity_bfs(sf_dir: str):
     """Hop distance (<= 4) from the top-ranked canonical entity over the
     undirected canonical co-occurrence graph -> (qid, dist). The bounded
@@ -2360,6 +2423,7 @@ def queries():
         "approx_value_quantiles": q_approx_value_quantiles,
         "event_funnel": q_event_funnel,
         "entity_bfs": q_entity_bfs,
+        "value_outliers": q_value_outliers,
         "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
         "events_pivot": q_events_pivot,
@@ -3371,6 +3435,21 @@ SELECT a, b, hamming FROM (
 ) WHERE hamming <= 3""",
         # revenue_rollup: SQL ROLLUP is the spec; the Ray side derives the
         # coarse levels from the finest exact-cents aggregate
+        # value_outliers: 1.5*IQR rule doubled into integers (2v > 2*p75
+        # + 3*IQR) -- no float in the decision on either side
+        "value_outliers": """
+WITH c AS (SELECT event_id, event_type, value,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+r AS (SELECT event_type, vc,
+             row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n FROM c),
+q AS (SELECT event_type,
+        MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN vc END) AS p25,
+        MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN vc END) AS p75
+      FROM r GROUP BY event_type)
+SELECT c.event_id, c.event_type, c.value
+FROM c JOIN q USING (event_type)
+WHERE 2 * c.vc > 2 * q.p75 + 3 * (q.p75 - q.p25)""",
         # event_funnel: greedy earliest-completion chain = three chained
         # min-aggregates
         "event_funnel": """
