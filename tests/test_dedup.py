@@ -501,6 +501,12 @@ def test_edit_near_dups_planted():
             "completely different words here",
         ],
     }))
+    # token-less docs never participate (empty keys are out by contract)
+    import pandas as pd
+    extra = ray.data.from_arrow(pa.table({
+        "doc_id": [7, 8], "text": ["", "   \t "],
+    }))
+    docs = docs.union(extra)
     out = (
         edit_near_dups(docs, key_tokens=4, max_dist=3, num_partitions=8)
         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
@@ -510,6 +516,7 @@ def test_edit_near_dups_planted():
     assert got[(4, 5)] == 1
     assert got[(1, 3)] == 3  # fox -> cat: exactly 3 substitutions
     assert not any(6 in p for p in got)  # far key pairs with nothing
+    assert not any(7 in p or 8 in p for p in got)  # token-less excluded
     assert all(a < b for a, b in got)
 
 

@@ -1237,6 +1237,12 @@ def edit_near_dups(
     per-band sweep generates length-filtered candidate pairs and scores
     them with the vectorized multi-pair DP above.
 
+    Token-less docs (null/empty/whitespace text) DO NOT participate: an
+    empty key is degenerate -- at corpus scale the millions of empty docs
+    would all collide in band 0 and generate O(m^2) dist-0 pairs of pure
+    noise. (The SQL twin encodes the same contract naturally:
+    array_to_string([]) is NULL, and NULL keys never satisfy the join.)
+
     SCALE NOTE: candidate generation is O(m^2) per length band (the exact
     semantics require it); for corpora whose key length concentrates in
     one band, compose with a secondary blocking key (first character,
@@ -1261,8 +1267,10 @@ def edit_near_dups(
             m = take > j
             key[m] = key[m] + " "
             key[m] = key[m] + toks[first[m] + j]
-        klen = np.fromiter((len(s) for s in key), dtype=np.int64, count=nrow)
         doc_id = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # token-less docs are out by contract (see docstring)
+        doc_id, key = doc_id[has], key[has]
+        klen = np.fromiter((len(s) for s in key), dtype=np.int64, count=len(key))
         band = klen // width
         # native copy + ghost copy in the next band up
         return pd.DataFrame(
@@ -1270,7 +1278,7 @@ def edit_near_dups(
                 "doc_id": np.concatenate([doc_id, doc_id]),
                 "key": np.concatenate([key, key]),
                 "band": np.concatenate([band, band + 1]),
-                "ghost": np.repeat([False, True], nrow),
+                "ghost": np.repeat([False, True], len(key)),
             }
         )
 
