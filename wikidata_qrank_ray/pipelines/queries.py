@@ -1868,6 +1868,49 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_title_resolution(sf_dir: str):
+    """End-to-end entity resolution over document titles, composed from
+    this engine's own primitives: edit-distance blocking+pair generation
+    (edit_near_dups, distance <= 3) -> connected components over the pair
+    graph -> every doc assigned a canonical representative (cluster min
+    doc_id; unmatched docs, including token-less ones, keep themselves).
+    Output (doc_id, canon_id) covers the WHOLE corpus -- the assignment
+    is a bucketed left join of docs against the (small) membership set,
+    so nothing corpus-scaled lands on the driver."""
+    from ..stages.dedup import edit_near_dups
+    from ..stages.graph import connected_components_auto
+    from ..stages.join import bucketed_hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = edit_near_dups(docs, key_tokens=4, max_dist=3).map_batches(
+        lambda df: df[["a", "b"]], batch_format="pandas"
+    )
+    members = connected_components_auto(pairs).map_batches(
+        lambda df: df.rename(columns={"node": "doc_id", "rep": "canon_id"}),
+        batch_format="pandas",
+    )
+    joined = bucketed_hash_join(
+        docs.map_batches(lambda df: df[["doc_id"]], batch_format="pandas"),
+        members, "doc_id", "doc_id", how="left",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "canon_id": df["canon_id"]
+                .fillna(df["doc_id"])
+                .to_numpy(np.int64),
+            }
+        )
+
+    out = _pd(
+        joined.map_batches(finish, batch_format="pandas"),
+        {"doc_id": "int64", "canon_id": "int64"},
+    )
+    return out.reset_index(drop=True)
+
+
 def q_value_outliers(sf_dir: str):
     """Robust per-stratum outlier detection: events whose value exceeds
     p75 + 1.5*IQR of their event_type -- entirely in exact integers
@@ -2424,6 +2467,7 @@ def queries():
         "event_funnel": q_event_funnel,
         "entity_bfs": q_entity_bfs,
         "value_outliers": q_value_outliers,
+        "title_resolution": q_title_resolution,
         "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
         "events_pivot": q_events_pivot,
@@ -3435,6 +3479,28 @@ SELECT a, b, hamming FROM (
 ) WHERE hamming <= 3""",
         # revenue_rollup: SQL ROLLUP is the spec; the Ray side derives the
         # coarse levels from the finest exact-cents aggregate
+        # title_resolution: the pair graph is the levenshtein oracle, the
+        # clustering spec is recursive min-label reachability, unmatched
+        # docs coalesce to themselves
+        "title_resolution": r"""
+WITH RECURSIVE
+k AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(COALESCE(text, ''), '\S+')[1:4], ' ') AS key
+  FROM documents),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM k x JOIN k y ON x.doc_id < y.doc_id
+    AND abs(length(x.key) - length(y.key)) <= 3
+  WHERE levenshtein(x.key, y.key) <= 3),
+e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node),
+rep AS (SELECT node, MIN(r) AS canon FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(rep.canon, d.doc_id) AS canon_id
+FROM documents d LEFT JOIN rep ON d.doc_id = rep.node""",
         # value_outliers: 1.5*IQR rule doubled into integers (2v > 2*p75
         # + 3*IQR) -- no float in the decision on either side
         "value_outliers": """
