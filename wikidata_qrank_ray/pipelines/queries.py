@@ -1868,6 +1868,79 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_order_revenue_rank(sf_dir: str):
+    """Global rank of every order by price WITHOUT a global sort -- SQL
+    rank() semantics (ties share the min rank) computed from a bounded
+    cent-value histogram: rank(v) = 1 + #(values < v). One shuffle for the
+    histogram, a cumulative offset over the (value-domain-sized, NOT
+    row-count-sized) rank table, and a bucketed join back on the cent
+    value. The scalable twin of qrank_order's sort-based ranking."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": batch["o_orderkey"],
+             "vc": _cents(batch["o_totalprice"].to_numpy())}
+        )
+
+    keyed = orders.map_batches(prep, batch_format="pandas", batch_size=65536)
+    hist = _pd(
+        hash_partition_aggregate(keyed, ["vc"], {"n": ("vc", "count")}),
+        {"vc": "int64", "n": "int64"},
+    ).sort_values("vc").reset_index(drop=True)
+    # rank table: value-domain-sized (fine on the driver for fixed-scale
+    # money; swap for a distributed prefix-sum if the domain ever isn't)
+    hist["rnk"] = hist["n"].cumsum().shift(1, fill_value=0) + 1
+    ranks = ray.data.from_pandas(hist[["vc", "rnk"]].astype(np.int64))
+    joined = bucketed_hash_join(keyed, ranks, "vc", "vc")
+    out = _pd(
+        joined.map_batches(
+            lambda df: pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                 "price_rank": df["rnk"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        {"o_orderkey": "int64", "price_rank": "int64"},
+    )
+    return out.reset_index(drop=True)
+
+
+def q_entity_timeline(sf_dir: str):
+    """Temporal KG signal: per entity, first/last mention timestamp,
+    distinct conversations touched, and distinct mention rows ->
+    (qid, first_ts, last_ts, n_convs, n_mentions). Timestamps are a pure
+    function of (conv_id, turn_idx) in the derived corpus, so the sweep
+    recomputes them vectorized inside the partition -- one qid-hashed
+    shuffle of the (already distinct) mention rows."""
+    from ..stages.groupby import hash_partition_apply
+
+    m = q_mentions(sf_dir)
+    base_us = pd.Timestamp("2024-01-01").value // 1000
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        conv = part["conv_id"].str[1:].astype(np.int64)
+        doc = conv * 8 + part["turn_idx"].astype(np.int64)
+        ts = pd.to_datetime(base_us + doc * 1_000_000, unit="us")
+        d = pd.DataFrame(
+            {"qid": part["qid"], "conv_id": part["conv_id"], "ts": ts}
+        )
+        g = d.groupby("qid").agg(
+            first_ts=("ts", "min"), last_ts=("ts", "max"),
+            n_convs=("conv_id", "nunique"), n_mentions=("ts", "size"),
+        )
+        return g.reset_index().astype({"n_convs": np.int64, "n_mentions": np.int64})
+
+    return _pd(
+        hash_partition_apply(m, ["qid"], sweep, stamp_batch_size=None),
+        {"qid": object, "first_ts": "datetime64[us]", "last_ts": "datetime64[us]",
+         "n_convs": "int64", "n_mentions": "int64"},
+    )
+
+
 def q_title_resolution(sf_dir: str):
     """End-to-end entity resolution over document titles, composed from
     this engine's own primitives: edit-distance blocking+pair generation
@@ -2468,6 +2541,8 @@ def queries():
         "entity_bfs": q_entity_bfs,
         "value_outliers": q_value_outliers,
         "title_resolution": q_title_resolution,
+        "order_revenue_rank": q_order_revenue_rank,
+        "entity_timeline": q_entity_timeline,
         "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
         "events_pivot": q_events_pivot,
@@ -3479,6 +3554,24 @@ SELECT a, b, hamming FROM (
 ) WHERE hamming <= 3""",
         # revenue_rollup: SQL ROLLUP is the spec; the Ray side derives the
         # coarse levels from the finest exact-cents aggregate
+        # order_revenue_rank: SQL rank() (min rank on ties) over cents
+        "order_revenue_rank": """
+SELECT o_orderkey,
+       CAST(rank() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS price_rank
+FROM orders""",
+        # entity_timeline: distinct mention rows joined back to their turn
+        # timestamps
+        "entity_timeline": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS,
+            select="""
+SELECT d.qid, min(t.ts) AS first_ts, max(t.ts) AS last_ts,
+       CAST(COUNT(DISTINCT d.conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM (SELECT DISTINCT conv_id, turn_idx, qid, surface FROM hits) d
+JOIN turns t ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
+GROUP BY d.qid""",
+        ),
         # title_resolution: the pair graph is the levenshtein oracle, the
         # clustering spec is recursive min-label reachability, unmatched
         # docs coalesce to themselves
