@@ -1200,19 +1200,37 @@ def _levenshtein_pairs_vec(
     B = np.array(list(keys_b), dtype=f"U{bw}").view(np.uint32).reshape(n, bw)
     la = np.fromiter((len(s) for s in keys_a), dtype=np.int64, count=n)
     lb = np.fromiter((len(s) for s in keys_b), dtype=np.int64, count=n)
+    # int16 DP: distances are bounded by the key width (<< 32767) and the
+    # halved memory traffic is the dominant cost at millions of pairs
     prev = np.broadcast_to(
-        np.arange(bw + 1, dtype=np.int64), (n, bw + 1)
+        np.arange(bw + 1, dtype=np.int16), (n, bw + 1)
     ).copy()
-    pos = np.arange(bw + 1, dtype=np.int64)
+    pos = np.arange(bw + 1, dtype=np.int16)
     for i in range(1, int(la.max()) + 1 if n else 1):
         active = la >= i
-        cost = (A[:, i - 1 : i] != B).astype(np.int64)  # (n, bw)
-        cand = np.empty((n, bw + 1), dtype=np.int64)
+        cost = (A[:, i - 1 : i] != B).astype(np.int16)  # (n, bw)
+        cand = np.empty((n, bw + 1), dtype=np.int16)
         cand[:, 0] = i  # cur[0] = i deletions
         np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=cand[:, 1:])
         cur = np.minimum.accumulate(cand - pos, axis=1) + pos
         prev[active] = cur[active]
-    return prev[np.arange(n), lb]
+    return prev[np.arange(n), lb].astype(np.int64)
+
+
+def _charbag(keys: np.ndarray, dims: int = 64) -> np.ndarray:
+    """Folded bag-of-chars count matrix (n, dims) int16: codepoint %% dims.
+    One edit changes a key's TRUE bag by at most 2 in L1; folding only
+    merges counters, so folded-L1 <= true-L1 -- folded-L1 > 2*max_dist is
+    a LOSSLESS rejection of a candidate pair."""
+    n = len(keys)
+    out = np.zeros((n, dims), dtype=np.int16)
+    if n == 0:
+        return out
+    w = max(1, max(len(s) for s in keys))
+    codes = np.array(list(keys), dtype=f"U{w}").view(np.uint32).reshape(n, w)
+    folded = (codes % dims).astype(np.int64) + dims * np.arange(n)[:, None]
+    np.add.at(out.reshape(-1), folded[codes != 0].ravel(), 1)
+    return out
 
 
 def edit_near_dups(
@@ -1220,6 +1238,8 @@ def edit_near_dups(
     key_tokens: int = 4,
     max_dist: int = 3,
     num_partitions: int = 64,
+    sub_blocks: int = 8,
+    dp_chunk: int = 262_144,
 ) -> ray.data.Dataset:
     """All doc pairs whose title key (first ``key_tokens`` whitespace
     tokens of ``text``, single-space joined) is within unit-cost
@@ -1233,24 +1253,29 @@ def edit_near_dups(
     floor(len/(max_dist+1)) plus a ghost copy in the next band; a
     qualifying pair either shares a band (both native there) or straddles
     adjacent bands (ghost meets native) -- emitted exactly once by the
-    not-both-ghosts rule. One hash-partition shuffle on the band id; the
-    per-band sweep generates length-filtered candidate pairs and scores
-    them with the vectorized multi-pair DP above.
+    not-both-ghosts rule.
+
+    The in-band quadratic is DECOMPOSED, not hoped away: every row is
+    salted into one of ``sub_blocks`` sub-blocks by doc_id and replicated
+    to each (its-block, other-block) pair, so the shuffle key is
+    (band, blo, bhi) and a partition holds only the two sub-blocks whose
+    cross product it owns -- per-partition pair count is
+    (band_size/sub_blocks)^2 regardless of band skew, and the band's pair
+    work spreads over sub_blocks^2/2 cores. Each surviving candidate runs
+    a folded bag-of-chars L1 rejection (lossless: one edit moves the bag
+    by <= 2) and the vectorized multi-pair DP in ``dp_chunk`` slices
+    (bounded memory). Replication factor is 2 * sub_blocks tiny key rows
+    per doc -- the disk/shuffle cost of making worst-case skew flat.
 
     Token-less docs (null/empty/whitespace text) DO NOT participate: an
     empty key is degenerate -- at corpus scale the millions of empty docs
     would all collide in band 0 and generate O(m^2) dist-0 pairs of pure
     noise. (The SQL twin encodes the same contract naturally:
-    array_to_string([]) is NULL, and NULL keys never satisfy the join.)
-
-    SCALE NOTE: candidate generation is O(m^2) per length band (the exact
-    semantics require it); for corpora whose key length concentrates in
-    one band, compose with a secondary blocking key (first character,
-    SimHash band) before this operator, trading recall for the cap --
-    same skew story as simhash_near_dups' per-band-value bound."""
+    array_to_string([]) is NULL, and NULL keys never satisfy the join.)"""
     from .groupby import hash_partition_apply
 
     width = max_dist + 1
+    S = max(1, sub_blocks)
 
     def _keys(t: pa.Table) -> pd.DataFrame:
         flat, parent = flat_tokens(t["text"], fill_null=True)
@@ -1272,48 +1297,108 @@ def edit_near_dups(
         doc_id, key = doc_id[has], key[has]
         klen = np.fromiter((len(s) for s in key), dtype=np.int64, count=len(key))
         band = klen // width
-        # native copy + ghost copy in the next band up
+        # native copy + ghost copy in the next band up ...
+        doc2 = np.concatenate([doc_id, doc_id])
+        key2 = np.concatenate([key, key])
+        band2 = np.concatenate([band, band + 1])
+        ghost2 = np.repeat([False, True], len(key))
+        # ... then each row replicated to every sub-block pair it joins:
+        # a row in block b appears in partitions (band, min(b,o), max(b,o))
+        # for o in 0..S-1 -- each unordered row pair meets exactly once
+        blk = (doc2 % S).astype(np.int64)
+        n2 = len(doc2)
+        oth = np.tile(np.arange(S, dtype=np.int64), n2)
+        rep = np.repeat(np.arange(n2), S)
         return pd.DataFrame(
             {
-                "doc_id": np.concatenate([doc_id, doc_id]),
-                "key": np.concatenate([key, key]),
-                "band": np.concatenate([band, band + 1]),
-                "ghost": np.repeat([False, True], len(key)),
+                "doc_id": doc2[rep],
+                "key": key2[rep],
+                "band": band2[rep],
+                "ghost": ghost2[rep],
+                "blk": blk[rep],
+                "blo": np.minimum(blk[rep], oth),
+                "bhi": np.maximum(blk[rep], oth),
             }
         )
 
     staged = docs.map_batches(_keys, batch_format="pyarrow", batch_size=65536)
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "dist": pd.Series(dtype=np.int64),
+            }
+        )
+
+    def _score(ids, keys, klen, bags, ghost, ii, jj, outs) -> None:
+        keep = ~(ghost[ii] & ghost[jj])
+        keep &= np.abs(klen[ii] - klen[jj]) <= max_dist
+        keep &= ids[ii] != ids[jj]  # a doc never pairs with its ghost
+        ii, jj = ii[keep], jj[keep]
+        if not len(ii):
+            return
+        # lossless folded-bag rejection before the DP
+        bagd = np.abs(
+            bags[ii].astype(np.int32) - bags[jj].astype(np.int32)
+        ).sum(axis=1)
+        ok = bagd <= 2 * max_dist
+        ii, jj = ii[ok], jj[ok]
+        if not len(ii):
+            return
+        # identical-key fast path: near-dup corpora are mostly exact key
+        # collisions, and those need no DP at all
+        eq = keys[ii] == keys[jj]
+        if eq.any():
+            a = np.minimum(ids[ii][eq], ids[jj][eq])
+            b = np.maximum(ids[ii][eq], ids[jj][eq])
+            outs.append(pd.DataFrame(
+                {"a": a, "b": b, "dist": np.zeros(int(eq.sum()), dtype=np.int64)}
+            ))
+            ii, jj = ii[~eq], jj[~eq]
+        for s in range(0, len(ii), dp_chunk):
+            i_c, j_c = ii[s : s + dp_chunk], jj[s : s + dp_chunk]
+            dist = _levenshtein_pairs_vec(keys[i_c], keys[j_c])
+            hit = dist <= max_dist
+            a = np.minimum(ids[i_c][hit], ids[j_c][hit])
+            b = np.maximum(ids[i_c][hit], ids[j_c][hit])
+            outs.append(pd.DataFrame({"a": a, "b": b, "dist": dist[hit]}))
+
     def _pairs(part: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, g in part.groupby("band", sort=False):
-            m = len(g)
-            if m < 2:
-                continue
+        for (_, blo, bhi), g in part.groupby(["band", "blo", "bhi"], sort=False):
             ids = g["doc_id"].to_numpy(np.int64)
             keys = g["key"].to_numpy()
             ghost = g["ghost"].to_numpy()
+            blk = g["blk"].to_numpy(np.int64)
+            m = len(g)
             klen = np.fromiter((len(s) for s in keys), dtype=np.int64, count=m)
-            ii, jj = np.triu_indices(m, 1)
-            keep = ~(ghost[ii] & ghost[jj])
-            keep &= np.abs(klen[ii] - klen[jj]) <= max_dist
-            keep &= ids[ii] != ids[jj]  # a doc never pairs with its ghost
-            ii, jj = ii[keep], jj[keep]
-            if not len(ii):
-                continue
-            dist = _levenshtein_pairs_vec(keys[ii], keys[jj])
-            ok = dist <= max_dist
-            a = np.minimum(ids[ii][ok], ids[jj][ok])
-            b = np.maximum(ids[ii][ok], ids[jj][ok])
-            outs.append(pd.DataFrame({"a": a, "b": b, "dist": dist[ok]}))
+            bags = _charbag(keys)
+            if blo == bhi:
+                sel = np.nonzero(blk == blo)[0]
+                if len(sel) < 2:
+                    continue
+                ti, tj = np.triu_indices(len(sel), 1)
+                _score(ids, keys, klen, bags, ghost, sel[ti], sel[tj], outs)
+            else:
+                p = np.nonzero(blk == blo)[0]
+                q = np.nonzero(blk == bhi)[0]
+                if not len(p) or not len(q):
+                    continue
+                ii = np.repeat(p, len(q))
+                jj = np.tile(q, len(p))
+                _score(ids, keys, klen, bags, ghost, ii, jj, outs)
         if not outs:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype=np.int64),
-                    "b": pd.Series(dtype=np.int64),
-                    "dist": pd.Series(dtype=np.int64),
-                }
-            )
-        return pd.concat(outs, ignore_index=True)
+            return _empty()
+        out = pd.concat(outs, ignore_index=True)
+        # a same-band pair exists as native-native in band b AND
+        # ghost-ghost in band b+1; the not-both-ghosts rule already drops
+        # the latter, so rows here are unique -- keep a cheap invariant
+        # dedup for safety under future rule edits
+        return out.drop_duplicates(["a", "b"], ignore_index=True)
 
-    return hash_partition_apply(staged, ["band"], _pairs, num_partitions)
+    return hash_partition_apply(
+        staged, ["band", "blo", "bhi"], _pairs, num_partitions,
+        stamp_batch_size=None,
+    )
