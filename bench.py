@@ -70,6 +70,11 @@ QUERY_NAMES = [
     "revenue_rollup",
     "events_pivot",
     "approx_value_quantiles",
+    "event_funnel",
+    "value_outliers",
+    "title_resolution",
+    "order_revenue_rank",
+    "entity_timeline",
 ]
 
 
