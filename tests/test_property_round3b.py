@@ -138,3 +138,41 @@ def test_mixture_rate_derivation_invariants(spec):
         tgts = {s: c * weights[s] // weight_scale for s in ws}
         for s in ws:
             assert tgts[s] <= counts[s]  # feasibility: never upsample
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=14),
+        min_size=2, max_size=24,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_edit_near_dups_matches_bruteforce(texts, k):
+    """The banded+sub-blocked distributed pipeline equals brute-force
+    all-pairs Levenshtein over the same keys (token-less docs excluded),
+    for random tiny-alphabet corpora rich in near-collisions."""
+    import pyarrow as pa
+    import ray.data
+
+    from tests.test_dedup import _lev_ref
+    from wikidata_qrank_ray.stages.dedup import edit_near_dups
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = edit_near_dups(
+        docs, key_tokens=4, max_dist=k, num_partitions=8, sub_blocks=3
+    ).to_pandas()
+    got_set = {(r.a, r.b, r.dist) for r in got.itertuples()}
+
+    keys = {i: " ".join(t.split()[:4]) for i, t in enumerate(texts)}
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if not keys[i] or not keys[j]:
+                continue
+            d = _lev_ref(keys[i], keys[j])
+            if d <= k:
+                want.add((i, j, d))
+    assert got_set == want

@@ -1868,6 +1868,39 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_user_value_deltas(sf_dir: str):
+    """LAG window family: per user, events in time order with the change
+    from the previous event -> (event_id, user_id, ts, value, delta);
+    the first event's delta is NULL, exactly like SQL LAG. Delta is
+    computed in exact cents and divided once (bitwise double parity).
+    One user-hashed shuffle; the sweep is one sort + grouped shift over
+    the whole partition -- no per-user Python. Deterministic ordering:
+    ties in ts break by event_id, mirrored in the oracle's window."""
+    from ..stages.groupby import hash_partition_apply
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        vc = _cents(part["value"].to_numpy())
+        prev = pd.Series(vc).groupby(part["user_id"].to_numpy(), sort=False).shift(1)
+        return pd.DataFrame(
+            {
+                "event_id": part["event_id"].to_numpy(np.int64),
+                "user_id": part["user_id"].to_numpy(np.int64),
+                "ts": part["ts"].to_numpy(),
+                "value": part["value"].to_numpy(np.float64),
+                "delta": (vc - prev.to_numpy()) / 100.0,
+            }
+        )
+
+    return _pd(
+        hash_partition_apply(ev, ["user_id"], sweep),
+        {"event_id": "int64", "user_id": "int64", "ts": "datetime64[us]",
+         "value": "float64", "delta": "float64"},
+    )
+
+
 def q_order_revenue_rank(sf_dir: str):
     """Global rank of every order by price WITHOUT a global sort -- SQL
     rank() semantics (ties share the min rank) computed from a bounded
@@ -2543,6 +2576,7 @@ def queries():
         "title_resolution": q_title_resolution,
         "order_revenue_rank": q_order_revenue_rank,
         "entity_timeline": q_entity_timeline,
+        "user_value_deltas": q_user_value_deltas,
         "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
         "events_pivot": q_events_pivot,
@@ -3554,6 +3588,13 @@ SELECT a, b, hamming FROM (
 ) WHERE hamming <= 3""",
         # revenue_rollup: SQL ROLLUP is the spec; the Ray side derives the
         # coarse levels from the finest exact-cents aggregate
+        # user_value_deltas: SQL LAG is the spec; delta in exact cents
+        "user_value_deltas": """
+SELECT event_id, user_id, ts, value,
+       (CAST(round(value * 100) AS BIGINT)
+        - lag(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 100.0 AS delta
+FROM events""",
         # order_revenue_rank: SQL rank() (min rank on ties) over cents
         "order_revenue_rank": """
 SELECT o_orderkey,
