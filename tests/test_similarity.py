@@ -57,3 +57,70 @@ def test_lsh_blocked_near_dups_recall_vs_exact():
     assert aset <= eset  # no false positives: in-bucket verify is exact
     recall = len(aset & eset) / max(1, len(eset))
     assert recall >= 0.5, recall  # multi-table OR recovers recall
+
+
+def _kmeans_numpy_twin(vecs, ids, k, iters, quant_scale=1e6):
+    """Single-threaded reference with the same integer-quantized rules."""
+    import numpy as np
+
+    q = (np.sign(vecs) * np.floor(np.abs(vecs) * quant_scale + 0.5)).astype(np.int64)
+    order = np.argsort(ids)
+    seed = order[:k]
+    cent = q[seed].astype(np.float64) / quant_scale
+    for _ in range(iters):
+        x = q.astype(np.float64) / quant_scale
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                cent[j] = (q[m].sum(axis=0).astype(np.float64) / m.sum()) / quant_scale
+    x = q.astype(np.float64) / quant_scale
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return cent, d2.argmin(axis=1)
+
+
+def test_kmeans_train_bitwise_matches_twin_and_reshard():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from wikidata_qrank_ray.stages.similarity import kmeans_train
+
+    rng = np.random.RandomState(3)
+    # three separated blobs + noise dims
+    centers = np.array([[5, 0, 0, 0], [0, 5, 0, 0], [0, 0, 5, 0]], dtype=np.float64)
+    vecs = np.concatenate(
+        [c + 0.3 * rng.standard_normal((40, 4)) for c in centers]
+    )
+    ids = rng.permutation(len(vecs)).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs.astype(np.float32))})
+
+    ds = ray.data.from_pandas(df)
+    cent, assign = kmeans_train(ds, k=3, iters=4)
+    got = assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    tc, ta = _kmeans_numpy_twin(
+        np.stack(df["embedding"].to_numpy()).astype(np.float64),
+        df["vec_id"].to_numpy(), 3, 4,
+    )
+    twin = pd.DataFrame({"vec_id": df["vec_id"], "cluster": ta}).sort_values(
+        "vec_id"
+    ).reset_index(drop=True)
+    assert (np.asarray(cent).view(np.int64) == tc.view(np.int64)).all()  # bitwise
+    assert got["cluster"].tolist() == twin["cluster"].tolist()
+
+    # reshard invariance: different block structure, identical output
+    ds2 = ray.data.from_pandas(
+        [df.iloc[:17], df.iloc[17:60], df.iloc[60:]]
+    )
+    cent2, assign2 = kmeans_train(ds2, k=3, iters=4)
+    got2 = assign2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert (np.asarray(cent2).view(np.int64) == np.asarray(cent).view(np.int64)).all()
+    assert got2["cluster"].tolist() == got["cluster"].tolist()
+
+    # planted blobs are recovered: each blob maps to one pure cluster
+    blob = np.repeat([0, 1, 2], 40)
+    m = pd.DataFrame({"blob": blob, "cluster": ta})
+    purity = m.groupby("blob")["cluster"].nunique()
+    assert (purity == 1).all()

@@ -1868,6 +1868,22 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed full-corpus Lloyd's k-means (5 iterations, k=8) over
+    the embeddings table -> (vec_id, cluster). Rows-only by nature
+    (iterative training isn't one SQL statement), but BITWISE
+    deterministic by construction -- integer-quantized coordinate sums
+    make every reduction order-independent -- so tests pin it exactly
+    against a single-threaded NumPy twin and against resharded input."""
+    from ..stages.similarity import kmeans_train
+
+    _, assign = kmeans_train(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=8, iters=5,
+    )
+    return _pd(assign, {"vec_id": "int64", "cluster": "int64"})
+
+
 def q_user_value_deltas(sf_dir: str):
     """LAG window family: per user, events in time order with the change
     from the previous event -> (event_id, user_id, ts, value, delta);
@@ -2577,6 +2593,7 @@ def queries():
         "order_revenue_rank": q_order_revenue_rank,
         "entity_timeline": q_entity_timeline,
         "user_value_deltas": q_user_value_deltas,
+        "kmeans_clusters": q_kmeans_clusters,
         "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
         "events_pivot": q_events_pivot,

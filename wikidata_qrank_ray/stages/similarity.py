@@ -281,3 +281,92 @@ def ann_lsh_topk(
     return pd.DataFrame(
         {"pos": np.arange(1, len(out) + 1, dtype=np.int64), "vec_id": out["vec_id"].astype(np.int64)}
     )
+
+
+def kmeans_train(
+    emb: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    quant_scale: float = 1e6,
+) -> tuple[np.ndarray, ray.data.Dataset]:
+    """Distributed full-corpus Lloyd's k-means -> (centroids (k, d) float64,
+    assignment Dataset (vec_id, cluster)). The iterative-training shape:
+    per iteration one map_batches pass emits a FIXED-SIZE partial per batch
+    (k x (d+1): integer coordinate sums + counts), the driver merges k x d
+    numbers and updates centroids -- driver state is model-sized, never
+    data-sized, exactly like the histogram-sketch and scoring stages.
+
+    BITWISE-DETERMINISTIC by construction, so the distributed run equals a
+    single-threaded NumPy twin and any resharding of the input:
+    coordinates are quantized to integers once (round(x * quant_scale)) and
+    all cross-row reductions are INTEGER sums (order-independent, exact);
+    per-row distances to float64 centroids reduce over the fixed dimension
+    axis only; argmin ties break to the lowest cluster id; empty clusters
+    keep their previous centroid. Init = the vectors of the k smallest
+    vec_ids (found with per-batch partial min-k, no global sort)."""
+    def _quant(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        # half-away-from-zero (queries._cents semantics), inlined so the
+        # worker closure has no cross-module import
+        q = (np.sign(m) * np.floor(np.abs(m) * quant_scale + 0.5)).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(np.int64), "q": list(q)}
+        )
+
+    quant = emb.map_batches(_quant, batch_format="pandas", batch_size=4096).materialize()
+
+    # deterministic init: k smallest vec_ids via fixed-size per-batch min-k
+    seed_rows = quant.map_batches(
+        lambda d: d.nsmallest(k, "vec_id"), batch_format="pandas"
+    ).to_pandas()
+    # zero-block Dataset loses its schema -> column-less empty frame
+    if len(seed_rows):
+        seed_rows = seed_rows.nsmallest(k, "vec_id")
+    if len(seed_rows) == 0:
+        return (np.zeros((0, 0)), ray.data.from_pandas(pd.DataFrame(
+            {"vec_id": pd.Series(dtype=np.int64),
+             "cluster": pd.Series(dtype=np.int64)})))
+    cent = np.stack(seed_rows["q"].to_numpy()).astype(np.float64) / quant_scale
+    kk = len(cent)
+
+    def _partials(batch: pd.DataFrame, cent_ref) -> pd.DataFrame:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        x = np.stack(batch["q"].to_numpy()).astype(np.float64) / quant_scale
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest cluster id
+        qi = np.stack(batch["q"].to_numpy()).astype(np.int64)
+        dims = qi.shape[1]
+        sums = np.zeros((kk, dims), dtype=np.int64)
+        np.add.at(sums, assign, qi)
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        return pd.DataFrame(
+            {"cluster": np.arange(kk, dtype=np.int64),
+             "n": counts, "s": list(sums)}
+        )
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        parts = quant.map_batches(
+            _partials, fn_kwargs={"cent_ref": cent_ref},
+            batch_format="pandas", batch_size=4096,
+        ).to_pandas()
+        # integer merge: exact and order-independent
+        g = parts.groupby("cluster", sort=True)
+        n = g["n"].sum().to_numpy(np.int64)
+        s = np.stack(g["s"].apply(lambda col: np.sum(np.stack(col.to_numpy()), axis=0)).to_numpy())
+        upd = n > 0
+        cent = cent.copy()
+        cent[upd] = (s[upd].astype(np.float64) / n[upd, None]) / quant_scale
+
+    cent_ref = ray.put(cent)
+
+    def _assign(batch: pd.DataFrame, cent_ref=cent_ref) -> pd.DataFrame:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        x = np.stack(batch["q"].to_numpy()).astype(np.float64) / quant_scale
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(np.int64),
+             "cluster": d2.argmin(axis=1).astype(np.int64)}
+        )
+
+    return cent, quant.map_batches(_assign, batch_format="pandas", batch_size=4096)
