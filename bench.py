@@ -235,8 +235,34 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats(query_name: str) -> None:
+    """Print ray.data's per-operator execution stats for one registry
+    query at $GRAFT_SF_DIR -- the feedback loop for batch-size /
+    concurrency / shuffle tuning (wall time should sit in the compute
+    stages, not in task launch or block exchange)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from wikidata_qrank_ray.pipelines.queries import queries as all_queries
+
+    res = all_queries()[query_name](SF_DIR)
+    if isinstance(res, ray.data.Dataset):
+        res = res.materialize()
+        print(res.stats())
+    else:
+        print(f"{query_name} returns a driver-side result "
+              f"({type(res).__name__}, {len(res)} rows) -- no Dataset stats")
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats(sys.argv[sys.argv.index("--stats") + 1])
     else:
         print(json.dumps(run_bench()))

@@ -1868,6 +1868,41 @@ def q_simhash_near_dups(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Sequence mining / Markov statistics: counts of consecutive
+    event-type transitions per user stream -> (prev_type, next_type,
+    n_transitions), ordering (ts, event_id) within each user. The
+    behavior-model primitive (same shape as agent-trajectory action
+    bigrams). One user-hashed shuffle; the sweep sorts the partition once
+    and takes a grouped shift -- transition rows are then a tiny
+    |types|^2-bounded aggregate."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = part.groupby("user_id", sort=False)["event_type"].shift(1)
+        ok = prev.notna()
+        d = pd.DataFrame(
+            {"prev_type": prev[ok], "next_type": part["event_type"][ok]}
+        )
+        return d.groupby(["prev_type", "next_type"], as_index=False).agg(
+            n_transitions=("next_type", "size")
+        )
+
+    partial = hash_partition_apply(ev, ["user_id"], sweep)
+    out = _pd(
+        hash_partition_aggregate(
+            partial, ["prev_type", "next_type"],
+            {"n_transitions": ("n_transitions", "sum")}, partial=False,
+        ),
+        {"prev_type": object, "next_type": object, "n_transitions": "int64"},
+    )
+    out["n_transitions"] = out["n_transitions"].astype(np.int64)
+    return out
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed full-corpus Lloyd's k-means (5 iterations, k=8) over
     the embeddings table -> (vec_id, cluster). Rows-only by nature
@@ -2593,6 +2628,7 @@ def queries():
         "order_revenue_rank": q_order_revenue_rank,
         "entity_timeline": q_entity_timeline,
         "user_value_deltas": q_user_value_deltas,
+        "event_transitions": q_event_transitions,
         "kmeans_clusters": q_kmeans_clusters,
         "events_gapfill": q_events_gapfill,
         "revenue_rollup": q_revenue_rollup,
@@ -3605,6 +3641,16 @@ SELECT a, b, hamming FROM (
 ) WHERE hamming <= 3""",
         # revenue_rollup: SQL ROLLUP is the spec; the Ray side derives the
         # coarse levels from the finest exact-cents aggregate
+        # event_transitions: LAG-derived consecutive type pairs
+        "event_transitions": """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type""",
         # user_value_deltas: SQL LAG is the spec; delta in exact cents
         "user_value_deltas": """
 SELECT event_id, user_id, ts, value,
