@@ -363,3 +363,31 @@ def test_bfs_levels_multi_source_min():
         .to_pandas().set_index("node")["dist"].sort_index()
     )
     assert dict(out) == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def test_sssp_bounded_prefers_lighter_longer_path():
+    """Weighted min-plus: the 2-hop path 0-1-2 (cost 2) beats the direct
+    heavy edge 0-2 (cost 10); the hop bound cuts deeper paths off."""
+    import pandas as pd
+    import ray.data
+
+    from wikidata_qrank_ray.stages.graph import sssp_bounded
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": [0, 1, 0, 2, 3, 4],
+                      "v": [1, 2, 2, 3, 4, 5],
+                      "w": [1, 1, 10, 1, 1, 1]})
+    )
+    out = (
+        sssp_bounded(edges, [0], max_hops=2, num_partitions=8)
+        .to_pandas().set_index("node")["cost"].sort_index()
+    )
+    # node 2: lighter 2-hop 0-1-2 (2) beats direct 0-2 (10);
+    # node 3: only the heavy 0-2-3 fits in 2 hops (11); deeper nodes cut off
+    assert dict(out) == {0: 0, 1: 1, 2: 2, 3: 11}
+
+    out3 = (
+        sssp_bounded(edges, [0], max_hops=3, num_partitions=8)
+        .to_pandas().set_index("node")["cost"].sort_index()
+    )
+    assert out3[3] == 3  # one more hop unlocks 0-1-2-3

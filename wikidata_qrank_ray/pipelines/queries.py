@@ -2164,6 +2164,39 @@ def q_entity_bfs(sf_dir: str):
     return out[["qid", "dist"]]
 
 
+def q_entity_min_cost_path(sf_dir: str):
+    """Bounded weighted shortest path (<= 4 hops) from the top-ranked
+    canonical entity over the co-occurrence graph, edge cost = edge
+    weight -> (qid, cost). The min-plus (Bellman-Ford rounds)
+    generalization of entity_bfs: a longer-but-lighter path can win, so
+    every round relaxes the full integer-exact cost table
+    (stages/graph.sssp_bounded)."""
+    from ..stages.graph import sssp_bounded
+
+    rank = q_canonical_rank(sf_dir)
+    rdf = rank.to_pandas() if not isinstance(rank, pd.DataFrame) else rank
+    if len(rdf) == 0:
+        return pd.DataFrame({"qid": pd.Series(dtype=object),
+                             "cost": pd.Series(dtype=np.int64)})
+    rdf = rdf.assign(qnum=rdf["qid"].str[1:].astype(np.int64))
+    top = rdf.sort_values(["mention_count", "qnum"], ascending=[False, True])[
+        "qid"
+    ].iloc[0]
+
+    edges = q_canonical_triples(sf_dir).map_batches(
+        lambda df: df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]].rename(
+            columns={"subj": "u", "obj": "v", "weight": "w"}
+        ),
+        batch_format="pandas",
+    )
+    out = _pd(
+        sssp_bounded(edges, [top], max_hops=4),
+        {"node": object, "cost": "int64"},
+    ).rename(columns={"node": "qid"})
+    out["cost"] = out["cost"].astype(np.int64)
+    return out[["qid", "cost"]]
+
+
 def q_event_funnel(sf_dir: str):
     """Ordered-funnel analysis: per user, how deep into the
     view -> click -> purchase chain they got, each stage STRICTLY after
@@ -2623,6 +2656,7 @@ def queries():
         "approx_value_quantiles": q_approx_value_quantiles,
         "event_funnel": q_event_funnel,
         "entity_bfs": q_entity_bfs,
+        "entity_min_cost_path": q_entity_min_cost_path,
         "value_outliers": q_value_outliers,
         "title_resolution": q_title_resolution,
         "order_revenue_rank": q_order_revenue_rank,
@@ -3057,6 +3091,27 @@ walk(node, d) AS (
   UNION ALL
   SELECT e.v, w.d + 1 FROM walk w JOIN bfs_und e ON e.u = w.node WHERE w.d < 4)
 SELECT node AS qid, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node""",
+        # entity_min_cost_path: same recursive walk, accumulating edge
+        # weight instead of hop count
+        "entity_min_cost_path": "WITH RECURSIVE "
+        + ",".join([SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS,
+                    crank_cte, SQL_TRIPLES])
+        + f""",
+sp_edges AS (
+  SELECT subj AS u, obj AS v, weight AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+sp_und AS (SELECT u, v, w FROM sp_edges UNION ALL SELECT v, u, w FROM sp_edges),
+sp_src AS (
+  SELECT qid FROM (
+    SELECT qid, row_number() OVER (ORDER BY mention_count DESC,
+                                   CAST(substr(qid, 2) AS BIGINT) ASC) AS rp
+    FROM crank) WHERE rp = 1),
+spwalk(node, c, d) AS (
+  SELECT qid, CAST(0 AS BIGINT), 0 FROM sp_src
+  UNION ALL
+  SELECT e.v, w.c + e.w, w.d + 1 FROM spwalk w JOIN sp_und e ON e.u = w.node
+  WHERE w.d < 4)
+SELECT node AS qid, CAST(MIN(c) AS BIGINT) AS cost FROM spwalk GROUP BY node""",
         "rank_stats": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS, crank_cte,
             select="""

@@ -521,3 +521,64 @@ def bfs_levels(
             num_partitions, stamp_batch_size=None,
         ).materialize()
     return dist
+
+
+def sssp_bounded(
+    edges: ray.data.Dataset,
+    source_nodes: list,
+    max_hops: int,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Bounded-hop single/multi-source WEIGHTED shortest path over an
+    undirected edge Dataset (u, v, w integer cost) -> (node, cost) with
+    cost = minimum total edge cost over paths of <= max_hops edges. The
+    min-plus generalization of bfs_levels (Bellman-Ford rounds): each
+    round relaxes every edge out of the CURRENT cost table with one
+    co-partitioned join + one keyed min-aggregate, all integer-exact.
+
+    Unlike BFS, a node's cost can improve in later rounds (a longer path
+    can be cheaper), so every round relaxes from the full cost table, not
+    a frontier; round count is the hop bound, shuffles stay key-hashed,
+    and nothing node- or edge-scaled lands on the driver. Early exit when
+    a round changes nothing ((count, sum) probe -- costs only ever
+    decrease, so an unchanged aggregate pair means a fixpoint)."""
+    from .groupby import hash_partition_aggregate
+    from .join import bucketed_hash_join
+
+    def _undirect(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df[["u", "v", "w"]].rename(columns={"u": "src", "v": "dst"})
+        rev = df[["v", "u", "w"]].rename(columns={"v": "src", "u": "dst"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    und = edges.map_batches(_undirect, batch_format="pandas").materialize()
+
+    cost = ray.data.from_pandas(
+        pd.DataFrame({"node": source_nodes, "cost": np.int64(0)})
+    ).materialize()
+    probe = (cost.count(), 0)
+    for _ in range(max_hops):
+        relaxed = bucketed_hash_join(
+            cost.map_batches(
+                lambda df: df.rename(columns={"node": "src"}),
+                batch_format="pandas",
+            ),
+            und, "src", "src", num_partitions=num_partitions,
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["dst"],
+                 "cost": df["cost"].to_numpy(np.int64) + df["w"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        cost = hash_partition_aggregate(
+            cost.union(relaxed), ["node"], {"cost": ("cost", "min")},
+            num_partitions, stamp_batch_size=None,
+        ).materialize()
+        nxt = (
+            cost.count(),
+            int(cost.sum("cost") or 0),
+        )
+        if nxt == probe:
+            break
+        probe = nxt
+    return cost
