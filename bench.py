@@ -75,6 +75,9 @@ QUERY_NAMES = [
     "title_resolution",
     "order_revenue_rank",
     "entity_timeline",
+    "user_value_deltas",
+    "event_transitions",
+    "kmeans_clusters",
 ]
 
 
