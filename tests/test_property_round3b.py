@@ -176,3 +176,101 @@ def test_edit_near_dups_matches_bruteforce(texts, k):
             if d <= k:
                 want.add((i, j, d))
     assert got_set == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),     # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(min_value=0, max_value=50),    # ts seconds
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_event_funnel_matches_naive(rows, tmp_path_factory):
+    """Distributed greedy funnel == per-user naive scan, including
+    duplicate timestamps and strictly-after gating."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.pipelines.queries import q_event_funnel
+
+    d = tmp_path_factory.mktemp("f")
+    ts = pd.to_datetime(
+        [f"2024-01-01 00:00:{s:02d}" for _, _, s in rows]
+    ).astype("datetime64[us]")
+    pq.write_table(
+        pa.table({
+            "event_id": list(range(len(rows))),
+            "ts": ts,
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }),
+        d / "events.parquet",
+    )
+    got = q_event_funnel(str(d)).set_index("user_id").sort_index()
+
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "s"])
+    df["ts"] = ts
+    stages = ["view", "click", "purchase"]
+    for u, g in df[df["event_type"].isin(stages)].groupby("user_id"):
+        gate, depth = None, 0
+        times = []
+        for stage in stages:
+            c = g[g["event_type"] == stage]
+            if gate is not None:
+                c = c[c["ts"] > gate]
+            if len(c) == 0:
+                break
+            gate = c["ts"].min()
+            times.append(gate)
+            depth += 1
+        assert int(got.loc[u, "funnel_stage"]) == depth
+        for i, t in enumerate(times, 1):
+            assert got.loc[u, f"t{i}"] == t
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1, max_size=16,
+    ),
+    hops=st.integers(min_value=1, max_value=4),
+)
+def test_sssp_bounded_matches_bellman_ford(edges, hops):
+    """Distributed min-plus rounds == textbook hop-bounded Bellman-Ford
+    on random small multigraphs (self-loops and parallel edges allowed)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from wikidata_qrank_ray.stages.graph import sssp_bounded
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["u", "v", "w"])
+    )
+    got = dict(
+        sssp_bounded(ds, [0], max_hops=hops, num_partitions=4)
+        .to_pandas().set_index("node")["cost"]
+    )
+
+    INF = float("inf")
+    dist = {0: 0}
+    und = [(u, v, w) for u, v, w in edges] + [(v, u, w) for u, v, w in edges]
+    for _ in range(hops):
+        nxt = dict(dist)
+        for u, v, w in und:
+            if dist.get(u, INF) + w < nxt.get(v, INF):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    assert got == dist
