@@ -2025,6 +2025,52 @@ def q_entity_timeline(sf_dir: str):
     )
 
 
+def q_nearest_train_doc(sf_dir: str):
+    """Cross-split similarity join: for every TEST-split document, its
+    single most similar TRAIN-split document by exact 3-gram token
+    Jaccard -> (doc_id, train_doc, jaccard); ties break to the lowest
+    train doc id, zero-overlap test docs are absent. The retrieval form
+    of eval decontamination (split_contamination counts leaks; this names
+    the nearest source). Composition: the shared-shingle exact-Jaccard
+    machinery (threshold 0 -- every co-shingled pair), a vectorized
+    cross-split orientation pass (the split is a pure hash of doc_id, so
+    no split join is needed anywhere), and group_topk k=1 per test doc."""
+    from ..functions.hashing import polyhash64
+    from ..stages.dedup import exact_jaccard_pairs
+    from ..stages.groupby import group_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(docs, shingle_k=3, threshold=0.0)
+
+    def _cross(df: pd.DataFrame) -> pd.DataFrame:
+        def bucket(ids: np.ndarray) -> np.ndarray:
+            keys = np.array(["split" + str(k) for k in ids], dtype=object)
+            with np.errstate(over="ignore"):
+                return (polyhash64(keys) * np.uint64(2177342782468422677)) % np.uint64(10000)
+
+        a, b = df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)
+        ha, hb = bucket(a), bucket(b)
+        m1 = (ha >= 9500) & (hb < 9000)  # a test, b train
+        m2 = (hb >= 9500) & (ha < 9000)  # b test, a train
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([a[m1], b[m2]]),
+                "train_doc": np.concatenate([b[m1], a[m2]]),
+                "jaccard": np.concatenate(
+                    [df["jaccard"].to_numpy()[m1], df["jaccard"].to_numpy()[m2]]
+                ),
+            }
+        )
+
+    cross = pairs.map_batches(_cross, batch_format="pandas")
+    top = group_topk(
+        cross, keys=["doc_id"], order_col="jaccard", k=1,
+        ascending=False, tie_cols=["train_doc"],
+    )
+    out = _pd(top, {"doc_id": "int64", "train_doc": "int64", "jaccard": "float64"})
+    return out.reset_index(drop=True)
+
+
 def q_title_resolution(sf_dir: str):
     """End-to-end entity resolution over document titles, composed from
     this engine's own primitives: edit-distance blocking+pair generation
@@ -2659,6 +2705,7 @@ def queries():
         "entity_min_cost_path": q_entity_min_cost_path,
         "value_outliers": q_value_outliers,
         "title_resolution": q_title_resolution,
+        "nearest_train_doc": q_nearest_train_doc,
         "order_revenue_rank": q_order_revenue_rank,
         "entity_timeline": q_entity_timeline,
         "user_value_deltas": q_user_value_deltas,
@@ -3731,6 +3778,46 @@ FROM (SELECT DISTINCT conv_id, turn_idx, qid, surface FROM hits) d
 JOIN turns t ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
 GROUP BY d.qid""",
         ),
+        # nearest_train_doc: the doc_splits hash + the ngram_jaccard pair
+        # definition + a window argmax
+        "nearest_train_doc": r"""
+WITH h AS (
+  SELECT doc_id,
+         (list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex('split' || CAST(doc_id AS VARCHAR), '')],
+                      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616)
+          * 2177342782468422677) % 18446744073709551616 % 10000 AS hv
+  FROM documents),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN hv < 9000 THEN 'train' WHEN hv < 9500 THEN 'val' ELSE 'test' END AS split
+  FROM h),
+toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+dsh AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+j AS (
+  SELECT i.a AS a, i.b AS b, i.i / (sa.sz + sb.sz - i.i) AS jac
+  FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id),
+cx AS (
+  SELECT CASE WHEN pa.split = 'test' THEN j.a ELSE j.b END AS doc_id,
+         CASE WHEN pa.split = 'test' THEN j.b ELSE j.a END AS train_doc,
+         j.jac AS jaccard
+  FROM j JOIN sp pa ON j.a = pa.doc_id JOIN sp pb ON j.b = pb.doc_id
+  WHERE (pa.split = 'test' AND pb.split = 'train')
+     OR (pa.split = 'train' AND pb.split = 'test'))
+SELECT doc_id, train_doc, jaccard FROM (
+  SELECT cx.*, row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY jaccard DESC, train_doc ASC) AS rn
+  FROM cx) WHERE rn = 1""",
         # title_resolution: the pair graph is the levenshtein oracle, the
         # clustering spec is recursive min-label reachability, unmatched
         # docs coalesce to themselves
