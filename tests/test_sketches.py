@@ -99,3 +99,34 @@ def test_histogram_quantiles_constant_column():
     ds = ray.data.from_arrow(pa.table({"v": [7.5] * 100}))
     out = histogram_quantiles(ds, "v")
     assert (out["est"] == 7.5).all()
+
+
+def test_count_min_point_query_bounds():
+    """Point-query estimate (min over rows) is always >= the true count,
+    and equals it when no token collides in some row."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from wikidata_qrank_ray.functions.hashing import polyhash64
+    from wikidata_qrank_ray.stages.sketches import count_min_sketch
+
+    texts = ["a b a c", "b b d", "a e"]
+    ds = ray.data.from_arrow(pa.table({"text": texts}))
+    cells = count_min_sketch(ds, depth=4, width=64)
+    grid = np.zeros((4, 64), dtype=np.int64)
+    grid[cells["r"], cells["c"]] = cells["n"]
+
+    true = pd.Series(" ".join(texts).split()).value_counts()
+    for tok, cnt in true.items():
+        # % with a python int would promote uint64 -> float64 and corrupt
+        # the modulus; keep the reduction in uint64 like the stage does
+        cols = [
+            int(polyhash64(np.array([f"cms{r}:{tok}"], dtype=object))[0] % np.uint64(64))
+            for r in range(4)
+        ]
+        est = min(grid[r, c] for r, c in enumerate(cols))
+        assert est >= cnt
+    # total mass per row equals the token count (no token lost)
+    assert (grid.sum(axis=1) == len(" ".join(texts).split())).all()

@@ -2025,6 +2025,17 @@ def q_entity_timeline(sf_dir: str):
     )
 
 
+def q_cms_token_counts(sf_dir: str):
+    """Count-min sketch (4 x 1024) over all document tokens -> nonzero
+    cells (r, c, n). Mergeable fixed-size integer partials make even this
+    SKETCH bitwise value-oracled (see stages/sketches.count_min_sketch)."""
+    from ..stages.sketches import count_min_sketch
+
+    return count_min_sketch(
+        read_table(sf_dir, "documents", columns=["text"]), depth=4, width=1024
+    )
+
+
 def q_nearest_train_doc(sf_dir: str):
     """Cross-split similarity join: for every TEST-split document, its
     single most similar TRAIN-split document by exact 3-gram token
@@ -2706,6 +2717,7 @@ def queries():
         "value_outliers": q_value_outliers,
         "title_resolution": q_title_resolution,
         "nearest_train_doc": q_nearest_train_doc,
+        "cms_token_counts": q_cms_token_counts,
         "order_revenue_rank": q_order_revenue_rank,
         "entity_timeline": q_entity_timeline,
         "user_value_deltas": q_user_value_deltas,
@@ -3778,6 +3790,19 @@ FROM (SELECT DISTINCT conv_id, turn_idx, qid, surface FROM hits) d
 JOIN turns t ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
 GROUP BY d.qid""",
         ),
+        # cms_token_counts: the polyhash row hashes replayed in SQL --
+        # integer cells, so the sketch itself is value-exact
+        "cms_token_counts": r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS s FROM documents),
+cells AS (
+  SELECT r.r AS r,
+         CAST(list_reduce([CAST(unicode(ch) AS HUGEINT) FOR ch IN
+                           string_split_regex('cms' || CAST(r.r AS VARCHAR) || ':' || s, '')],
+                          (acc, x) -> (acc * 1000003 + x) % 18446744073709551616)
+              % 1024 AS BIGINT) AS c
+  FROM tok, (SELECT unnest(range(4)) AS r) r)
+SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY r, c""",
         # nearest_train_doc: the doc_splits hash + the ngram_jaccard pair
         # definition + a window argmax
         "nearest_train_doc": r"""

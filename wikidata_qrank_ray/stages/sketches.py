@@ -194,3 +194,47 @@ def histogram_quantiles(
         out_est.append(mn + ((float(b) * (mx - mn)) / fbins))
     return pd.DataFrame({"q": np.array(out_q, dtype=np.float64),
                          "est": np.array(out_est, dtype=np.float64)})
+
+
+def count_min_sketch(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> "pd.DataFrame":
+    """Count-min sketch over the corpus token stream -> its nonzero cells
+    (r, c, n). The third mergeable sketch next to HLL (distinct) and
+    Misra-Gries (heavy hitters): point-query estimate for any token is
+    min over rows of cell(r, hash_r(token)), always an OVERestimate with
+    the standard (eps, delta) bound.
+
+    Per-batch partials are FIXED-SIZE depth x width int64 grids merged by
+    vector sum -- integer, order-independent, so the whole sketch is
+    BITWISE deterministic and (unusually for a sketch) value-oracle-able:
+    row hashes are the corpus polyhash64 recurrence over 'cms{r}:' + token,
+    reproduced verbatim in SQL."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import polyhash64
+    from ..functions.tokenize import flat_tokens
+
+    def grid(t: "pa.Table") -> "pd.DataFrame":
+        flat, _ = flat_tokens(t[text_col], fill_null=True)
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        g = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            keyed = np.array([f"cms{r}:" + s for s in toks], dtype=object)
+            cols = (polyhash64(keyed) % np.uint64(width)).astype(np.int64)
+            g[r] = np.bincount(cols, minlength=width)
+        rr, cc = np.nonzero(g)
+        return pd.DataFrame({"r": rr.astype(np.int64), "c": cc.astype(np.int64),
+                             "n": g[rr, cc]})
+
+    parts = ds.map_batches(grid, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"r": pd.Series(dtype=np.int64),
+                             "c": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    out = parts.groupby(["r", "c"], as_index=False)["n"].sum()
+    return out.astype({"r": np.int64, "c": np.int64, "n": np.int64})
