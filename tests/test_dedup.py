@@ -82,6 +82,55 @@ def test_exact_jaccard_pairs_matches_bruteforce():
     assert ((got["a"] == 4) & (got["b"] == 5) & (got["jaccard"] == 1.0)).any()
 
 
+def test_tf_cosine_pairs_matches_bruteforce():
+    """Weighted-cosine join == brute force over Counter vectors, including
+    the multiplicity case Jaccard is blind to (doc 1 repeats doc 0's text
+    3x: identical shingle SET, different count vector -- still cos 1.0 for
+    the repeated k-grams here since counts are proportional only when the
+    whole vector scales; the planted proportional pair checks that)."""
+    from collections import Counter
+    from math import sqrt
+
+    from wikidata_qrank_ray.functions.hashing import shingles
+    from wikidata_qrank_ray.stages.dedup import tf_cosine_pairs
+
+    texts = [
+        "a b c d e f g",
+        "a b c d e f g a b c d e f g",   # doubled: proportional counts? (no: cross k-grams)
+        "a b c a b c a b c",             # periodic
+        "a b c a b c",                   # proportional to 2 on shared support? close
+        "p q r s t",
+        "short",
+        "short",                          # identical short docs: cos 1.0
+        "",
+    ]
+    ds = _docs(texts)
+    got = (
+        tf_cosine_pairs(ds, shingle_k=3, threshold_num=4, threshold_den=5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    vecs = [Counter(shingles(t.split(), 3)) for t in texts]
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            dot = sum(c * vecs[j][s] for s, c in vecs[i].items())
+            if dot == 0:
+                continue
+            na = sum(c * c for c in vecs[i].values())
+            nb = sum(c * c for c in vecs[j].values())
+            if dot * dot * 25 >= 16 * na * nb:
+                want.append((i, j, dot, na, nb))
+    want_df = pd.DataFrame(want, columns=["a", "b", "dot", "nsq_a", "nsq_b"])
+    assert got.to_numpy().tolist() == want_df.to_numpy().tolist()
+    # identical short docs pair at exactly cos 1.0
+    row = got[(got["a"] == 5) & (got["b"] == 6)]
+    assert len(row) == 1
+    r = row.iloc[0]
+    assert r["dot"] == sqrt(r["nsq_a"] * r["nsq_b"])
+
+
 def test_minhash_planted_dups_larger_corpus():
     """Planted near-dups in a 2000-doc corpus: every planted pair is found
     and clustered to its base; unrelated docs never join a cluster."""

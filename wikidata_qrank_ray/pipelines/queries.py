@@ -1711,6 +1711,18 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_tf_cosine_pairs(sf_dir: str):
+    """Weighted (term-frequency) cosine similarity join at cos >= 4/5 over
+    token-3-gram count vectors -- multiplicity-aware near-dup detection,
+    integer-exact end to end (rational threshold gate, no floats)."""
+    from ..stages.dedup import tf_cosine_pairs
+
+    return tf_cosine_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        shingle_k=3, threshold_num=4, threshold_den=5,
+    )
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTERS with no LSH approximation anywhere: exact
     shared-shingle Jaccard pairs as edges, then connected components with
@@ -2707,6 +2719,8 @@ def queries():
     # whole registry. Every entry stays independently checkable via
     # tools/check_oracles.py.
     return {
+        # --- round-3b additions (never driver-sampled yet) ---
+        "tf_cosine_pairs": q_tf_cosine_pairs,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3504,6 +3518,29 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # tf_cosine_pairs: same tokenization/shingling as ngram_jaccard but
+        # the MULTISET is kept (counts c), and the cosine gate is the pure
+        # integer comparison dot^2 * den^2 >= num^2 * nsq_a * nsq_b
+        # (threshold 4/5) -- every emitted cell is a BIGINT.
+        "tf_cosine_pairs": r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+cnt AS (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(sl) AS s FROM shl) GROUP BY doc_id, s),
+norms AS (SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS nsq FROM cnt GROUP BY doc_id),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(SUM(x.c * y.c) AS BIGINT) AS dot
+          FROM cnt x JOIN cnt y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+SELECT p.a AS a, p.b AS b, p.dot AS dot, na.nsq AS nsq_a, nb.nsq AS nsq_b
+FROM pairs p
+JOIN norms na ON p.a = na.doc_id
+JOIN norms nb ON p.b = nb.doc_id
+WHERE p.dot * p.dot * 25 >= 16 * na.nsq * nb.nsq""",
         "ngram_jaccard": r"""
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
 shl AS (

@@ -400,6 +400,101 @@ def exact_jaccard_pairs(
     return inter.map_batches(_finalize, batch_format="pandas")
 
 
+def _shingle_count_rows_batch(batch, k: int) -> pd.DataFrame:
+    """One batch of docs -> (doc_id, s, c, nsq) TERM-FREQUENCY shingle rows:
+    c = the shingle's multiplicity within the doc (the multiset kept, unlike
+    ``_shingle_rows_batch``'s distinct set), nsq = the doc's squared L2 norm
+    sum(c^2), constant per doc and riding on every row so the pair stage can
+    carry both norms through the shuffle without extra joins."""
+    sh, pos = _shingle_arrays(batch, k)
+    doc_ids = batch["doc_id"].to_numpy()
+    out_doc = doc_ids[pos] if len(pos) else np.array([], dtype=np.int64)
+    flat = pd.DataFrame({"doc_id": out_doc, "s": sh})
+    out = flat.groupby(["doc_id", "s"], as_index=False, sort=False).size()
+    out = out.rename(columns={"size": "c"})
+    out["c"] = out["c"].astype(np.int64)
+    csq = out["c"].to_numpy() ** 2
+    out["nsq"] = (
+        pd.Series(csq, index=out.index)
+        .groupby(out["doc_id"], sort=False)
+        .transform("sum")
+        .astype(np.int64)
+    )
+    return out
+
+
+def tf_cosine_pairs(
+    docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """EXACT all-pairs WEIGHTED (term-frequency) cosine similarity join over
+    token-k-gram count vectors -> (a, b, dot, nsq_a, nsq_b), keeping pairs
+    with cos(A, B) >= threshold_num/threshold_den. The sibling of
+    ``exact_jaccard_pairs`` for multiplicity-aware similarity: a doc that
+    repeats a passage 5x is close to one repeating it 4x even though their
+    shingle SETS are identical to a single-copy doc.
+
+    Everything stays integer-exact: the threshold is a rational num/den and
+    cos >= t  <=>  dot^2 * den^2 >= num^2 * nsq_a * nsq_b (dot >= 0 always,
+    counts are non-negative), so no float ever enters the gate and the
+    DuckDB oracle reproduces every cell bitwise.
+
+    Same two-shuffle scale shape as exact_jaccard_pairs: shingle-count rows
+    co-partitioned by shingle emit shared-shingle dot-product partials (a
+    shingle with document frequency m contributes O(m^2) partials -- the
+    same skew bound, cappable upstream by dropping hot shingles), then one
+    hash-partition aggregate over (a, b). Norms ride the rows; zero-overlap
+    pairs never materialize."""
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+
+    rows = docs.map_batches(
+        lambda b, k=shingle_k: _shingle_count_rows_batch(b, k),
+        batch_format="pyarrow",
+    )
+
+    def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="s")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m.assign(dotp=m["c_x"].to_numpy() * m["c_y"].to_numpy())
+        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False, sort=False).agg(
+            dot=("dotp", "sum"), nsq_a=("nsq_x", "first"), nsq_b=("nsq_y", "first")
+        )
+        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+
+    partials = hash_partition_apply(
+        rows, ["s"], _pair_partials, num_partitions, stamp_batch_size=None
+    )
+    agg = hash_partition_aggregate(
+        partials,
+        ["a", "b"],
+        {"dot": ("dot", "sum"), "nsq_a": ("nsq_a", "min"), "nsq_b": ("nsq_b", "min")},
+        num_partitions,
+        stamp_batch_size=None,
+    )
+    num2 = int(threshold_num) ** 2
+    den2 = int(threshold_den) ** 2
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        dot = df["dot"].to_numpy(dtype=np.int64)
+        na = df["nsq_a"].to_numpy(dtype=np.int64)
+        nb = df["nsq_b"].to_numpy(dtype=np.int64)
+        keep = dot * dot * den2 >= num2 * na * nb
+        return pd.DataFrame(
+            {
+                "a": df["a"].to_numpy(dtype=np.int64)[keep],
+                "b": df["b"].to_numpy(dtype=np.int64)[keep],
+                "dot": dot[keep],
+                "nsq_a": na[keep],
+                "nsq_b": nb[keep],
+            }
+        )
+
+    return agg.map_batches(_finalize, batch_format="pandas")
+
+
 def minhash_dedup(
     docs: ray.data.Dataset,
     num_perm: int = 64,
