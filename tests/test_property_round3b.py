@@ -274,3 +274,44 @@ def test_sssp_bounded_matches_bellman_ford(edges, hops):
                 nxt[v] = dist[u] + w
         dist = nxt
     assert got == dist
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(1, 5),
+)
+def test_skyline_sweep_matches_bruteforce(points, nsplits):
+    """Block-local sweep composed over arbitrary splits + one merge ==
+    brute-force O(n^2) dominance filter (splitting must never change the
+    frontier -- the distributed-correctness property)."""
+    from wikidata_qrank_ray.stages.skyline import _skyline_sweep
+
+    df = pd.DataFrame(points, columns=["mn", "mx"])
+    df["rid"] = np.arange(len(df))
+
+    def dominated(i):
+        xi, yi = df["mn"][i], df["mx"][i]
+        for j in range(len(df)):
+            if j == i:
+                continue
+            xj, yj = df["mn"][j], df["mx"][j]
+            if xj <= xi and yj >= yi and (xj < xi or yj > yi):
+                return True
+        return False
+
+    want = sorted(int(r) for r in df["rid"] if not dominated(r))
+
+    parts = np.array_split(df.sample(frac=1, random_state=7), nsplits)
+    locals_ = [_skyline_sweep(p, "mn", "mx") for p in parts if len(p)]
+    cand = (
+        pd.concat(locals_, ignore_index=True)
+        if locals_
+        else df.iloc[0:0]
+    )
+    got = sorted(int(r) for r in _skyline_sweep(cand, "mn", "mx")["rid"])
+    assert got == want

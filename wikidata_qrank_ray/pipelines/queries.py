@@ -1711,6 +1711,29 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_part_skyline(sf_dir: str):
+    """Pareto frontier over parts: no other part is both cheaper-or-equal
+    and larger-or-equal (one strict). Exact money via scaled-int cents."""
+    from ..stages.skyline import skyline
+
+    parts = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": batch["p_partkey"].to_numpy(dtype=np.int64),
+                "price_c": _cents(batch["p_retailprice"].to_numpy()),
+                "p_size": batch["p_size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return skyline(
+        parts.map_batches(_prep, batch_format="pandas"), "price_c", "p_size"
+    )
+
+
 def q_tf_cosine_pairs(sf_dir: str):
     """Weighted (term-frequency) cosine similarity join at cos >= 4/5 over
     token-3-gram count vectors -- multiplicity-aware near-dup detection,
@@ -2721,6 +2744,7 @@ def queries():
     return {
         # --- round-3b additions (never driver-sampled yet) ---
         "tf_cosine_pairs": q_tf_cosine_pairs,
+        "part_skyline": q_part_skyline,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3518,6 +3542,20 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # part_skyline: dominance spelled as NOT EXISTS; money in exact
+        # cents so the frontier test is pure-integer on both sides.
+        "part_skyline": r"""
+WITH p AS (
+  SELECT p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT x.p_partkey AS p_partkey, x.price_c AS price_c, x.p_size AS p_size
+FROM p x
+WHERE NOT EXISTS (
+  SELECT 1 FROM p y
+  WHERE y.price_c <= x.price_c AND y.p_size >= x.p_size
+    AND (y.price_c < x.price_c OR y.p_size > x.p_size))""",
         # tf_cosine_pairs: same tokenization/shingling as ngram_jaccard but
         # the MULTISET is kept (counts c), and the cosine gate is the pure
         # integer comparison dot^2 * den^2 >= num^2 * nsq_a * nsq_b
