@@ -1711,6 +1711,32 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_user_value_trend(sf_dir: str):
+    """Per-user OLS trend of event value over time via mergeable integer
+    sufficient statistics (x = epoch-hours rebased to 2024-01-01, y =
+    cents); slope emitted as an exact rational (slope_num, slope_den)."""
+    from ..stages.stats import grouped_linear_fit
+
+    HOUR_US = 3_600_000_000
+    ORIGIN_H = 473_352  # epoch-hours of 2024-01-01 00:00:00 UTC
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(dtype=np.int64),
+                "x": us // HOUR_US - ORIGIN_H,
+                "y": _cents(batch["value"].to_numpy()),
+            }
+        )
+
+    return grouped_linear_fit(
+        ev.map_batches(_prep, batch_format="pandas"), ["user_id"], "x", "y"
+    )
+
+
 def q_part_skyline(sf_dir: str):
     """Pareto frontier over parts: no other part is both cheaper-or-equal
     and larger-or-equal (one strict). Exact money via scaled-int cents."""
@@ -2745,6 +2771,7 @@ def queries():
         # --- round-3b additions (never driver-sampled yet) ---
         "tf_cosine_pairs": q_tf_cosine_pairs,
         "part_skyline": q_part_skyline,
+        "user_value_trend": q_user_value_trend,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3542,6 +3569,24 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # user_value_trend: the OLS sufficient statistics and the rational
+        # slope replayed in SQL -- every cell BIGINT (SUM returns HUGEINT,
+        # cast back down).
+        "user_value_trend": r"""
+WITH pts AS (
+  SELECT user_id,
+         epoch_us(ts) // 3600000000 - 473352 AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sx,
+       CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * x) AS BIGINT) AS sxx,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+FROM pts GROUP BY user_id""",
         # part_skyline: dominance spelled as NOT EXISTS; money in exact
         # cents so the frontier test is pure-integer on both sides.
         "part_skyline": r"""

@@ -105,3 +105,57 @@ def rank_stats_table(qrank_df: pd.DataFrame) -> pd.DataFrame:
             }
         ]
     )
+
+
+def grouped_linear_fit(
+    ds, keys: list[str], x_col: str, y_col: str, num_partitions: int = 64
+):
+    """Distributed per-group OLS line fit via MERGEABLE INTEGER sufficient
+    statistics -- the canonical 100 TB regression shape: each batch folds
+    its rows into (n, sum_x, sum_y, sum_xx, sum_xy) partials (all int64;
+    callers pass pre-scaled integer x/y, e.g. epoch-hours and cents), one
+    hash-partitioned aggregate merges them, and the closed-form slope is
+    emitted as an exact RATIONAL (slope_num, slope_den):
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    so no float ever enters the pipeline and a SQL oracle reproduces every
+    cell bitwise. den == 0 marks a degenerate group (single distinct x).
+    Bounds: |x| <= 2^20 and |y| <= 2^31 keep every cell inside int64 up to
+    ~2^22 rows per group; rescale x's origin/unit upstream for longer
+    spans (the caller owns the quantization, as with _cents).
+    """
+    import ray.data  # noqa: F401  (callers hand us a Dataset)
+
+    from .groupby import hash_partition_aggregate
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.int64)
+        y = df[y_col].to_numpy(dtype=np.int64)
+        t = pd.DataFrame({k: df[k] for k in keys})
+        t["n"] = np.int64(1)
+        t["sx"] = x
+        t["sy"] = y
+        t["sxx"] = x * x
+        t["sxy"] = x * y
+        return t.groupby(keys, as_index=False, sort=False).sum()
+
+    agg = hash_partition_aggregate(
+        ds.map_batches(_partial, batch_format="pandas"),
+        keys,
+        {c: (c, "sum") for c in ["n", "sx", "sy", "sxx", "sxy"]},
+        num_partitions,
+    )
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.int64)
+        sx = df["sx"].to_numpy(dtype=np.int64)
+        sy = df["sy"].to_numpy(dtype=np.int64)
+        sxx = df["sxx"].to_numpy(dtype=np.int64)
+        sxy = df["sxy"].to_numpy(dtype=np.int64)
+        out = df.copy()
+        out["slope_num"] = n * sxy - sx * sy
+        out["slope_den"] = n * sxx - sx * sx
+        return out
+
+    return agg.map_batches(_finalize, batch_format="pandas")
