@@ -1711,6 +1711,29 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_zorder_events(sf_dir: str):
+    """Z-order clustering layout over events: Morton-interleave
+    (user_id, epoch-minute) buckets and assign the global physical row
+    number WITHOUT a global sort (bucket-offset scheme)."""
+    from ..stages.layout import zorder_rank
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(dtype=np.int64),
+                "xv": batch["user_id"].to_numpy(dtype=np.int64) & 0xFFFF,
+                "yv": (us // 60_000_000) & 0xFFFF,
+            }
+        )
+
+    return zorder_rank(
+        ev.map_batches(_prep, batch_format="pandas"), "event_id", "xv", "yv"
+    )
+
+
 def q_user_value_trend(sf_dir: str):
     """Per-user OLS trend of event value over time via mergeable integer
     sufficient statistics (x = epoch-hours rebased to 2024-01-01, y =
@@ -2772,6 +2795,7 @@ def queries():
         "tf_cosine_pairs": q_tf_cosine_pairs,
         "part_skyline": q_part_skyline,
         "user_value_trend": q_user_value_trend,
+        "zorder_events": q_zorder_events,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3569,6 +3593,31 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # zorder_events: the Morton spread-bits magic replayed step by step
+        # in SQL (pure BIGINT bit ops); zrank = row_number in (zval, id)
+        # order -- ties impossible, so the bucket-offset scheme must agree
+        # with the window function exactly.
+        "zorder_events": r"""
+WITH base AS (
+  SELECT event_id,
+         user_id & 65535 AS xv,
+         (epoch_us(ts) // 60000000) & 65535 AS yv
+  FROM events),
+s1 AS (SELECT event_id,
+              (xv | (xv << 8)) & 16711935 AS x, (yv | (yv << 8)) & 16711935 AS y
+       FROM base),
+s2 AS (SELECT event_id,
+              (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y
+       FROM s1),
+s3 AS (SELECT event_id,
+              (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y
+       FROM s2),
+s4 AS (SELECT event_id,
+              (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y
+       FROM s3)
+SELECT event_id, (x << 1) | y AS zval,
+       CAST(row_number() OVER (ORDER BY (x << 1) | y, event_id) AS BIGINT) AS zrank
+FROM s4""",
         # user_value_trend: the OLS sufficient statistics and the rational
         # slope replayed in SQL -- every cell BIGINT (SUM returns HUGEINT,
         # cast back down).
