@@ -78,6 +78,11 @@ QUERY_NAMES = [
     "user_value_deltas",
     "event_transitions",
     "kmeans_clusters",
+    "tf_cosine_pairs",
+    "part_skyline",
+    "user_value_trend",
+    "zorder_events",
+    "weighted_median_price",
 ]
 
 

@@ -39,3 +39,29 @@ def test_grouped_linear_fit_matches_polyfit():
             assert abs(num / den - want) < 1e-8
         else:
             assert key in (3, 4)
+
+
+def test_grouped_weighted_median_roundtrip():
+    from wikidata_qrank_ray.stages.stats import grouped_weighted_median
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, size=400),
+            "v": rng.randint(-50, 50, size=400),
+            "w": rng.randint(1, 8, size=400),
+        }
+    )
+    out = (
+        grouped_weighted_median(
+            ray.data.from_pandas(df).repartition(6), ["k"], "v", "w",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for key, g in df.groupby("k"):
+        expanded = np.sort(np.repeat(g["v"].to_numpy(), g["w"].to_numpy()))
+        assert out.loc[key, "w_median"] == expanded[(len(expanded) - 1) // 2]
+        assert out.loc[key, "total_w"] == g["w"].sum()

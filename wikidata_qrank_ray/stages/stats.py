@@ -159,3 +159,47 @@ def grouped_linear_fit(
         return out
 
     return agg.map_batches(_finalize, batch_format="pandas")
+
+
+def grouped_weighted_median(
+    ds, keys: list[str], value_col: str, weight_col: str, num_partitions: int = 64
+):
+    """Per-group WEIGHTED (lower) median: the smallest value v whose
+    cumulative weight reaches half the group total (2*cum(v) >= total) --
+    the robust-aggregation primitive (quantity-weighted price, token-count
+    weighted score). Integer-exact: callers pass pre-scaled integer values
+    and weights, the halving test is the doubled comparison, no division.
+
+    One hash-partition shuffle on the group keys; the sweep is a fully
+    vectorized (key, value) rollup + grouped cumsum + first-qualifying-row
+    pick. Weights collapse per distinct value BEFORE the scan, so ties are
+    handled at value granularity (the SQL-window-reproducible definition).
+    """
+    from .groupby import hash_partition_apply
+
+    def _sweep(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {k: pd.Series(dtype=part[k].dtype if k in part else "int64")
+                 for k in keys}
+                | {"w_median": pd.Series(dtype="int64"),
+                   "total_w": pd.Series(dtype="int64")}
+            )
+        v = part[value_col].to_numpy(dtype=np.int64)
+        w = part[weight_col].to_numpy(dtype=np.int64)
+        t = pd.DataFrame({k: part[k] for k in keys})
+        t["v"] = v
+        t["w"] = w
+        per_v = t.groupby(keys + ["v"], as_index=False, sort=False)["w"].sum()
+        per_v = per_v.sort_values(keys + ["v"], kind="mergesort")
+        g = per_v.groupby(keys, sort=False)["w"]
+        tot = g.transform("sum").to_numpy(dtype=np.int64)
+        cum = g.cumsum().to_numpy(dtype=np.int64)
+        hit = per_v[2 * cum >= tot].copy()
+        hit["total_w"] = tot[2 * cum >= tot]
+        out = hit.groupby(keys, as_index=False, sort=False).first()
+        return out.rename(columns={"v": "w_median"})[
+            keys + ["w_median", "total_w"]
+        ]
+
+    return hash_partition_apply(ds, keys, _sweep, num_partitions)
