@@ -1711,6 +1711,57 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_turn_latency(sf_dir: str):
+    """Assistant response latency per conversation: for every assistant
+    turn directly following a user turn (turn_idx - 1), the ts delta in
+    exact integer microseconds; per-conv count / total / max. One conv-
+    hashed shuffle, vectorized shift sweep -- the transcript-QA analytics
+    twin of the LAG-family event deltas."""
+    from ..stages.groupby import hash_partition_apply
+
+    turns = derive_transcripts(sf_dir)
+
+    def _sweep(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype="object"),
+                    "n_responses": pd.Series(dtype="int64"),
+                    "sum_lat_us": pd.Series(dtype="int64"),
+                    "max_lat_us": pd.Series(dtype="int64"),
+                }
+            )
+        srt = part.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = srt["conv_id"].to_numpy()
+        role = srt["role"].to_numpy()
+        idx = srt["turn_idx"].to_numpy(dtype=np.int64)
+        us = srt["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        same = np.empty(len(srt), dtype=bool)
+        same[0] = False
+        same[1:] = conv[1:] == conv[:-1]
+        prev_role = np.roll(role, 1)
+        prev_idx = np.roll(idx, 1)
+        prev_us = np.roll(us, 1)
+        hit = (
+            same
+            & (role == "assistant")
+            & (prev_role == "user")
+            & (idx == prev_idx + 1)
+        )
+        lat = pd.DataFrame(
+            {"conv_id": conv[hit], "lat": us[hit] - prev_us[hit]}
+        )
+        out = lat.groupby("conv_id", as_index=False, sort=False).agg(
+            n_responses=("lat", "size"),
+            sum_lat_us=("lat", "sum"),
+            max_lat_us=("lat", "max"),
+        )
+        out["n_responses"] = out["n_responses"].astype(np.int64)
+        return out
+
+    return hash_partition_apply(turns, ["conv_id"], _sweep, stamp_batch_size=None)
+
+
 def q_weighted_median_price(sf_dir: str):
     """Quantity-weighted lower-median line price per return flag: the
     smallest cent price whose cumulative quantity reaches half the flag's
@@ -2823,6 +2874,7 @@ def queries():
         "user_value_trend": q_user_value_trend,
         "zorder_events": q_zorder_events,
         "weighted_median_price": q_weighted_median_price,
+        "turn_latency": q_turn_latency,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3620,6 +3672,25 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # turn_latency: LAG over (conv_id, turn_idx) with the user ->
+        # assistant adjacency filter; epoch_us keeps latency integer.
+        "turn_latency": f"""
+WITH {SQL_TURNS},
+lagged AS (
+  SELECT conv_id, role, turn_idx, epoch_us(ts) AS us,
+         lag(role) OVER w AS prev_role,
+         lag(turn_idx) OVER w AS prev_idx,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_responses,
+       CAST(SUM(us - prev_us) AS BIGINT) AS sum_lat_us,
+       CAST(MAX(us - prev_us) AS BIGINT) AS max_lat_us
+FROM lagged
+WHERE role = 'assistant' AND prev_role = 'user' AND turn_idx = prev_idx + 1
+GROUP BY conv_id""",
         # weighted_median_price: weights collapsed per distinct value, then
         # the lower weighted median as MIN(v) among rows whose running
         # weight reaches half the total -- the same doubled-integer test.
