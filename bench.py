@@ -83,6 +83,8 @@ QUERY_NAMES = [
     "user_value_trend",
     "zorder_events",
     "weighted_median_price",
+    "turn_latency",
+    "overlap_pairs",
 ]
 
 

@@ -581,3 +581,35 @@ def test_edit_near_dups_empty_input():
     )
     out = edit_near_dups(docs).to_pandas()
     assert len(out) == 0
+
+
+def test_overlap_join_matches_bruteforce():
+    """Prefix-filtered overlap join == brute-force intersection counts --
+    the no-false-negative guarantee of the filter is the property under
+    test (a wrong prefix length silently drops true pairs)."""
+    from wikidata_qrank_ray.functions.hashing import shingles
+    from wikidata_qrank_ray.stages.dedup import overlap_join
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> dense shared 3-grams
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(4, 20)))
+        for _ in range(40)
+    ]
+    texts += ["a b", "a b", "", "w0 w1 w2 w3 w4", "w0 w1 w2 w3 zz"]
+    ds = _docs(texts)
+    got = (
+        overlap_join(ds, shingle_k=3, min_overlap=2)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    sets = [set(shingles(t.split(), 3)) for t in texts]
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            ov = len(sets[i] & sets[j])
+            if ov >= 2:
+                want.append([i, j, ov])
+    assert got.to_numpy().tolist() == want
+    assert len(want) >= 1  # the planted w0..w4 / w0..zz pair at least

@@ -1711,6 +1711,18 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_overlap_pairs(sf_dir: str):
+    """Exact set-overlap join (shared distinct 3-grams >= 3) via prefix
+    filtering: pair generation touches only each doc's |A|-c+1 rarest
+    shingles, never the hot head."""
+    from ..stages.dedup import overlap_join
+
+    return overlap_join(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        shingle_k=3, min_overlap=3,
+    )
+
+
 def q_turn_latency(sf_dir: str):
     """Assistant response latency per conversation: for every assistant
     turn directly following a user turn (turn_idx - 1), the ts delta in
@@ -2875,6 +2887,7 @@ def queries():
         "zorder_events": q_zorder_events,
         "weighted_median_price": q_weighted_median_price,
         "turn_latency": q_turn_latency,
+        "overlap_pairs": q_overlap_pairs,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3672,6 +3685,24 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # overlap_pairs: the prefix filter is pure optimization -- the
+        # contract is simply "pairs sharing >= 3 distinct shingles", which
+        # SQL states directly; a filter bug (false negative) shows up as a
+        # missing row here.
+        "overlap_pairs": r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+ds AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT a, b, overlap FROM inter WHERE overlap >= 3""",
         # turn_latency: LAG over (conv_id, turn_idx) with the user ->
         # assistant adjacency filter; epoch_us keeps latency integer.
         "turn_latency": f"""

@@ -400,6 +400,114 @@ def exact_jaccard_pairs(
     return inter.map_batches(_finalize, batch_format="pandas")
 
 
+def _pair_overlap_vec(ta: np.ndarray, tb: np.ndarray, k: int) -> np.ndarray:
+    """Exact distinct-shingle INTERSECTION COUNT for aligned text pairs --
+    the overlap-join sibling of ``_pair_jaccard_vec`` (same dedupe + one
+    vectorized hash-shingle pass + C-speed sorted intersections)."""
+    allt = pd.unique(np.concatenate([np.asarray(ta, dtype=object),
+                                     np.asarray(tb, dtype=object)]))
+    idx = {t: i for i, t in enumerate(allt)}
+    sets = _shingle_hash_sets(allt, k)
+    out = np.empty(len(ta), dtype=np.int64)
+    for j, (x, y) in enumerate(zip(ta, tb)):
+        out[j] = np.intersect1d(
+            sets[idx[x]], sets[idx[y]], assume_unique=True
+        ).size
+    return out
+
+
+def overlap_join(
+    docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    min_overlap: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Exact set-overlap join |A ∩ B| >= c over distinct token-k-gram sets
+    -> (a, b, overlap), built on PREFIX FILTERING (Chaudhuri et al.,
+    ICDE'06): order every doc's shingles globally by (document frequency
+    ASC, shingle ASC) and keep only its first |A| - c + 1 as candidate
+    keys -- any pair with overlap >= c MUST share a prefix key, so pair
+    generation runs over the rare tail of each set instead of all of it.
+    vs exact_jaccard_pairs' all-shingle co-partition this trades one extra
+    df join for partial volume that shrinks as c grows, and the hottest
+    (head) shingles never generate pairs at all.
+
+    Stages (all distributed, nothing corpus-scaled on the driver):
+    df aggregate -> df join -> per-doc prefix sweep -> prefix co-partition
+    pair generation -> pair dedup -> text-join verify with ONE vectorized
+    hash-shingle pass over the candidate endpoints (exact count, so the
+    filter's no-false-negative guarantee is also test-observable: verify
+    never REMOVES a true pair, only confirms counts)."""
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+
+    rows = shingle_rows(docs, shingle_k)
+    rows = rows.map_batches(
+        lambda df, c=min_overlap: df[df["sz"] >= c], batch_format="pandas"
+    )
+    dfreq = hash_partition_aggregate(
+        rows, ["s"], {"df": ("doc_id", "count")}, num_partitions,
+        stamp_batch_size=None,
+    )
+    from .join import bucketed_hash_join
+
+    ranked = bucketed_hash_join(rows, dfreq, "s", "s",
+                                num_partitions=num_partitions)
+
+    def _prefix(part: pd.DataFrame, c=min_overlap) -> pd.DataFrame:
+        srt = part.sort_values(["doc_id", "df", "s"], kind="mergesort")
+        pos = srt.groupby("doc_id", sort=False).cumcount()
+        keep = pos < (srt["sz"].to_numpy(dtype=np.int64) - c + 1)
+        return srt[keep][["doc_id", "s"]]
+
+    prefix_rows = hash_partition_apply(
+        ranked, ["doc_id"], _prefix, num_partitions, stamp_batch_size=None
+    )
+
+    def _cand(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="s")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return m[["doc_id_x", "doc_id_y"]].rename(
+            columns={"doc_id_x": "a", "doc_id_y": "b"}
+        ).drop_duplicates()
+
+    cand = hash_partition_aggregate(
+        hash_partition_apply(
+            prefix_rows, ["s"], _cand, num_partitions, stamp_batch_size=None
+        ),
+        ["a", "b"],
+        {"one": ("a", "count")},
+        num_partitions,
+        stamp_batch_size=None,
+    ).map_batches(lambda df: df[["a", "b"]], batch_format="pandas")
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return cand.map_batches(
+            lambda df: df.assign(overlap=np.int64(0)), batch_format="pandas"
+        )
+    texts = docs.map_batches(
+        lambda df: df[["doc_id", "text"]], batch_format="pandas"
+    )
+    joined = pair_join_values(cand, texts, "text", n_cand)
+
+    def _verify(df: pd.DataFrame, k=shingle_k, c=min_overlap) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "overlap": pd.Series(dtype="int64")}
+            )
+        ov = _pair_overlap_vec(
+            df["text_a"].to_numpy(object), df["text_b"].to_numpy(object), k
+        )
+        out = pd.DataFrame(
+            {"a": df["a"].to_numpy(np.int64), "b": df["b"].to_numpy(np.int64),
+             "overlap": ov}
+        )
+        return out[ov >= c]
+
+    return joined.map_batches(_verify, batch_format="pandas")
+
+
 def _shingle_count_rows_batch(batch, k: int) -> pd.DataFrame:
     """One batch of docs -> (doc_id, s, c, nsq) TERM-FREQUENCY shingle rows:
     c = the shingle's multiplicity within the doc (the multiset kept, unlike
