@@ -85,6 +85,7 @@ QUERY_NAMES = [
     "weighted_median_price",
     "turn_latency",
     "overlap_pairs",
+    "session_overlaps",
 ]
 
 

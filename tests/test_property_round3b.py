@@ -349,3 +349,56 @@ def test_weighted_median_sweep_matches_naive(rows):
         expanded.sort()
         naive = int(expanded[(len(expanded) - 1) // 2])  # lower median
         assert sweep_out[key] == naive
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),    # owner
+            st.integers(0, 200),  # start
+            st.integers(0, 60),   # length
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.sampled_from([7, 24, 100]),  # grid cell size
+)
+def test_interval_overlap_anchor_cells_exactly_once(rows, cell):
+    """Grid-cell pair generation with anchor-cell emission == brute-force
+    all-pairs overlap scan, for ANY cell size (each true pair appears
+    exactly once; no pair is lost at cell boundaries)."""
+    df = pd.DataFrame(
+        {
+            "owner": [r[0] for r in rows],
+            "iid": range(len(rows)),
+            "st": [r[1] for r in rows],
+            "en": [r[1] + r[2] for r in rows],
+        }
+    )
+    # brute force
+    want = set()
+    for i in range(len(df)):
+        for j in range(len(df)):
+            a, b = df.iloc[i], df.iloc[j]
+            if a["owner"] < b["owner"] and a["st"] <= b["en"] and b["st"] <= a["en"]:
+                want.add((a["owner"], a["iid"], b["owner"], b["iid"],
+                          min(a["en"], b["en"]) - max(a["st"], b["st"])))
+    # replicate the operator's cell explode + per-cell anchor sweep in-process
+    got = []
+    if len(df):
+        cells = {}
+        for _, r in df.iterrows():
+            for c in range(r["st"] // cell, r["en"] // cell + 1):
+                cells.setdefault(c, []).append(r)
+        for c, rs in cells.items():
+            for a in rs:
+                for b in rs:
+                    if a["owner"] >= b["owner"]:
+                        continue
+                    stm, enm = max(a["st"], b["st"]), min(a["en"], b["en"])
+                    if stm <= enm and stm // cell == c:
+                        got.append((a["owner"], a["iid"], b["owner"], b["iid"],
+                                    enm - stm))
+    assert len(got) == len(set(got))  # exactly-once
+    assert set(got) == want

@@ -1711,6 +1711,29 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_session_overlaps(sf_dir: str):
+    """Temporal join: every pair of 30-min-gap sessions from DIFFERENT
+    users whose [start, end] windows overlap (inclusive), with the overlap
+    duration in integer microseconds -- concurrency analytics over the
+    sessionize output, via the grid-cell interval join (exactly-once
+    anchor-cell emission, no pair-dedup shuffle)."""
+    from ..stages.intervals import interval_overlap_join
+
+    return interval_overlap_join(
+        q_sessionize(sf_dir),
+        owner_col="user_id",
+        id_col="session_id",
+        start_col="session_start",
+        end_col="session_end",
+    ).map_batches(
+        lambda df: df.rename(
+            columns={"owner_a": "user_a", "id_a": "session_a",
+                     "owner_b": "user_b", "id_b": "session_b"}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_overlap_pairs(sf_dir: str):
     """Exact set-overlap join (shared distinct 3-grams >= 3) via prefix
     filtering: pair generation touches only each doc's |A|-c+1 rarest
@@ -2888,6 +2911,7 @@ def queries():
         "weighted_median_price": q_weighted_median_price,
         "turn_latency": q_turn_latency,
         "overlap_pairs": q_overlap_pairs,
+        "session_overlaps": q_session_overlaps,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3685,6 +3709,34 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # session_overlaps: sessions rebuilt with the sessionize CTE, then
+        # a plain self-join overlap predicate -- the grid/anchor mechanics
+        # are invisible to the contract.
+        "session_overlaps": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         MIN(ts) AS st, MAX(ts) AS en
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT a.user_id AS user_a, a.session_id AS session_a,
+       b.user_id AS user_b, b.session_id AS session_b,
+       epoch_us(least(a.en, b.en)) - epoch_us(greatest(a.st, b.st)) AS ov_us
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en""",
         # overlap_pairs: the prefix filter is pure optimization -- the
         # contract is simply "pairs sharing >= 3 distinct shingles", which
         # SQL states directly; a filter bug (false negative) shows up as a
