@@ -1711,6 +1711,54 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_users_per_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): two-level aggregate -- dedupe the
+    (event_type, user_id) pair space distributedly (map-side partial
+    dedupe, one pair-hashed shuffle), then count rows per type. Never
+    builds a per-group set anywhere."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ev.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+    deduped = hash_partition_aggregate(
+        pairs, ["event_type", "user_id"], {"one": ("user_id", "count")}
+    )
+    return hash_partition_aggregate(
+        deduped.map_batches(
+            lambda df: pd.DataFrame(
+                {"event_type": df["event_type"], "n": np.int64(1)}
+            ),
+            batch_format="pandas",
+        ),
+        ["event_type"],
+        {"n_users": ("n", "sum")},
+    )
+
+
+def q_user_top_type(sf_dir: str):
+    """Grouped MODE with deterministic tie-break: each user's most frequent
+    event type (ties -> lexicographically smallest type). Count aggregate +
+    group_topk k=1."""
+    from ..stages.groupby import group_topk, hash_partition_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = hash_partition_aggregate(
+        ev.map_batches(
+            lambda df: df.assign(one=np.int64(1)), batch_format="pandas"
+        ),
+        ["user_id", "event_type"],
+        {"n": ("one", "sum")},
+    )
+    return group_topk(
+        counts, ["user_id"], "n", 1, ascending=False, tie_cols=["event_type"]
+    ).map_batches(
+        lambda df: df.rename(columns={"event_type": "top_type"}),
+        batch_format="pandas",
+    )
+
+
 def q_session_overlaps(sf_dir: str):
     """Temporal join: every pair of 30-min-gap sessions from DIFFERENT
     users whose [start, end] windows overlap (inclusive), with the overlap
@@ -2912,6 +2960,8 @@ def queries():
         "turn_latency": q_turn_latency,
         "overlap_pairs": q_overlap_pairs,
         "session_overlaps": q_session_overlaps,
+        "users_per_type": q_users_per_type,
+        "user_top_type": q_user_top_type,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3709,6 +3759,21 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        "users_per_type": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type""",
+        # user_top_type: mode with the same (count DESC, type ASC) total
+        # order the group_topk call declares.
+        "user_top_type": """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM c)
+SELECT user_id, event_type AS top_type, n FROM r WHERE rn = 1""",
         # session_overlaps: sessions rebuilt with the sessionize CTE, then
         # a plain self-join overlap predicate -- the grid/anchor mechanics
         # are invisible to the contract.
