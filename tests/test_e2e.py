@@ -100,11 +100,12 @@ def test_registry_keys_consistent():
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q)
     # minhash_dedup left this set in round 3 (polyhash signatures made it
-    # SQL-expressible); the remaining five are approximate/iterative by
+    # SQL-expressible); the remaining six are approximate/iterative by
     # nature, each value-checked against an exact twin (or a bitwise
-    # NumPy twin, for the iterative k-means trainer) in tests
+    # single-process twin, for the iterative k-means and BPE trainers)
+    # in tests
     assert set(q) - set(o) == {
         "ann_ivf", "approx_distinct_users", "embedding_near_dups_lsh",
-        "graph_pagerank", "kmeans_clusters",
+        "graph_pagerank", "kmeans_clusters", "bpe_merges",
     }
     assert len(q) >= 100

@@ -1711,6 +1711,19 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training: first 8 merges over the corpus
+    word table (rows-only by nature -- the iterative merge loop is not
+    SQL-expressible; bitwise-pinned against the single-process textbook
+    twin in tests/test_bpe.py, the kmeans precedent)."""
+    from ..stages.bpe import bpe_learn
+
+    return bpe_learn(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        n_merges=8,
+    )
+
+
 def q_users_per_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): two-level aggregate -- dedupe the
     (event_type, user_id) pair space distributedly (map-side partial
@@ -2962,6 +2975,7 @@ def queries():
         "session_overlaps": q_session_overlaps,
         "users_per_type": q_users_per_type,
         "user_top_type": q_user_top_type,
+        "bpe_merges": q_bpe_merges,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
