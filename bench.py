@@ -86,6 +86,7 @@ QUERY_NAMES = [
     "turn_latency",
     "overlap_pairs",
     "session_overlaps",
+    "bpe_merges",
 ]
 
 

@@ -604,6 +604,16 @@ def test_overlap_join_matches_bruteforce():
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+    # tier equality: the prefix-filtered path returns the identical pairs
+    got_prefix = (
+        overlap_join(ds, shingle_k=3, min_overlap=2, method="prefix")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), got_prefix[got.columns].astype(np.int64)
+    )
     sets = [set(shingles(t.split(), 3)) for t in texts]
     want = []
     for i in range(len(texts)):

@@ -1711,6 +1711,52 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_entity_window_comentions(sf_dir: str):
+    """Cross-turn entity co-mention edges: unordered QID pairs mentioned
+    within 1..2 turns of each other in the same conversation (same-turn
+    pairs belong to the co_occurs triples; this adds the dialogue-window
+    relation). One conv-hashed shuffle for the per-conversation pair sweep,
+    one pair-hashed count aggregate."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+
+    m = q_mentions(sf_dir)
+    distinct = hash_partition_aggregate(
+        m.map_batches(
+            lambda df: df[["conv_id", "turn_idx", "qid"]], batch_format="pandas"
+        ),
+        ["conv_id", "turn_idx", "qid"],
+        {"one": ("qid", "count")},
+    )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"qid_a": pd.Series(dtype=object), "qid_b": pd.Series(dtype=object),
+             "w": pd.Series(dtype="int64")}
+        )
+        if len(g) == 0:
+            return empty
+        j = g.merge(g, on="conv_id")
+        dt = j["turn_idx_y"].to_numpy() - j["turn_idx_x"].to_numpy()
+        j = j[(dt >= 1) & (dt <= 2) & (j["qid_x"] != j["qid_y"])]
+        if len(j) == 0:
+            return empty
+        qa = np.minimum(j["qid_x"].to_numpy(object), j["qid_y"].to_numpy(object))
+        qb = np.maximum(j["qid_x"].to_numpy(object), j["qid_y"].to_numpy(object))
+        out = pd.DataFrame({"qid_a": qa, "qid_b": qb})
+        out["w"] = np.int64(1)
+        return out.groupby(["qid_a", "qid_b"], as_index=False, sort=False)["w"].sum()
+
+    partials = hash_partition_apply(
+        distinct.map_batches(
+            lambda df: df[["conv_id", "turn_idx", "qid"]], batch_format="pandas"
+        ),
+        ["conv_id"], _pairs, stamp_batch_size=None,
+    )
+    return hash_partition_aggregate(
+        partials, ["qid_a", "qid_b"], {"w": ("w", "sum")}, stamp_batch_size=None
+    )
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training: first 8 merges over the corpus
     word table (rows-only by nature -- the iterative merge loop is not
@@ -2976,6 +3022,7 @@ def queries():
         "users_per_type": q_users_per_type,
         "user_top_type": q_user_top_type,
         "bpe_merges": q_bpe_merges,
+        "entity_window_comentions": q_entity_window_comentions,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3773,6 +3820,21 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # entity_window_comentions: distinct per-turn mentions self-joined
+        # within a 1..2 forward turn window; least/greatest folds the two
+        # directions of a symmetric instance into one unordered edge.
+        "entity_window_comentions": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS,
+            select="""
+, dm AS (SELECT DISTINCT conv_id, turn_idx, qid FROM hits)
+SELECT least(a.qid, b.qid) AS qid_a, greatest(a.qid, b.qid) AS qid_b,
+       CAST(COUNT(*) AS BIGINT) AS w
+FROM dm a JOIN dm b
+  ON a.conv_id = b.conv_id
+ AND b.turn_idx - a.turn_idx BETWEEN 1 AND 2
+ AND a.qid <> b.qid
+GROUP BY least(a.qid, b.qid), greatest(a.qid, b.qid)""",
+        ),
         "users_per_type": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type""",

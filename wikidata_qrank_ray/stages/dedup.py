@@ -421,26 +421,54 @@ def overlap_join(
     shingle_k: int = 3,
     min_overlap: int = 3,
     num_partitions: int = 64,
+    method: str = "count",
 ) -> ray.data.Dataset:
     """Exact set-overlap join |A ∩ B| >= c over distinct token-k-gram sets
-    -> (a, b, overlap), built on PREFIX FILTERING (Chaudhuri et al.,
-    ICDE'06): order every doc's shingles globally by (document frequency
-    ASC, shingle ASC) and keep only its first |A| - c + 1 as candidate
-    keys -- any pair with overlap >= c MUST share a prefix key, so pair
-    generation runs over the rare tail of each set instead of all of it.
-    vs exact_jaccard_pairs' all-shingle co-partition this trades one extra
-    df join for partial volume that shrinks as c grows, and the hottest
-    (head) shingles never generate pairs at all.
+    -> (a, b, overlap). Two tiers with identical output, chosen by the
+    c-to-set-size regime:
 
-    Stages (all distributed, nothing corpus-scaled on the driver):
-    df aggregate -> df join -> per-doc prefix sweep -> prefix co-partition
-    pair generation -> pair dedup -> text-join verify with ONE vectorized
-    hash-shingle pass over the candidate endpoints (exact count, so the
-    filter's no-false-negative guarantee is also test-observable: verify
-    never REMOVES a true pair, only confirms counts)."""
+    - ``method="count"`` (default): shared-shingle co-partition pair
+      partials -> one (a, b) count aggregate -> filter >= c. Two shuffles,
+      fully vectorized, cost rides the number of SHARING pairs -- right
+      whenever c is small relative to typical set size (the common case;
+      the one-threshold-lower sibling of exact_jaccard_pairs).
+    - ``method="prefix"``: PREFIX FILTERING (Chaudhuri et al., ICDE'06):
+      order each doc's shingles by (document frequency ASC, shingle ASC)
+      and only its first |A| - c + 1 generate candidates -- any pair with
+      overlap >= c MUST share a prefix key -- then verify candidates with
+      one vectorized hash-shingle pass over the joined texts. The filter
+      prunes by sz - (c - 1) per doc, so it pays when c approaches the
+      set size (boilerplate/near-identity detection with long docs); at
+      small c it degenerates to all sharing pairs plus overhead, which is
+      why it is not the default. Tier equality is pinned in tests."""
     from .groupby import hash_partition_aggregate, hash_partition_apply
 
     rows = shingle_rows(docs, shingle_k)
+    if method == "count":
+        slim = rows.map_batches(
+            lambda df: df[["doc_id", "s"]], batch_format="pandas"
+        )
+
+        def _pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.merge(g, on="s")
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False,
+                            sort=False).size()
+            return out.rename(
+                columns={"doc_id_x": "a", "doc_id_y": "b", "size": "i"}
+            )
+
+        partials = hash_partition_apply(
+            slim, ["s"], _pair_counts, num_partitions, stamp_batch_size=None
+        )
+        inter = hash_partition_aggregate(
+            partials, ["a", "b"], {"overlap": ("i", "sum")}, num_partitions,
+            stamp_batch_size=None,
+        )
+        return inter.map_batches(
+            lambda df, c=min_overlap: df[df["overlap"].to_numpy() >= c],
+            batch_format="pandas",
+        )
     rows = rows.map_batches(
         lambda df, c=min_overlap: df[df["sz"] >= c], batch_format="pandas"
     )
