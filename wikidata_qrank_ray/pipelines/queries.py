@@ -1711,6 +1711,117 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_edge_negatives(sf_dir: str):
+    """Deterministic negative-edge sampling for KG link-prediction
+    training: POSITIVES are the strictly-above-median-weight co_occurs
+    edges (a scale-free strength cutoff -- the synthetic co-occurrence
+    graph is complete, so "exists at all" excludes everything; weak edges
+    are treated as unlabeled, the PU-learning convention). For each
+    positive and slot i in {0, 1}, the corruption candidate
+    neg = vocab[polyhash64(subj|obj|i) mod V] over the FULL node
+    vocabulary, excluding self-corruptions and candidates that are
+    themselves positives -- exclusion by construction, not retry, so the
+    sample is a pure function of the graph and SQL-reproducible.
+    Vocabulary ordinals are assigned on the driver (node-vocab-sized, the
+    gazetteer-tier state); the median cutoff, the lookup and the anti-join
+    stay distributed."""
+    from ..functions.hashing import polyhash64
+    from ..stages.join import bucketed_hash_join
+    from ..stages.stats import grouped_weighted_median
+
+    ct = q_canonical_triples(sf_dir)
+    edges_w = ct.map_batches(
+        lambda df: df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]],
+        batch_format="pandas",
+    ).materialize()
+    med_df = grouped_weighted_median(
+        edges_w.map_batches(
+            lambda df: pd.DataFrame(
+                {"k": np.zeros(len(df), dtype=np.int64),
+                 "w": df["weight"].to_numpy(dtype=np.int64),
+                 "one": np.ones(len(df), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["k"], "w", "one", num_partitions=4,
+    ).to_pandas()
+    med = int(med_df["w_median"].iloc[0]) if len(med_df) else 0
+    edges = edges_w.map_batches(
+        lambda df, m=med: df[df["weight"].to_numpy(dtype=np.int64) > m][
+            ["subj", "obj"]
+        ],
+        batch_format="pandas",
+    ).materialize()
+    ends = edges_w.map_batches(
+        lambda df: pd.DataFrame(
+            {"qid": pd.concat([df["subj"], df["obj"]], ignore_index=True)}
+        ),
+        batch_format="pandas",
+    )
+    vocab = sorted(
+        set(_pd(ends, {"qid": object})["qid"]), key=lambda q: int(q[1:])
+    )
+    if not vocab:
+        return pd.DataFrame(
+            {"subj": pd.Series(dtype=object), "obj": pd.Series(dtype=object),
+             "slot": pd.Series(dtype="int64"),
+             "neg": pd.Series(dtype=object)}
+        )
+    V = len(vocab)
+    vocab_ds = ray.data.from_pandas(
+        pd.DataFrame({"vidx": np.arange(V, dtype=np.int64),
+                      "neg": np.array(vocab, dtype=object)})
+    )
+
+    def _cands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"subj": pd.Series(dtype=object), "obj": pd.Series(dtype=object),
+                 "slot": pd.Series(dtype="int64"),
+                 "vidx": pd.Series(dtype="int64")}
+            )
+        outs = []
+        for slot in (0, 1):
+            keys = (df["subj"].astype(str) + "|" + df["obj"].astype(str)
+                    + "|" + str(slot)).to_numpy(dtype=object)
+            h = polyhash64(keys)
+            outs.append(pd.DataFrame(
+                {"subj": df["subj"].to_numpy(object),
+                 "obj": df["obj"].to_numpy(object),
+                 "slot": np.int64(slot),
+                 "vidx": (h % np.uint64(V)).astype(np.int64)}
+            ))
+        return pd.concat(outs, ignore_index=True)
+
+    cand = edges.map_batches(_cands, batch_format="pandas")
+    looked = bucketed_hash_join(cand, vocab_ds, "vidx", "vidx",
+                                num_partitions=8)
+
+    def _pairkey(df: pd.DataFrame, cols) -> pd.Series:
+        a = df[cols[0]].astype(str)
+        b = df[cols[1]].astype(str)
+        return a.where(a < b, b) + "|" + b.where(a < b, a)
+
+    keyed = looked.map_batches(
+        lambda df: df.assign(pk=_pairkey(df, ("subj", "neg"))),
+        batch_format="pandas",
+    )
+    edge_keys = edges.map_batches(
+        lambda df: pd.DataFrame({"pk": _pairkey(df, ("subj", "obj")),
+                                 "hit": np.int64(1)}).drop_duplicates(),
+        batch_format="pandas",
+    )
+    j = bucketed_hash_join(edge_keys, keyed, "pk", "pk", how="right",
+                           num_partitions=8)
+    return j.map_batches(
+        lambda df: df[df["hit"].isna()
+                      & (df["neg"] != df["subj"]) & (df["neg"] != df["obj"])][
+            ["subj", "obj", "slot", "neg"]
+        ],
+        batch_format="pandas",
+    )
+
+
 def q_entity_window_comentions(sf_dir: str):
     """Cross-turn entity co-mention edges: unordered QID pairs mentioned
     within 1..2 turns of each other in the same conversation (same-turn
@@ -3023,6 +3134,7 @@ def queries():
         "user_top_type": q_user_top_type,
         "bpe_merges": q_bpe_merges,
         "entity_window_comentions": q_entity_window_comentions,
+        "edge_negatives": q_edge_negatives,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3820,6 +3932,42 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # edge_negatives: the polyhash64 slot hash replayed codepoint by
+        # codepoint in HUGEINT, vocab ordinals as a window rank, exclusion
+        # as NOT EXISTS over the unordered edge key.
+        "edge_negatives": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""neg_all AS (
+  SELECT subj, obj, CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+neg_med AS (
+  SELECT COALESCE(MIN(CASE WHEN 2 * cum >= tot THEN w END), 0) AS m FROM (
+    SELECT w, SUM(n) OVER (ORDER BY w) AS cum, SUM(n) OVER () AS tot
+    FROM (SELECT w, COUNT(*) AS n FROM neg_all GROUP BY w))),
+neg_edges AS (
+  SELECT DISTINCT subj, obj FROM neg_all WHERE w > (SELECT m FROM neg_med)),
+neg_vocab AS (
+  SELECT qid, CAST(row_number() OVER (ORDER BY CAST(substr(qid, 2) AS BIGINT)) - 1 AS BIGINT) AS vidx
+  FROM (SELECT DISTINCT qid FROM (
+    SELECT subj AS qid FROM neg_all UNION SELECT obj FROM neg_all))),
+neg_v AS (SELECT CAST(COUNT(*) AS HUGEINT) AS vv FROM neg_vocab),
+neg_cand AS (
+  SELECT subj, obj, CAST(slot AS BIGINT) AS slot,
+         CAST(list_reduce(
+           [CAST(unicode(c) AS HUGEINT)
+            FOR c IN string_split_regex(subj || '|' || obj || '|' || CAST(slot AS VARCHAR), '')],
+           (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) % (SELECT vv FROM neg_v)
+         AS BIGINT) AS vidx
+  FROM neg_edges, (SELECT unnest([0, 1]) AS slot))""",
+            select="""
+SELECT c.subj AS subj, c.obj AS obj, c.slot AS slot, v.qid AS neg
+FROM neg_cand c JOIN neg_vocab v ON c.vidx = v.vidx
+WHERE v.qid <> c.subj AND v.qid <> c.obj
+  AND NOT EXISTS (
+    SELECT 1 FROM neg_edges e
+    WHERE least(e.subj, e.obj) = least(c.subj, v.qid)
+      AND greatest(e.subj, e.obj) = greatest(c.subj, v.qid))""",
+        ),
         # entity_window_comentions: distinct per-turn mentions self-joined
         # within a 1..2 forward turn window; least/greatest folds the two
         # directions of a symmetric instance into one unordered edge.
