@@ -1711,6 +1711,63 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_user_snapshot_diff(sf_dir: str):
+    """CDC-style snapshot diff: per-user exact cent totals in the first
+    half of the observed window vs the second half, classified
+    added / removed / changed / same -- the periodic-rebuild delta audit.
+    One aggregate per side (user-hashed), one bucketed FULL OUTER join;
+    the split point is the fixed mid-month boundary 2024-01-16."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    SPLIT_US = 1_705_363_200_000_000  # epoch us of 2024-01-16 00:00:00 UTC
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _half(batch: pd.DataFrame, want_old: bool) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        m = us < SPLIT_US if want_old else us >= SPLIT_US
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(dtype=np.int64)[m],
+             "vc": _cents(batch["value"].to_numpy())[m]}
+        )
+
+    old = hash_partition_aggregate(
+        ev.map_batches(lambda b: _half(b, True), batch_format="pandas"),
+        ["user_id"], {"old_c": ("vc", "sum")},
+    )
+    new = hash_partition_aggregate(
+        ev.map_batches(lambda b: _half(b, False), batch_format="pandas"),
+        ["user_id"], {"new_c": ("vc", "sum")},
+    )
+    j = bucketed_hash_join(old, new, "user_id", "user_id", how="outer",
+                           num_partitions=8)
+
+    def _classify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "old_c": pd.Series(dtype="int64"),
+                 "new_c": pd.Series(dtype="int64"),
+                 "change": pd.Series(dtype=object)}
+            )
+        old_na = df["old_c"].isna().to_numpy()
+        new_na = df["new_c"].isna().to_numpy()
+        oc = df["old_c"].fillna(0).to_numpy(dtype=np.int64)
+        nc = df["new_c"].fillna(0).to_numpy(dtype=np.int64)
+        change = np.where(
+            old_na, "added",
+            np.where(new_na, "removed",
+                     np.where(oc != nc, "changed", "same")),
+        )
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(dtype=np.int64),
+             "old_c": oc, "new_c": nc, "change": change}
+        )
+
+    return j.map_batches(_classify, batch_format="pandas")
+
+
 def q_edge_negatives(sf_dir: str):
     """Deterministic negative-edge sampling for KG link-prediction
     training: POSITIVES are the strictly-above-median-weight co_occurs
@@ -3135,6 +3192,7 @@ def queries():
         "bpe_merges": q_bpe_merges,
         "entity_window_comentions": q_entity_window_comentions,
         "edge_negatives": q_edge_negatives,
+        "user_snapshot_diff": q_user_snapshot_diff,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3932,6 +3990,24 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # user_snapshot_diff: FULL OUTER join of the two half-window
+        # aggregates; absent sides coalesce to 0 AFTER classification so
+        # added/removed stay distinguishable from a true zero total.
+        "user_snapshot_diff": """
+WITH oldh AS (
+  SELECT user_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS old_c
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id),
+newh AS (
+  SELECT user_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS new_c
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       COALESCE(o.old_c, 0) AS old_c,
+       COALESCE(n.new_c, 0) AS new_c,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            WHEN o.old_c <> n.new_c THEN 'changed'
+            ELSE 'same' END AS change
+FROM oldh o FULL OUTER JOIN newh n ON o.user_id = n.user_id""",
         # edge_negatives: the polyhash64 slot hash replayed codepoint by
         # codepoint in HUGEINT, vocab ordinals as a window rank, exclusion
         # as NOT EXISTS over the unordered edge key.
