@@ -2029,7 +2029,12 @@ def q_turn_latency(sf_dir: str):
     twin of the LAG-family event deltas."""
     from ..stages.groupby import hash_partition_apply
 
-    turns = derive_transcripts(sf_dir)
+    # project BEFORE the shuffle: the sweep needs 4 narrow columns, not
+    # the text payload
+    turns = derive_transcripts(sf_dir).map_batches(
+        lambda df: df[["conv_id", "turn_idx", "role", "ts"]],
+        batch_format="pandas",
+    )
 
     def _sweep(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
