@@ -87,6 +87,8 @@ QUERY_NAMES = [
     "overlap_pairs",
     "session_overlaps",
     "bpe_merges",
+    "user_snapshot_diff",
+    "approx_users_per_type",
 ]
 
 

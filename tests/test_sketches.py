@@ -130,3 +130,37 @@ def test_count_min_point_query_bounds():
         assert est >= cnt
     # total mass per row equals the token count (no token lost)
     assert (grid.sum(axis=1) == len(" ".join(texts).split())).all()
+
+
+def test_grouped_approx_distinct_error_bound():
+    """Grouped HLL estimate within 5 sigma (sigma ~ 1.04/sqrt(2^p)) of the
+    exact per-group distinct count, and reshard-invariant."""
+    from wikidata_qrank_ray.stages.sketches import grouped_approx_distinct
+
+    rng = np.random.RandomState(13)
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, size=n),
+            "v": rng.randint(0, 3000, size=n),
+        }
+    )
+    # a group with tiny cardinality exercises the small-range correction
+    df.loc[df["k"] == 3, "v"] = df.loc[df["k"] == 3, "v"] % 7
+    p = 10
+    sigma = 1.04 / np.sqrt(1 << p)
+    out1 = (
+        grouped_approx_distinct(
+            ray.data.from_pandas(df).repartition(6), ["k"], "v", p=p
+        ).to_pandas().set_index("k").sort_index()
+    )
+    out2 = (
+        grouped_approx_distinct(
+            ray.data.from_pandas(df).repartition(1), ["k"], "v", p=p
+        ).to_pandas().set_index("k").sort_index()
+    )
+    pd.testing.assert_frame_equal(out1, out2)  # register-max is order-free
+    for key, g in df.groupby("k"):
+        exact = g["v"].nunique()
+        got = out1.loc[key, "approx_n"]
+        assert abs(got - exact) <= max(2, 5 * sigma * exact), (key, got, exact)

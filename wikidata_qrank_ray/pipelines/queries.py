@@ -1711,6 +1711,17 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_approx_users_per_type(sf_dir: str):
+    """Grouped HLL: approximate per-type distinct users via the mergeable-
+    sketch groupby (sketch-sized data motion per group; rows-only by
+    nature -- the exact twin is users_per_type, with the error bound
+    pinned in tests/test_sketches.py)."""
+    from ..stages.sketches import grouped_approx_distinct
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ev, ["event_type"], "user_id", p=10)
+
+
 def q_user_snapshot_diff(sf_dir: str):
     """CDC-style snapshot diff: per-user exact cent totals in the first
     half of the observed window vs the second half, classified
@@ -3198,6 +3209,7 @@ def queries():
         "entity_window_comentions": q_entity_window_comentions,
         "edge_negatives": q_edge_negatives,
         "user_snapshot_diff": q_user_snapshot_diff,
+        "approx_users_per_type": q_approx_users_per_type,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,

@@ -238,3 +238,58 @@ def count_min_sketch(
                              "n": pd.Series(dtype=np.int64)})
     out = parts.groupby(["r", "c"], as_index=False)["n"].sum()
     return out.astype({"r": np.int64, "c": np.int64, "n": np.int64})
+
+
+def grouped_approx_distinct(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    column: str,
+    p: int = 10,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT column) PER GROUP -- the mergeable-sketch
+    groupby, the shape that replaces exact two-level pair dedup when the
+    pair space itself is too hot to shuffle: each batch emits one 2^p-byte
+    HLL register block per (batch, group), one key-hashed shuffle merges
+    them by register-wise max, and the estimate happens inside the
+    partition sweep. Data motion per group is sketch-sized (2^p bytes),
+    independent of that group's row count -- a hot key costs the same as a
+    cold one. Default p=10 (1 KiB, ~3.2% standard error); bump p for
+    tighter bounds."""
+    from .groupby import hash_partition_apply
+
+    def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {k: batch[k] for k in keys} | {"registers": pd.Series(dtype=object)}
+            )
+        rows = []
+        for kv, g in batch.groupby(keys, sort=False):
+            h = HyperLogLog(p)
+            h.add(g[column].to_numpy())
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            rows.append((*kv, h.registers.tobytes()))
+        return pd.DataFrame(rows, columns=keys + ["registers"])
+
+    parts = ds.map_batches(_partials, batch_format="pandas", batch_size=65536)
+
+    def _merge(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {k: part[k] for k in keys} | {"approx_n": pd.Series(dtype="int64")}
+            )
+        rows = []
+        for kv, g in part.groupby(keys, sort=False):
+            regs = np.maximum.reduce(
+                [np.frombuffer(b, dtype=np.uint8) for b in g["registers"]]
+            )
+            h = HyperLogLog(p)
+            h.registers = regs.copy()
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            rows.append((*kv, np.int64(round(h.estimate()))))
+        return pd.DataFrame(rows, columns=keys + ["approx_n"])
+
+    return hash_partition_apply(parts, keys, _merge, num_partitions,
+                                stamp_batch_size=None)
