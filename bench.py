@@ -89,6 +89,7 @@ QUERY_NAMES = [
     "bpe_merges",
     "user_snapshot_diff",
     "approx_users_per_type",
+    "entity_communities",
 ]
 
 

@@ -391,3 +391,48 @@ def test_sssp_bounded_prefers_lighter_longer_path():
         .to_pandas().set_index("node")["cost"].sort_index()
     )
     assert out3[3] == 3  # one more hop unlocks 0-1-2-3
+
+
+def test_label_propagation_two_communities():
+    """Two 5-cliques joined by one weak bridge: synchronous LPA (3 rounds,
+    (weight DESC, label ASC) adoption) == a straightforward Python twin,
+    and each clique converges to one community label."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from wikidata_qrank_ray.stages.graph import label_propagation
+
+    edges = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j, 5))
+    edges.append((4, 10, 1))  # weak bridge
+    df = pd.DataFrame(edges, columns=["u", "v", "w"])
+
+    got = dict(
+        label_propagation(
+            ray.data.from_pandas(df).repartition(3), n_rounds=3,
+            num_partitions=4,
+        ).to_pandas().set_index("node")["label"]
+    )
+
+    # python twin: same synchronous rounds
+    und = {}
+    for u, v, w in edges:
+        und.setdefault(u, []).append((v, w))
+        und.setdefault(v, []).append((u, w))
+    labels = {n: n for n in und}
+    for _ in range(3):
+        new = {}
+        for n in und:
+            votes = {}
+            for m, w in und[n]:
+                votes[labels[m]] = votes.get(labels[m], 0) + w
+            new[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    assert got == labels
+    # each clique is one community
+    assert len({got[n] for n in range(5)}) == 1
+    assert len({got[n] for n in range(10, 15)}) == 1

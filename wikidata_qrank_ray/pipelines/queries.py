@@ -1711,6 +1711,34 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_entity_communities(sf_dir: str):
+    """Entity community detection over the canonical co-occurrence graph:
+    3 rounds of synchronous weighted label propagation (deterministic
+    (weight DESC, label ASC) adoption) -- value-exact-testable because the
+    fixed-round synchronous variant unrolls into chained SQL CTEs."""
+    from ..stages.graph import label_propagation
+
+    ct = q_canonical_triples(sf_dir)
+    edges = ct.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "u": df[df["pred"] == "co_occurs"]["subj"].str[1:].astype(np.int64),
+                "v": df[df["pred"] == "co_occurs"]["obj"].str[1:].astype(np.int64),
+                "w": df[df["pred"] == "co_occurs"]["weight"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    labels = label_propagation(edges, n_rounds=3)
+    return labels.map_batches(
+        lambda df: pd.DataFrame(
+            {"qid": "Q" + df["node"].astype(str),
+             "community": df["label"].to_numpy(dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_approx_users_per_type(sf_dir: str):
     """Grouped HLL: approximate per-type distinct users via the mergeable-
     sketch groupby (sketch-sized data motion per group; rows-only by
@@ -3210,6 +3238,7 @@ def queries():
         "edge_negatives": q_edge_negatives,
         "user_snapshot_diff": q_user_snapshot_diff,
         "approx_users_per_type": q_approx_users_per_type,
+        "entity_communities": q_entity_communities,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3516,6 +3545,33 @@ SELECT subj, pred, obj, CAST(SUM(weight) AS BIGINT) AS weight FROM (
 )
 WHERE NOT (pred = 'co_occurs' AND subj = obj)
 GROUP BY subj, pred, obj"""
+
+    # entity_communities: unroll the fixed synchronous LPA rounds into
+    # chained CTEs -- each round is a weighted-vote aggregate + row_number
+    # argmax with the same (wt DESC, label ASC) total order as group_topk,
+    # plus a node-list LEFT JOIN so isolated nodes keep their own label.
+    lpa_cte = f"""lpa_und AS (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS u,
+         CAST(substr(obj, 2) AS BIGINT) AS v,
+         CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+lpa_e AS (SELECT u AS src, v AS dst, w FROM lpa_und
+          UNION ALL SELECT v, u, w FROM lpa_und),
+lpa_n AS (SELECT DISTINCT dst AS node FROM lpa_e),
+lpa_l0 AS (SELECT node, node AS label FROM lpa_n)"""
+    for r in range(1, 4):
+        lpa_cte += f""",
+lpa_r{r} AS (
+  SELECT dst AS node, label FROM (
+    SELECT e.dst, l.label, SUM(e.w) AS wt,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY SUM(e.w) DESC, l.label ASC) AS rn
+    FROM lpa_e e JOIN lpa_l{r - 1} l ON e.src = l.node
+    GROUP BY e.dst, l.label) WHERE rn = 1),
+lpa_l{r} AS (
+  SELECT n.node, COALESCE(r.label, n.node) AS label
+  FROM lpa_n n LEFT JOIN lpa_r{r} r ON n.node = r.node)"""
+
     return {
         "transcripts_ingest": _with(SQL_TURNS, select="SELECT * FROM turns"),
         "normalize_turns": _with(
@@ -4007,6 +4063,12 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        "entity_communities": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS, lpa_cte,
+            select="""
+SELECT 'Q' || CAST(node AS VARCHAR) AS qid, CAST(label AS BIGINT) AS community
+FROM lpa_l3""",
+        ),
         # user_snapshot_diff: FULL OUTER join of the two half-window
         # aggregates; absent sides coalesce to 0 AFTER classification so
         # added/removed stay distinguishable from a true zero total.

@@ -582,3 +582,86 @@ def sssp_bounded(
             break
         probe = nxt
     return cost
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    n_rounds: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """SYNCHRONOUS weighted label propagation (community detection) over an
+    undirected edge Dataset (u, v, w integer weight) -> (node, label):
+    every node starts as its own label; each round every node adopts the
+    label with the highest total incident weight among its neighbors'
+    CURRENT labels (ties -> smallest label). Fixed round count + the total
+    (weight DESC, label ASC) order make the whole trainer deterministic
+    AND SQL-expressible -- each round is one chained CTE in the oracle, so
+    unlike classic async LPA this variant is value-exact-testable.
+
+    Per round: one co-partitioned edge x label join, one (node, label)
+    weight aggregate, one grouped argmax (group_topk k=1), one node-list
+    left join so isolated nodes keep their own label. Nothing node- or
+    edge-scaled touches the driver."""
+    from .groupby import group_topk, hash_partition_aggregate
+    from .join import bucketed_hash_join
+
+    def _undirect(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df[["u", "v", "w"]].rename(columns={"u": "src", "v": "dst"})
+        rev = df[["v", "u", "w"]].rename(columns={"v": "src", "u": "dst"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    und = edges.map_batches(_undirect, batch_format="pandas").materialize()
+    nodes = hash_partition_aggregate(
+        und.map_batches(lambda df: df[["dst"]].rename(columns={"dst": "node"}),
+                        batch_format="pandas"),
+        ["node"], {"one": ("node", "count")}, num_partitions,
+    ).map_batches(lambda df: df[["node"]], batch_format="pandas").materialize()
+
+    labels = nodes.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].to_numpy(dtype=np.int64),
+             "label": df["node"].to_numpy(dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(n_rounds):
+        j = bucketed_hash_join(
+            und,
+            labels.map_batches(
+                lambda df: df.rename(columns={"node": "src"}),
+                batch_format="pandas",
+            ),
+            "src", "src", num_partitions=num_partitions,
+        )
+        votes = hash_partition_aggregate(
+            j.map_batches(
+                lambda df: df[["dst", "label", "w"]], batch_format="pandas"
+            ),
+            ["dst", "label"], {"wt": ("w", "sum")}, num_partitions,
+        )
+        win = group_topk(votes, ["dst"], "wt", 1, ascending=False,
+                         tie_cols=["label"], num_partitions=num_partitions)
+        new_labels = win.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["dst"].to_numpy(dtype=np.int64),
+                 "new_label": df["label"].to_numpy(dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        # isolated nodes (none in a co-occurrence graph, but the operator
+        # contract allows them): keep their own id as label
+        merged = bucketed_hash_join(
+            new_labels, nodes, "node", "node", how="right",
+            num_partitions=num_partitions,
+        )
+        labels = merged.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].to_numpy(dtype=np.int64),
+                 "label": df["new_label"].fillna(
+                     pd.Series(df["node"].to_numpy(), index=df.index)
+                 ).to_numpy(dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ).materialize()
+    return labels
