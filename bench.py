@@ -90,6 +90,7 @@ QUERY_NAMES = [
     "user_snapshot_diff",
     "approx_users_per_type",
     "entity_communities",
+    "entity_pagerank_int",
 ]
 
 

@@ -436,3 +436,63 @@ def test_label_propagation_two_communities():
     # each clique is one community
     assert len({got[n] for n in range(5)}) == 1
     assert len({got[n] for n in range(10, 15)}) == 1
+
+
+def test_pagerank_fixedpoint_bitwise_and_close_to_float():
+    """Integer fixed-point PageRank == Python integer twin BITWISE (any
+    partitioning), and within truncation bias of a float reference."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from wikidata_qrank_ray.stages.graph import pagerank_fixedpoint
+
+    rng = np.random.RandomState(2)
+    edges = []
+    for _ in range(60):
+        u, v = rng.randint(0, 20, size=2)
+        if u != v:
+            edges.append((u, v, int(rng.randint(1, 9))))
+    df = pd.DataFrame(edges, columns=["u", "v", "w"]).drop_duplicates(["u", "v"])
+
+    got = dict(
+        pagerank_fixedpoint(
+            ray.data.from_pandas(df).repartition(4), n_iters=3,
+            num_partitions=4,
+        ).to_pandas().set_index("node")["rank_i"]
+    )
+    got2 = dict(
+        pagerank_fixedpoint(
+            ray.data.from_pandas(df).repartition(1), n_iters=3,
+            num_partitions=2,
+        ).to_pandas().set_index("node")["rank_i"]
+    )
+    assert got == got2  # partitioning-invariant (bitwise)
+
+    SCALE, DN, DD = 1_000_000_000, 17, 20
+    und = {}
+    for u, v, w in df.itertuples(index=False):
+        und.setdefault(u, []).append((v, w))
+        und.setdefault(v, []).append((u, w))
+    wdeg = {n: sum(w for _, w in nb) for n, nb in und.items()}
+    r = {n: SCALE for n in und}
+    base = ((DD - DN) * SCALE) // DD
+    for _ in range(3):
+        inflow = {n: 0 for n in und}
+        for u, nb in und.items():
+            for v, w in nb:
+                inflow[v] += (r[u] * w) // wdeg[u]
+        r = {n: base + (DN * inflow[n]) // DD for n in und}
+    assert got == r  # bitwise vs the sequential twin
+
+    # float reference: per-node relative gap bounded by accumulated
+    # truncation bias (each edge truncates < 1 unit; 3 rounds, deg <= ~20)
+    rf = {n: 1.0 for n in und}
+    for _ in range(3):
+        inf = {n: 0.0 for n in und}
+        for u, nb in und.items():
+            for v, w in nb:
+                inf[v] += rf[u] * w / wdeg[u]
+        rf = {n: (DD - DN) / DD + DN * inf[n] / DD for n in und}
+    for n in und:
+        assert abs(got[n] / SCALE - rf[n]) < 1e-6

@@ -1711,6 +1711,34 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_entity_pagerank_int(sf_dir: str):
+    """BITWISE-reproducible PageRank: fixed-point integer ranks (units of
+    1e-9) over the canonical co-occurrence graph, 3 iterations, d = 17/20.
+    Integer sums are associative, so unlike the float `graph_pagerank`
+    twin this one carries a full value-exact SQL oracle."""
+    from ..stages.graph import pagerank_fixedpoint
+
+    ct = q_canonical_triples(sf_dir)
+    edges = ct.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "u": df[df["pred"] == "co_occurs"]["subj"].str[1:].astype(np.int64),
+                "v": df[df["pred"] == "co_occurs"]["obj"].str[1:].astype(np.int64),
+                "w": df[df["pred"] == "co_occurs"]["weight"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    ranks = pagerank_fixedpoint(edges, n_iters=3)
+    return ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"qid": "Q" + df["node"].astype(str),
+             "rank_i": df["rank_i"].to_numpy(dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_entity_communities(sf_dir: str):
     """Entity community detection over the canonical co-occurrence graph:
     3 rounds of synchronous weighted label propagation (deterministic
@@ -3239,6 +3267,7 @@ def queries():
         "user_snapshot_diff": q_user_snapshot_diff,
         "approx_users_per_type": q_approx_users_per_type,
         "entity_communities": q_entity_communities,
+        "entity_pagerank_int": q_entity_pagerank_int,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -3571,6 +3600,31 @@ lpa_r{r} AS (
 lpa_l{r} AS (
   SELECT n.node, COALESCE(r.label, n.node) AS label
   FROM lpa_n n LEFT JOIN lpa_r{r} r ON n.node = r.node)"""
+
+    # entity_pagerank_int: fixed-point integer PageRank unrolled -- every
+    # cell is a BIGINT, every per-edge contribution the truncating
+    # (rank * w) // wdeg, so the chained CTEs reproduce the distributed
+    # result bitwise.
+    SCALE, DNUM, DDEN = 1_000_000_000, 17, 20
+    pr_base = ((DDEN - DNUM) * SCALE) // DDEN
+    pr_cte = f"""pr_und AS (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS u,
+         CAST(substr(obj, 2) AS BIGINT) AS v,
+         CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+pr_e AS (SELECT u AS src, v AS dst, w FROM pr_und
+         UNION ALL SELECT v, u, w FROM pr_und),
+pr_deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM pr_e GROUP BY src),
+pr_r0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS rank_i FROM pr_deg)"""
+    for it in range(1, 4):
+        pr_cte += f""",
+pr_r{it} AS (
+  SELECT e.dst AS node,
+         CAST({pr_base} + ({DNUM} * SUM((r.rank_i * e.w) // d.wdeg)) // {DDEN} AS BIGINT) AS rank_i
+  FROM pr_e e
+  JOIN pr_deg d ON e.src = d.src
+  JOIN pr_r{it - 1} r ON e.src = r.node
+  GROUP BY e.dst)"""
 
     return {
         "transcripts_ingest": _with(SQL_TURNS, select="SELECT * FROM turns"),
@@ -4063,6 +4117,11 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        "entity_pagerank_int": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS, pr_cte,
+            select="""
+SELECT 'Q' || CAST(node AS VARCHAR) AS qid, rank_i FROM pr_r3""",
+        ),
         "entity_communities": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS, lpa_cte,
             select="""

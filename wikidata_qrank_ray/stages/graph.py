@@ -665,3 +665,86 @@ def label_propagation(
             batch_format="pandas",
         ).materialize()
     return labels
+
+
+def pagerank_fixedpoint(
+    edges: ray.data.Dataset,
+    n_iters: int = 3,
+    scale: int = 1_000_000_000,
+    d_num: int = 17,
+    d_den: int = 20,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Fixed-point INTEGER PageRank over an undirected weighted edge
+    Dataset (u, v, w) -> (node, rank_i): ranks live in units of
+    1/``scale``, every per-edge contribution is the truncating integer
+    division (rank(u) * w) // wdeg(u), and the damping update is
+    base + (d_num * inflow) // d_den with d = d_num/d_den (default 17/20 =
+    0.85) and base = ((d_den - d_num) * scale) // d_den.
+
+    Integer arithmetic is associative, so partial sums can land in any
+    order and the result is BITWISE deterministic -- which makes the
+    fixed-iteration variant fully SQL-unrollable (chained CTEs), unlike
+    float PageRank whose non-associative sums defeat value-exact oracles.
+    The truncation bias per incoming edge is < 1 rank unit (1/scale);
+    callers pick ``scale`` for the precision they need. Per iteration: one
+    co-partitioned join + one keyed sum; weighted out-degree rides the
+    edge rows. Nodes = edge endpoints (an isolated node has no rank mass
+    to exchange and is excluded by contract)."""
+    from .groupby import hash_partition_aggregate
+    from .join import bucketed_hash_join
+
+    def _undirect(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df[["u", "v", "w"]].rename(columns={"u": "src", "v": "dst"})
+        rev = df[["v", "u", "w"]].rename(columns={"v": "src", "u": "dst"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    und = edges.map_batches(_undirect, batch_format="pandas")
+    wdeg = hash_partition_aggregate(
+        und.map_batches(
+            lambda df: df[["src", "w"]], batch_format="pandas"
+        ),
+        ["src"], {"wdeg": ("w", "sum")}, num_partitions,
+    )
+    und_deg = bucketed_hash_join(
+        und, wdeg, "src", "src", num_partitions=num_partitions
+    ).materialize()
+
+    rank = wdeg.map_batches(
+        lambda df, s=scale: pd.DataFrame(
+            {"node": df["src"].to_numpy(dtype=np.int64),
+             "rank_i": np.full(len(df), s, dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    base = ((d_den - d_num) * scale) // d_den
+
+    for _ in range(n_iters):
+        j = bucketed_hash_join(
+            und_deg,
+            rank.map_batches(
+                lambda df: df.rename(columns={"node": "src"}),
+                batch_format="pandas",
+            ),
+            "src", "src", num_partitions=num_partitions,
+        )
+        contrib = j.map_batches(
+            lambda df: pd.DataFrame(
+                {"dst": df["dst"].to_numpy(dtype=np.int64),
+                 "c": (df["rank_i"].to_numpy(dtype=np.int64)
+                       * df["w"].to_numpy(dtype=np.int64))
+                      // df["wdeg"].to_numpy(dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        inflow = hash_partition_aggregate(
+            contrib, ["dst"], {"inflow": ("c", "sum")}, num_partitions,
+        )
+        rank = inflow.map_batches(
+            lambda df, b=base, dn=d_num, dd=d_den: pd.DataFrame(
+                {"node": df["dst"].to_numpy(dtype=np.int64),
+                 "rank_i": b + (dn * df["inflow"].to_numpy(dtype=np.int64)) // dd}
+            ),
+            batch_format="pandas",
+        ).materialize()
+    return rank
