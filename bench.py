@@ -91,6 +91,7 @@ QUERY_NAMES = [
     "approx_users_per_type",
     "entity_communities",
     "entity_pagerank_int",
+    "watermark_hourly",
 ]
 
 

@@ -1711,6 +1711,87 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_watermark_hourly(sf_dir: str):
+    """Streaming watermark accounting: arrival order = event_id (unique by
+    contract); an event is LATE iff its event time lags the running max of
+    all EARLIER-ARRIVING events' times by > 30 min (the first arrival is
+    never late). Emits hourly per-type kept/late counts -- the
+    late-data-discipline primitive of a streaming ingest.
+
+    The exclusive prefix max is distributed via the bucket-offset scheme
+    (same shape as zorder_rank's global row number): per-bucket maxes ->
+    driver exclusive prefix over the bucket table (bucket-domain-sized) ->
+    broadcast bases -> one bucket-hashed sweep with a grouped cummax+shift,
+    then a type/hour count aggregate. NO global sort, nothing row-scaled
+    on the driver."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+
+    DELAY_US = 1_800_000_000
+    NEG = -(2**62)
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"eid": eid, "event_type": batch["event_type"], "us": us,
+             "hour_us": us - us % 3_600_000_000, "b": eid >> 12}
+        )
+
+    rows = ev.map_batches(_prep, batch_format="pandas").materialize()
+    bmax = _pd(
+        hash_partition_aggregate(rows, ["b"], {"mx": ("us", "max")}),
+        {"b": "int64", "mx": "int64"},
+    ).sort_values("b").reset_index(drop=True)
+    if len(bmax):
+        excl = np.empty(len(bmax), dtype=np.int64)
+        excl[0] = NEG
+        excl[1:] = np.maximum.accumulate(bmax["mx"].to_numpy(dtype=np.int64))[:-1]
+        base_ref = ray.put(
+            (bmax["b"].to_numpy(dtype=np.int64), excl)
+        )
+    else:
+        base_ref = ray.put((np.array([], dtype=np.int64),
+                            np.array([], dtype=np.int64)))
+
+    def _sweep(part: pd.DataFrame, ref=base_ref) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=object),
+                 "hour_us": pd.Series(dtype="int64"),
+                 "n_kept": pd.Series(dtype="int64"),
+                 "n_late": pd.Series(dtype="int64")}
+            )
+        keys, bases = ray.get(ref)
+        srt = part.sort_values(["b", "eid"], kind="mergesort")
+        cm = srt.groupby("b", sort=False)["us"].cummax()
+        prev = cm.groupby(srt["b"], sort=False).shift(1).to_numpy()
+        within = np.where(np.isnan(prev), NEG, np.nan_to_num(prev)).astype(np.int64)
+        base = bases[np.searchsorted(keys, srt["b"].to_numpy(dtype=np.int64))]
+        wm = np.maximum(base, within)
+        late = (wm != NEG) & (srt["us"].to_numpy(dtype=np.int64) < wm - DELAY_US)
+        out = pd.DataFrame(
+            {"event_type": srt["event_type"], "hour_us": srt["hour_us"],
+             "kept": (~late).astype(np.int64), "late": late.astype(np.int64)}
+        )
+        return out.groupby(["event_type", "hour_us"], as_index=False, sort=False).agg(
+            n_kept=("kept", "sum"), n_late=("late", "sum")
+        )
+
+    partials = hash_partition_apply(rows, ["b"], _sweep, stamp_batch_size=None)
+    agg = hash_partition_aggregate(
+        partials, ["event_type", "hour_us"],
+        {"n_kept": ("n_kept", "sum"), "n_late": ("n_late", "sum")},
+        partial=False,
+    )
+    df = _pd(agg, {"event_type": object, "hour_us": "int64",
+                   "n_kept": "int64", "n_late": "int64"})
+    df["hour"] = pd.to_datetime(df.pop("hour_us"), unit="us")
+    df["n_kept"] = df["n_kept"].astype(np.int64)
+    df["n_late"] = df["n_late"].astype(np.int64)
+    return df[["event_type", "hour", "n_kept", "n_late"]]
+
+
 def q_entity_pagerank_int(sf_dir: str):
     """BITWISE-reproducible PageRank: fixed-point integer ranks (units of
     1e-9) over the canonical co-occurrence graph, 3 iterations, d = 17/20.
@@ -3268,6 +3349,7 @@ def queries():
         "approx_users_per_type": q_approx_users_per_type,
         "entity_communities": q_entity_communities,
         "entity_pagerank_int": q_entity_pagerank_int,
+        "watermark_hourly": q_watermark_hourly,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -4117,6 +4199,19 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # watermark_hourly: the exclusive running max is the SQL window
+        # MAX ... ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING over
+        # arrival order; NULL = first arrival = never late.
+        "watermark_hourly": """
+WITH o AS (SELECT event_id, event_type, ts, epoch_us(ts) AS us FROM events),
+r AS (SELECT event_type, ts, us,
+             MAX(us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      FROM o)
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) FILTER (WHERE wm IS NULL OR us >= wm - 1800000000) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE wm IS NOT NULL AND us < wm - 1800000000) AS BIGINT) AS n_late
+FROM r GROUP BY event_type, date_trunc('hour', ts)""",
         "entity_pagerank_int": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS, pr_cte,
             select="""
