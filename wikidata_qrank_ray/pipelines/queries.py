@@ -1711,6 +1711,38 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_decayed_user_value(sf_dir: str):
+    """Recency-weighted (exponential time-decay) value score per user:
+    half-life = 1 day, weight = 2^(20 - age_days) in fixed-point 2^20
+    units (age > 20 days contributes exactly 0), reference time pinned at
+    2024-02-01. Power-of-2 decay keeps every weight an exact integer bit
+    shift, so the whole score is an associative int64 sum (cents * 2^20
+    * rows stays far inside int64 even under the hot-key corpus) -- the
+    freshness prior of a ranking pipeline with a bitwise SQL oracle, no
+    float decay anywhere."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    T0_US = 1_706_745_600_000_000  # 2024-02-01 00:00:00 UTC
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        age = (T0_US - us) // DAY_US
+        age = np.clip(age, 0, 63)
+        w = np.where(age <= 20, np.int64(1) << (20 - age), np.int64(0))
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(dtype=np.int64),
+             "dv": _cents(batch["value"].to_numpy()) * w}
+        )
+
+    return hash_partition_aggregate(
+        ev.map_batches(_prep, batch_format="pandas"),
+        ["user_id"], {"decayed_c20": ("dv", "sum")},
+    )
+
+
 def q_watermark_hourly(sf_dir: str):
     """Streaming watermark accounting: arrival order = event_id (unique by
     contract); an event is LATE iff its event time lags the running max of
@@ -3350,6 +3382,7 @@ def queries():
         "entity_communities": q_entity_communities,
         "entity_pagerank_int": q_entity_pagerank_int,
         "watermark_hourly": q_watermark_hourly,
+        "decayed_user_value": q_decayed_user_value,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -4199,6 +4232,19 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # decayed_user_value: the power-of-2 half-life weight as an exact
+        # BIGINT shift -- same clamp, same cutoff, bitwise sum.
+        "decayed_user_value": """
+WITH aged AS (
+  SELECT user_id,
+         LEAST(GREATEST((1706745600000000 - epoch_us(ts)) // 86400000000, 0), 63) AS age,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events)
+SELECT user_id,
+       CAST(SUM(vc * CASE WHEN age <= 20
+                          THEN CAST(1 AS BIGINT) << CAST(20 - age AS INTEGER)
+                          ELSE 0 END) AS BIGINT) AS decayed_c20
+FROM aged GROUP BY user_id""",
         # watermark_hourly: the exclusive running max is the SQL window
         # MAX ... ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING over
         # arrival order; NULL = first arrival = never late.
