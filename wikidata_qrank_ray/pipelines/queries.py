@@ -1711,6 +1711,77 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_doc_novelty(sf_dir: str):
+    """Dataset-curation novelty score: per doc, how many of its distinct
+    3-gram shingles appear here FIRST (no earlier doc_id contains them) vs
+    its total -- the marginal-contribution signal dedup-aware sampling
+    ranks by. Exact integers (n_first, n_shingles); ratio left to the
+    consumer. One shingle-hashed min aggregate + one doc-hashed count."""
+    from ..stages.dedup import shingle_rows
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    rows = shingle_rows(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), 3
+    ).map_batches(lambda df: df[["doc_id", "s"]], batch_format="pandas")
+    first = hash_partition_aggregate(
+        rows, ["s"], {"first_doc": ("doc_id", "min")}
+    )
+    j = bucketed_hash_join(rows, first, "s", "s")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "one": np.int64(1),
+                "f": (df["doc_id"].to_numpy(dtype=np.int64)
+                      == df["first_doc"].to_numpy(dtype=np.int64)).astype(np.int64),
+            }
+        )
+
+    return hash_partition_aggregate(
+        j.map_batches(_partial, batch_format="pandas"),
+        ["doc_id"],
+        {"n_first": ("f", "sum"), "n_shingles": ("one", "sum")},
+    )
+
+
+def q_doc_oov_rates(sf_dir: str):
+    """Vocabulary-coverage audit: per doc, tokens outside the gazetteer's
+    top-N surface vocabulary as exact integers (n_oov, n_tokens) -- the
+    tokenizer-fit signal of a data pipeline. Vocab broadcast once
+    (ray.put), membership via sorted-array searchsorted per batch;
+    token-less docs report (0, 0)."""
+    from ..functions.tokenize import flat_tokens
+
+    gaz = build_gazetteer(sf_dir)
+    vocab = np.sort(gaz["surface"].to_numpy(dtype=object))
+    vocab_ref = ray.put(vocab)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _rates(batch: pa.Table, ref=vocab_ref) -> pd.DataFrame:
+        v = ray.get(ref)
+        flat, parent = flat_tokens(batch["text"], fill_null=True)
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        n = batch.num_rows
+        total = np.bincount(parent, minlength=n).astype(np.int64)
+        if len(toks) and len(v):
+            pos = np.searchsorted(v, toks)
+            pos[pos == len(v)] = 0
+            inv = v[pos] != toks
+        else:
+            inv = np.ones(len(toks), dtype=bool)
+        oov = np.bincount(parent[inv], minlength=n).astype(np.int64) if len(toks) \
+            else np.zeros(n, dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(),
+             "n_oov": oov, "n_tokens": total}
+        )
+
+    return docs.map_batches(_rates, batch_format="pyarrow")
+
+
 def q_decayed_user_value(sf_dir: str):
     """Recency-weighted (exponential time-decay) value score per user:
     half-life = 1 day, weight = 2^(20 - age_days) in fixed-point 2^20
@@ -3383,6 +3454,8 @@ def queries():
         "entity_pagerank_int": q_entity_pagerank_int,
         "watermark_hourly": q_watermark_hourly,
         "decayed_user_value": q_decayed_user_value,
+        "doc_novelty": q_doc_novelty,
+        "doc_oov_rates": q_doc_oov_rates,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
         "doc_top_terms": q_doc_top_terms,
@@ -4232,6 +4305,41 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        # doc_novelty: first-occurrence = MIN(doc_id) per shingle; same
+        # ngram_jaccard shingle definition (whole-text fallback for short
+        # docs, token-less docs have no rows).
+        "doc_novelty": r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+ds AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+fo AS (SELECT s, MIN(doc_id) AS first_doc FROM ds GROUP BY s)
+SELECT d.doc_id,
+       CAST(SUM(CASE WHEN d.doc_id = fo.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles
+FROM ds d JOIN fo ON d.s = fo.s
+GROUP BY d.doc_id""",
+        # doc_oov_rates: membership against the gaz top-N surface set;
+        # null text = token-less = (0, 0).
+        "doc_oov_rates": _with(
+            SQL_GAZ,
+            select=r"""
+, dtoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS tok
+  FROM documents)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(CASE WHEN t.tok IS NOT NULL AND g.surface IS NULL
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_oov,
+       CAST(COUNT(t.tok) AS BIGINT) AS n_tokens
+FROM documents d
+LEFT JOIN dtoks t ON d.doc_id = t.doc_id
+LEFT JOIN gaz g ON t.tok = g.surface
+GROUP BY d.doc_id""",
+        ),
         # decayed_user_value: the power-of-2 half-life weight as an exact
         # BIGINT shift -- same clamp, same cutoff, bitwise sum.
         "decayed_user_value": """
