@@ -1711,6 +1711,44 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_role_transitions(sf_dir: str):
+    """Dialogue-structure audit: corpus-wide (prev_role -> role) turn
+    transition counts within conversations (turn_idx order) -- the
+    transcript twin of the event-type Markov bigrams. One conv-hashed
+    shuffle, role-pair-space-sized result."""
+    from ..stages.groupby import hash_partition_apply
+
+    turns = derive_transcripts(sf_dir).map_batches(
+        lambda df: df[["conv_id", "turn_idx", "role"]], batch_format="pandas"
+    )
+
+    def _sweep(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {"prev_role": pd.Series(dtype=object),
+                 "role": pd.Series(dtype=object),
+                 "n": pd.Series(dtype="int64")}
+            )
+        srt = part.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = srt["conv_id"].to_numpy()
+        role = srt["role"].to_numpy()
+        same = np.empty(len(srt), dtype=bool)
+        same[0] = False
+        same[1:] = conv[1:] == conv[:-1]
+        out = pd.DataFrame(
+            {"prev_role": np.roll(role, 1)[same], "role": role[same]}
+        )
+        out["n"] = np.int64(1)
+        return out.groupby(["prev_role", "role"], as_index=False, sort=False)["n"].sum()
+
+    partials = hash_partition_apply(turns, ["conv_id"], _sweep,
+                                    stamp_batch_size=None)
+    df = _pd(partials, {"prev_role": object, "role": object, "n": "int64"})
+    out = df.groupby(["prev_role", "role"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def q_doc_novelty(sf_dir: str):
     """Dataset-curation novelty score: per doc, how many of its distinct
     3-gram shingles appear here FIRST (no earlier doc_id contains them) vs
@@ -3455,6 +3493,7 @@ def queries():
         "watermark_hourly": q_watermark_hourly,
         "decayed_user_value": q_decayed_user_value,
         "doc_novelty": q_doc_novelty,
+        "role_transitions": q_role_transitions,
         "doc_oov_rates": q_doc_oov_rates,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
@@ -4305,6 +4344,15 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        "role_transitions": f"""
+WITH {SQL_TURNS},
+lagged AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM turns)
+SELECT prev_role, role, CAST(COUNT(*) AS BIGINT) AS n
+FROM lagged WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role""",
         # doc_novelty: first-occurrence = MIN(doc_id) per shingle; same
         # ngram_jaccard shingle definition (whole-text fallback for short
         # docs, token-less docs have no rows).
