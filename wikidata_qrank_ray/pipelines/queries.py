@@ -2080,16 +2080,25 @@ def q_edge_negatives(sf_dir: str):
         lambda df: df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]],
         batch_format="pandas",
     ).materialize()
-    med_df = grouped_weighted_median(
+    # median cutoff via the weight-DOMAIN-sized count table (distributed
+    # count per distinct weight first), so no edge-scaled single-partition
+    # shuffle: the weighted median of (w, n) pairs IS the edge median
+    from ..stages.groupby import hash_partition_aggregate
+
+    wcounts = hash_partition_aggregate(
         edges_w.map_batches(
             lambda df: pd.DataFrame(
-                {"k": np.zeros(len(df), dtype=np.int64),
-                 "w": df["weight"].to_numpy(dtype=np.int64),
-                 "one": np.ones(len(df), dtype=np.int64)}
+                {"w": df["weight"].to_numpy(dtype=np.int64)}
             ),
             batch_format="pandas",
         ),
-        ["k"], "w", "one", num_partitions=4,
+        ["w"], {"n": ("w", "count")}, num_partitions=8,
+    )
+    med_df = grouped_weighted_median(
+        wcounts.map_batches(
+            lambda df: df.assign(k=np.int64(0)), batch_format="pandas"
+        ),
+        ["k"], "w", "n", num_partitions=4,
     ).to_pandas()
     med = int(med_df["w_median"].iloc[0]) if len(med_df) else 0
     edges = edges_w.map_batches(
