@@ -188,6 +188,14 @@ def bpe_learn(
                 syms, widx = _apply_merge_flat(syms, widx, l, r)
                 rows.append({"syms": syms.tolist(), "widx": widx.tolist(),
                              "wn": row["wn"]})
+            if not rows:
+                # keep the 3-column schema on empty blocks (schema-change
+                # warnings otherwise)
+                return pd.DataFrame(
+                    {"syms": pd.Series(dtype=object),
+                     "widx": pd.Series(dtype=object),
+                     "wn": pd.Series(dtype=object)}
+                )
             return pd.DataFrame(rows)
 
         state = state.map_batches(
