@@ -611,6 +611,9 @@ def label_propagation(
         return pd.concat([fwd, rev], ignore_index=True)
 
     und = edges.map_batches(_undirect, batch_format="pandas").materialize()
+    # auto-size the shuffle width to the edge count: a 64-way exchange on a
+    # toy graph is pure fixed cost, and each ROUND pays it
+    num_partitions = min(num_partitions, max(2, und.count() // 10_000 + 1))
     nodes = hash_partition_aggregate(
         und.map_batches(lambda df: df[["dst"]].rename(columns={"dst": "node"}),
                         batch_format="pandas"),
@@ -699,7 +702,9 @@ def pagerank_fixedpoint(
         rev = df[["v", "u", "w"]].rename(columns={"v": "src", "u": "dst"})
         return pd.concat([fwd, rev], ignore_index=True)
 
-    und = edges.map_batches(_undirect, batch_format="pandas")
+    und = edges.map_batches(_undirect, batch_format="pandas").materialize()
+    # same per-round fixed-cost control as label_propagation
+    num_partitions = min(num_partitions, max(2, und.count() // 10_000 + 1))
     wdeg = hash_partition_aggregate(
         und.map_batches(
             lambda df: df[["src", "w"]], batch_format="pandas"
