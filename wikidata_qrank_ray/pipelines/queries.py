@@ -486,6 +486,21 @@ def q_canonical_triples(sf_dir: str):
     return canonicalize_triples(extract_triples(ds, gaz_ref), mapping_ref)
 
 
+from functools import lru_cache as _qt_lru
+
+
+@_qt_lru(maxsize=2)
+def _canon_triples_mat(sf_dir: str):
+    """Materialized canonical-triples handle shared by the downstream
+    graph-analytics queries (PMI, communities, fixed-point PageRank,
+    negative sampling, degree/triangles run the SAME upstream build) --
+    one execution of the transcripts -> mentions -> triples -> canonicalize
+    chain per sf_dir per session instead of one per query. The triple set
+    is vocabulary-bounded (canonical-entity-pair-sized), so pinning it in
+    the object store is the cheap side of the trade."""
+    return q_canonical_triples(sf_dir).materialize()
+
+
 def q_cooccurrence_pmi(sf_dir: str):
     """Integer-exact PMI count table over the canonical co-occurrence
     graph -> (subj, obj, pair_w, subj_w, obj_w, total_w): everything a PMI
@@ -497,7 +512,7 @@ def q_cooccurrence_pmi(sf_dir: str):
     from ..stages.groupby import hash_partition_aggregate
     from ..stages.join import bucketed_hash_join
 
-    ct = q_canonical_triples(sf_dir)
+    ct = _canon_triples_mat(sf_dir)
     edges = ct.map_batches(
         lambda df: df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]],
         batch_format="pandas",
@@ -561,7 +576,7 @@ def q_entity_degree(sf_dir: str):
     set."""
     from ..stages.groupby import hash_partition_aggregate
 
-    ct = q_canonical_triples(sf_dir)
+    ct = _canon_triples_mat(sf_dir)
 
     def ends(df: pd.DataFrame) -> pd.DataFrame:
         co = df[df["pred"] == "co_occurs"]
@@ -590,7 +605,7 @@ def q_entity_triangles(sf_dir: str):
     closing-edge match, stages/graph.triangle_counts)."""
     from ..stages.graph import triangle_counts
 
-    ct = q_canonical_triples(sf_dir)
+    ct = _canon_triples_mat(sf_dir)
 
     def edges(df: pd.DataFrame) -> pd.DataFrame:
         co = df[df["pred"] == "co_occurs"]
@@ -1470,7 +1485,7 @@ def q_graph_pagerank(sf_dir: str):
     reaches the driver in the small tier."""
     from ..stages.graph import pagerank_auto
 
-    edges = q_canonical_triples(sf_dir).map_batches(
+    edges = _canon_triples_mat(sf_dir).map_batches(
         lambda df: df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]],
         batch_format="pandas",
     )
@@ -1940,7 +1955,7 @@ def q_entity_pagerank_int(sf_dir: str):
     twin this one carries a full value-exact SQL oracle."""
     from ..stages.graph import pagerank_fixedpoint
 
-    ct = q_canonical_triples(sf_dir)
+    ct = _canon_triples_mat(sf_dir)
     edges = ct.map_batches(
         lambda df: pd.DataFrame(
             {
@@ -1968,7 +1983,7 @@ def q_entity_communities(sf_dir: str):
     fixed-round synchronous variant unrolls into chained SQL CTEs."""
     from ..stages.graph import label_propagation
 
-    ct = q_canonical_triples(sf_dir)
+    ct = _canon_triples_mat(sf_dir)
     edges = ct.map_batches(
         lambda df: pd.DataFrame(
             {
@@ -2075,7 +2090,7 @@ def q_edge_negatives(sf_dir: str):
     from ..stages.join import bucketed_hash_join
     from ..stages.stats import grouped_weighted_median
 
-    ct = q_canonical_triples(sf_dir)
+    ct = _canon_triples_mat(sf_dir)
     edges_w = ct.map_batches(
         lambda df: df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]],
         batch_format="pandas",
@@ -2981,7 +2996,7 @@ def q_entity_bfs(sf_dir: str):
         "qid"
     ].iloc[0]
 
-    edges = q_canonical_triples(sf_dir).map_batches(
+    edges = _canon_triples_mat(sf_dir).map_batches(
         lambda df: df[df["pred"] == "co_occurs"][["subj", "obj"]].rename(
             columns={"subj": "u", "obj": "v"}
         ),
@@ -3014,7 +3029,7 @@ def q_entity_min_cost_path(sf_dir: str):
         "qid"
     ].iloc[0]
 
-    edges = q_canonical_triples(sf_dir).map_batches(
+    edges = _canon_triples_mat(sf_dir).map_batches(
         lambda df: df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]].rename(
             columns={"subj": "u", "obj": "v", "weight": "w"}
         ),
