@@ -1726,6 +1726,50 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_entity_neighbor_features(sf_dir: str):
+    """GNN-style 1-hop message passing over the canonical co-occurrence
+    graph: for each entity, the count of neighbors plus the SUM and MAX of
+    their weighted degrees -- the neighborhood feature-aggregation step of
+    graph-ML training prep, all exact integers. One degree aggregate + one
+    co-partitioned edge x degree join + one keyed aggregate."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    ct = _canon_triples_mat(sf_dir)
+    und = ct.map_batches(
+        lambda df: (lambda e: pd.concat(
+            [e.rename(columns={"subj": "src", "obj": "dst"}),
+             e.rename(columns={"obj": "src", "subj": "dst"})],
+            ignore_index=True,
+        )[["src", "dst", "weight"]])(
+            df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]]
+        ),
+        batch_format="pandas",
+    )
+    deg = hash_partition_aggregate(
+        und.map_batches(lambda df: df[["src", "weight"]], batch_format="pandas"),
+        ["src"], {"wdeg": ("weight", "sum")}, num_partitions=8,
+    )
+    j = bucketed_hash_join(
+        und.map_batches(lambda df: df[["src", "dst"]], batch_format="pandas"),
+        deg, "src", "src", num_partitions=8,
+    )
+    out = hash_partition_aggregate(
+        j.map_batches(
+            lambda df: pd.DataFrame(
+                {"qid": df["dst"], "one": np.int64(1),
+                 "nw": df["wdeg"].to_numpy(dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["qid"],
+        {"n_neighbors": ("one", "sum"), "nbr_wdeg_sum": ("nw", "sum"),
+         "nbr_wdeg_max": ("nw", "max")},
+        num_partitions=8,
+    )
+    return out
+
+
 def q_role_transitions(sf_dir: str):
     """Dialogue-structure audit: corpus-wide (prev_role -> role) turn
     transition counts within conversations (turn_idx order) -- the
@@ -3518,6 +3562,7 @@ def queries():
         "decayed_user_value": q_decayed_user_value,
         "doc_novelty": q_doc_novelty,
         "role_transitions": q_role_transitions,
+        "entity_neighbor_features": q_entity_neighbor_features,
         "doc_oov_rates": q_doc_oov_rates,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,
@@ -4368,6 +4413,23 @@ WHERE pos <= 10""",
         # both sides (functions.hashing.shingles semantics: full text as the
         # one shingle for docs with < k tokens); jaccard = i/(sa+sb-i) is a
         # single BIGINT division -> bitwise-identical doubles
+        "entity_neighbor_features": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""nf_e AS (
+  SELECT subj AS src, obj AS dst, CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'
+  UNION ALL
+  SELECT obj, subj, CAST(weight AS BIGINT)
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+nf_deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM nf_e GROUP BY src)""",
+            select="""
+SELECT e.dst AS qid,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(d.wdeg) AS BIGINT) AS nbr_wdeg_sum,
+       CAST(MAX(d.wdeg) AS BIGINT) AS nbr_wdeg_max
+FROM nf_e e JOIN nf_deg d ON e.src = d.src
+GROUP BY e.dst""",
+        ),
         "role_transitions": f"""
 WITH {SQL_TURNS},
 lagged AS (
