@@ -623,3 +623,40 @@ def test_overlap_join_matches_bruteforce():
                 want.append([i, j, ov])
     assert got.to_numpy().tolist() == want
     assert len(want) >= 1  # the planted w0..w4 / w0..zz pair at least
+
+
+def test_tf_cosine_df_cutoff_exact_on_reduced_space():
+    """df_cutoff drops the ubiquitous shingle everywhere and cosine stays
+    exact over the reduced term space (norms recomputed after the drop)."""
+    from collections import Counter
+
+    from wikidata_qrank_ray.functions.hashing import shingles
+    from wikidata_qrank_ray.stages.dedup import tf_cosine_pairs
+
+    common = "the of and"  # one shingle shared by every doc
+    texts = [common + " " + " ".join(f"w{i}{j}" for j in range(6))
+             for i in range(8)]
+    texts.append(common + " w00 w01 w02 w03 w04 zz")  # near doc 0
+    ds = _docs(texts)
+    got = (
+        tf_cosine_pairs(ds, shingle_k=3, threshold_num=1, threshold_den=2,
+                        df_cutoff=5)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # brute force on the REDUCED space: shingles with df > 5 removed
+    vecs = [Counter(shingles(t.split(), 3)) for t in texts]
+    df = Counter(s for v in vecs for s in v)
+    hot = {s for s, n in df.items() if n > 5}
+    vecs = [Counter({s: c for s, c in v.items() if s not in hot}) for v in vecs]
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            dot = sum(c * vecs[j][s] for s, c in vecs[i].items())
+            if dot == 0:
+                continue
+            na = sum(c * c for c in vecs[i].values())
+            nb = sum(c * c for c in vecs[j].values())
+            if dot * dot * 4 >= 1 * na * nb:
+                want.append([i, j, dot, na, nb])
+    assert got.to_numpy().tolist() == want
+    assert len(want) >= 1

@@ -1930,12 +1930,23 @@ def q_watermark_hourly(sf_dir: str):
     NEG = -(2**62)
     ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "ts"])
 
-    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+    # adaptive bucket width: the driver-side prefix table is id-RANGE /
+    # 2^shift rows, so pick shift from the actual id span to cap it at
+    # 64k buckets regardless of scale (at 10^12 ids a fixed >>12 would
+    # put a 2.4e8-row table on the driver)
+    lo = ev.min("event_id")
+    hi = ev.max("event_id")
+    span = int(hi - lo + 1) if lo is not None else 1
+    shift = 12
+    while (span >> shift) > 65536:
+        shift += 1
+
+    def _prep(batch: pd.DataFrame, sh=shift) -> pd.DataFrame:
         us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
         eid = batch["event_id"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {"eid": eid, "event_type": batch["event_type"], "us": us,
-             "hour_us": us - us % 3_600_000_000, "b": eid >> 12}
+             "hour_us": us - us % 3_600_000_000, "b": eid >> sh}
         )
 
     rows = ev.map_batches(_prep, batch_format="pandas").materialize()

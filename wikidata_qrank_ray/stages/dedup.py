@@ -536,15 +536,23 @@ def overlap_join(
     return joined.map_batches(_verify, batch_format="pandas")
 
 
-def _shingle_count_rows_batch(batch, k: int) -> pd.DataFrame:
+def _shingle_count_rows_batch(batch, k: int, hot: np.ndarray | None = None) -> pd.DataFrame:
     """One batch of docs -> (doc_id, s, c, nsq) TERM-FREQUENCY shingle rows:
     c = the shingle's multiplicity within the doc (the multiset kept, unlike
     ``_shingle_rows_batch``'s distinct set), nsq = the doc's squared L2 norm
     sum(c^2), constant per doc and riding on every row so the pair stage can
-    carry both norms through the shuffle without extra joins."""
+    carry both norms through the shuffle without extra joins. ``hot``: an
+    optional PRE-SORTED shingle array to drop (document-frequency skew
+    cap); norms are computed AFTER the drop, so cosine stays exact over
+    the reduced term space (the exact_jaccard_pairs df_cutoff contract)."""
     sh, pos = _shingle_arrays(batch, k)
     doc_ids = batch["doc_id"].to_numpy()
     out_doc = doc_ids[pos] if len(pos) else np.array([], dtype=np.int64)
+    if hot is not None and len(hot) and len(sh):
+        p = np.searchsorted(hot, sh)
+        p[p == len(hot)] = 0
+        keep = hot[p] != sh
+        sh, out_doc = sh[keep], out_doc[keep]
     flat = pd.DataFrame({"doc_id": out_doc, "s": sh})
     out = flat.groupby(["doc_id", "s"], as_index=False, sort=False).size()
     out = out.rename(columns={"size": "c"})
@@ -565,6 +573,7 @@ def tf_cosine_pairs(
     threshold_num: int = 4,
     threshold_den: int = 5,
     num_partitions: int = 64,
+    df_cutoff: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT all-pairs WEIGHTED (term-frequency) cosine similarity join over
     token-k-gram count vectors -> (a, b, dot, nsq_a, nsq_b), keeping pairs
@@ -580,16 +589,27 @@ def tf_cosine_pairs(
 
     Same two-shuffle scale shape as exact_jaccard_pairs: shingle-count rows
     co-partitioned by shingle emit shared-shingle dot-product partials (a
-    shingle with document frequency m contributes O(m^2) partials -- the
-    same skew bound, cappable upstream by dropping hot shingles), then one
-    hash-partition aggregate over (a, b). Norms ride the rows; zero-overlap
-    pairs never materialize."""
+    shingle with document frequency m contributes O(m^2) partials), then
+    one hash-partition aggregate over (a, b). Norms ride the rows;
+    zero-overlap pairs never materialize. ``df_cutoff`` is the same skew
+    cap as exact_jaccard_pairs: shingles with document frequency > cutoff
+    are counted distributedly, broadcast once, and dropped BEFORE pairing,
+    with norms recomputed on the reduced term space (cosine stays exact
+    over that space; the oracle query runs with df_cutoff=None)."""
     from .groupby import hash_partition_aggregate, hash_partition_apply
 
-    rows = docs.map_batches(
-        lambda b, k=shingle_k: _shingle_count_rows_batch(b, k),
-        batch_format="pyarrow",
-    )
+    hot_ref = None
+    if df_cutoff is not None:
+        hot = hot_shingles(docs, shingle_k, df_cutoff, num_partitions)
+        if len(hot):
+            hot_ref = ray.put(hot)
+
+    def _rows_batch(b, k=shingle_k, ref=hot_ref):
+        return _shingle_count_rows_batch(
+            b, k, None if ref is None else ray.get(ref)
+        )
+
+    rows = docs.map_batches(_rows_batch, batch_format="pyarrow")
 
     def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="s")
