@@ -107,6 +107,6 @@ def test_registry_keys_consistent():
     assert set(q) - set(o) == {
         "ann_ivf", "approx_distinct_users", "embedding_near_dups_lsh",
         "graph_pagerank", "kmeans_clusters", "bpe_merges",
-        "approx_users_per_type",
+        "approx_users_per_type", "pq_codes",
     }
     assert len(q) >= 100

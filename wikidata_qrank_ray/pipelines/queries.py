@@ -1726,6 +1726,19 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encoding of the embeddings table: 4 subspace
+    codebooks x 16 centroids (64-dim -> 4 bytes/vector), trained with the
+    bitwise-deterministic integer k-means (rows-only by nature -- the
+    iterative trainer is not SQL-expressible; pinned vs the single-process
+    twin + reshard-invariance + ADC recall in tests/test_pq.py)."""
+    from ..stages.similarity import pq_train_encode
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, codes = pq_train_encode(emb, m=4, k=16, iters=4)
+    return codes
+
+
 def q_entity_neighbor_features(sf_dir: str):
     """GNN-style 1-hop message passing over the canonical co-occurrence
     graph: for each entity, the count of neighbors plus the SUM and MAX of
@@ -3574,6 +3587,7 @@ def queries():
         "doc_novelty": q_doc_novelty,
         "role_transitions": q_role_transitions,
         "entity_neighbor_features": q_entity_neighbor_features,
+        "pq_codes": q_pq_codes,
         "doc_oov_rates": q_doc_oov_rates,
         # --- not yet driver-sampled (round 2 took the first 50) ---
         "edit_near_dups": q_edit_near_dups,

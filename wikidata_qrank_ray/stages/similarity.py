@@ -370,3 +370,88 @@ def kmeans_train(
         )
 
     return cent, quant.map_batches(_assign, batch_format="pandas", batch_size=4096)
+
+
+def pq_train_encode(
+    emb: ray.data.Dataset,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 4,
+    quant_scale: float = 1e6,
+) -> tuple[list, ray.data.Dataset]:
+    """Product quantization (Jegou et al., TPAMI'11) -- the 100 TB
+    vector-compression path: split each d-dim embedding into ``m``
+    contiguous subvectors, train an independent k-means codebook per
+    subspace (reusing the BITWISE-deterministic integer-quantized
+    ``kmeans_train``), and encode every vector as m small codes
+    (m * log2(k) bits instead of d floats; 64-dim float32 -> 4 bytes at
+    the defaults). Returns (codebooks: list of m (k, d/m) arrays,
+    codes Dataset (vec_id, code_0..code_{m-1})).
+
+    Determinism is inherited from the trainer (integer partial sums, ties
+    to the lowest centroid id), so the whole pipeline is reshard-invariant
+    and pinned against a single-process twin in tests. The m trainings
+    run sequentially (each is a handful of model-sized rounds); encoding
+    joins the m assignment Datasets by vec_id with bucketed joins --
+    nothing vector-count-scaled on the driver."""
+    from .join import bucketed_hash_join
+
+    # probe dim from one row (schema-safe on empty input)
+    head = emb.limit(1).to_pandas()
+    if len(head) == 0:
+        return [], ray.data.from_pandas(
+            pd.DataFrame({"vec_id": pd.Series(dtype=np.int64)})
+        )
+    d = len(head["embedding"].iloc[0])
+    bounds = [(si * d // m, (si + 1) * d // m) for si in range(m)]
+
+    codebooks = []
+    codes = None
+    for si, (lo, hi) in enumerate(bounds):
+
+        def _slice(batch: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
+            v = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {"vec_id": batch["vec_id"].to_numpy(np.int64),
+                 "embedding": list(v[:, lo:hi])}
+            )
+
+        sub = emb.map_batches(_slice, batch_format="pandas", batch_size=4096)
+        cent, assign = kmeans_train(sub, k=k, iters=iters,
+                                    quant_scale=quant_scale)
+        codebooks.append(cent)
+        part = assign.map_batches(
+            lambda df, si=si: df.rename(columns={"cluster": f"code_{si}"}),
+            batch_format="pandas",
+        )
+        codes = part if codes is None else bucketed_hash_join(
+            codes, part, "vec_id", "vec_id", num_partitions=8
+        )
+    return codebooks, codes
+
+
+def pq_adc_topk(
+    codebooks: list,
+    codes_df: pd.DataFrame,
+    query: np.ndarray,
+    topk: int = 10,
+) -> pd.DataFrame:
+    """Asymmetric-distance top-k against PQ codes: one (m x k) lookup
+    table of exact subspace distances to the query, then distance(v) =
+    sum of m table lookups -- the scan is table lookups + integer adds
+    over the code columns, never touching original vectors. Driver-side
+    helper over a code table slice; the batch form drops straight into
+    map_batches for a distributed scan."""
+    m = len(codebooks)
+    off = 0
+    luts = []
+    for cb in codebooks:
+        qs = query[off:off + cb.shape[1]]
+        luts.append(((cb - qs[None, :]) ** 2).sum(axis=1))
+        off += cb.shape[1]
+    dist = np.zeros(len(codes_df), dtype=np.float64)
+    for si in range(m):
+        dist += luts[si][codes_df[f"code_{si}"].to_numpy(np.int64)]
+    out = pd.DataFrame({"vec_id": codes_df["vec_id"].to_numpy(np.int64),
+                        "adc_dist": dist})
+    return out.nsmallest(topk, ["adc_dist", "vec_id"]).reset_index(drop=True)
