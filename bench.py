@@ -92,6 +92,12 @@ QUERY_NAMES = [
     "entity_communities",
     "entity_pagerank_int",
     "watermark_hourly",
+    "decayed_user_value",
+    "doc_novelty",
+    "doc_oov_rates",
+    "role_transitions",
+    "entity_neighbor_features",
+    "pq_codes",
 ]
 
 
