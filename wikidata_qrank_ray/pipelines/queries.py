@@ -3556,6 +3556,12 @@ FROM planted"""
 # ---------------------------------------------------------------------------
 
 
+def _round4_queries():
+    """Round-4 additions, kept in one place so they land inside the
+    driver's sampling prefix (see ORDER CONTRACT in queries())."""
+    return {}
+
+
 def queries():
     # ORDER CONTRACT: the correctness driver samples a PREFIX of this dict
     # in registry order (50 of 74 in round 2). Queries with no driver row
@@ -3564,7 +3570,28 @@ def queries():
     # whole registry. Every entry stays independently checkable via
     # tools/check_oracles.py.
     return {
-        # --- round-3b additions (never driver-sampled yet) ---
+        # --- never driver-sampled through round 3 (front-loaded so the
+        # round-4 prefix closes the cumulative driver gate at 129/129) ---
+        "bigram_counts": q_bigram_counts,
+        "token_length_histogram": q_token_length_histogram,
+        "doc_splits": q_doc_splits,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "events_stratified_sample": q_events_stratified_sample,
+        "embedding_class": q_embedding_class,
+        "media_features": q_media_features,
+        "doc_quality_filter": q_doc_quality_filter,
+        "cooccurrence_pmi": q_cooccurrence_pmi,
+        "gazetteer_ngrams": q_gazetteer_ngrams,
+        "mentions_phrases_k4": q_mentions_phrases_k4,
+        "split_contamination": q_split_contamination,
+        "doc_commonness": q_doc_commonness,
+        "repeated_passages": q_repeated_passages,
+        "simhash_near_dups": q_simhash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
+        # --- round-4 additions (never driver-sampled) are registered
+        # here by _ROUND4_QUERIES below ---
+        **_round4_queries(),
+        # --- round-3b additions (driver-sampled round 3) ---
         "tf_cosine_pairs": q_tf_cosine_pairs,
         "part_skyline": q_part_skyline,
         "user_value_trend": q_user_value_trend,
@@ -3616,35 +3643,19 @@ def queries():
         "inverted_index": q_inverted_index,
         "sequence_pack": q_sequence_pack,
         "top_docs_per_source": q_top_docs_per_source,
-        "bigram_counts": q_bigram_counts,
-        "cooccurrence_pmi": q_cooccurrence_pmi,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "doc_systematic_sample": q_doc_systematic_sample,
-        "events_stratified_sample": q_events_stratified_sample,
-        "doc_splits": q_doc_splits,
-        "doc_weighted_sample": q_doc_weighted_sample,
         "fingerprints": q_fingerprints,
-        "token_length_histogram": q_token_length_histogram,
         "bpe_token_counts": q_bpe_token_counts,
         "lang_id": q_lang_id,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "embedding_class": q_embedding_class,
-        "media_features": q_media_features,
-        "doc_quality_filter": q_doc_quality_filter,
-        "gazetteer_ngrams": q_gazetteer_ngrams,
-        "mentions_phrases_k4": q_mentions_phrases_k4,
-        "split_contamination": q_split_contamination,
-        "doc_commonness": q_doc_commonness,
-        "repeated_passages": q_repeated_passages,
         "ngram_jaccard": q_ngram_jaccard,
-        "simhash_near_dups": q_simhash_near_dups,
         "minhash_dedup": q_minhash_dedup,
-        "dedup_clusters": q_dedup_clusters,
         # --- KG pipeline (SURVEY.md §7 stages; driver-verified round 2) ---
         "transcripts_ingest": q_transcripts_ingest,
         "normalize_turns": q_normalize_turns,
