@@ -72,6 +72,36 @@ def test_pagerank_distributed_equals_driver():
     assert np.allclose(driver["pagerank"], dist["pagerank"], rtol=0, atol=1e-12)
 
 
+def test_pagerank_coshuffled_equals_driver():
+    """Co-shuffled tier (rank as a Dataset, joined to edges by hash
+    co-partition each round -- no |V|-sized ray.put) matches the driver
+    tier up to float summation order."""
+    from wikidata_qrank_ray.stages.graph import pagerank_coshuffled
+
+    rng = np.random.RandomState(7)
+    n_e = 400
+    edges = pd.DataFrame(
+        {
+            "subj": [f"Q{i}" for i in rng.randint(1, 50, n_e)],
+            "obj": [f"Q{i}" for i in rng.randint(50, 120, n_e)],
+            "weight": rng.randint(1, 5, n_e),
+        }
+    ).drop_duplicates(["subj", "obj"])
+    driver = pagerank_edges(edges, iters=8).sort_values("qid").reset_index(drop=True)
+    co = (
+        pagerank_coshuffled(
+            ray.data.from_pandas(edges).repartition(4), iters=8,
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    assert driver["qid"].tolist() == co["qid"].tolist()
+    assert np.allclose(driver["pagerank"], co["pagerank"], rtol=1e-12, atol=1e-15)
+    assert np.isclose(co["pagerank"].sum(), 1.0, atol=1e-9)
+
+
 # ---------------------------------------------------------------------------
 # Distributed connected components
 # ---------------------------------------------------------------------------

@@ -154,6 +154,159 @@ def pagerank_distributed(
 # "entity-space-bounded small" and the sparse distributed tier takes over
 PAGERANK_DRIVER_MAX_EDGES = 200_000
 
+# above this many NODES the broadcast tier's per-iteration |V|-sized
+# ray.put / ray.get of the rank vector stops being cheap (10^9 canonical
+# entities ~ 8 GB x iters broadcasts) and the co-shuffled tier takes over
+PAGERANK_BROADCAST_MAX_NODES = 5_000_000
+
+
+def pagerank_coshuffled(
+    edge_ds: ray.data.Dataset,
+    damping: float = 0.85,
+    iters: int = 20,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Fully co-shuffled tier: the rank vector lives as a DATASET keyed by
+    node and is hash-co-partition-joined to the edges each iteration --
+    NO |V|-sized driver array and NO |V|-sized ``ray.put`` anywhere.
+    Driver state per iteration: one scalar (the node count).
+
+    Setup (once): mirror the undirected edges to directed, aggregate
+    weighted degree per source, co-partition-join it back onto the edges
+    so the transition normalization is folded into the edge weight
+    (``wn = w / deg(u)``), and materialize the normalized directed edge
+    Dataset. Per iteration: (1) the rank Dataset is tag-unioned with the
+    edges and shuffled ONCE by hash(u), so each partition holds every
+    edge with source u together with r(u); the partition sweep emits
+    contribution partials (node=v, c=r_u*wn) pre-summed per partition;
+    (2) a hash-partitioned aggregate sums partials by node and applies
+    the teleport term, producing the next rank Dataset (materialized to
+    bound lineage). Two shuffles per round, each moving |E|+|V| rows
+    through the object store; the reference analogue is the extsort
+    pipeline never holding a full table in one process (qviews.go:94-121).
+
+    Equal to ``pagerank_edges`` up to float summation order
+    (tier-equality pinned in tests/test_graph.py, incl. a 10^6-node run
+    recorded in SCALING.md)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+
+    def _mirror(t: pa.Table) -> pa.Table:
+        u = pa.chunked_array([t["subj"], t["obj"]]).combine_chunks()
+        v = pa.chunked_array([t["obj"], t["subj"]]).combine_chunks()
+        w = pa.chunked_array([t["weight"], t["weight"]]).combine_chunks()
+        return pa.table({"u": u, "v": v, "w": pc.cast(w, pa.float64())})
+
+    directed = edge_ds.map_batches(_mirror, batch_format="pyarrow")
+    deg = hash_partition_aggregate(
+        directed, ["u"], {"deg": ("w", "sum")},
+        num_partitions=num_partitions, stamp_batch_size=None,
+    ).materialize()
+    n = deg.count()
+
+    # fold deg into the edge weight: one co-partition join, setup-only
+    def _tag_deg(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table({
+            "u": t["u"], "tag": pa.array(np.zeros(m, dtype=np.int8)),
+            "deg": t["deg"], "v": pa.nulls(m, pa.string()),
+            "w": pa.nulls(m, pa.float64()),
+        })
+
+    def _tag_edge(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table({
+            "u": t["u"], "tag": pa.array(np.ones(m, dtype=np.int8)),
+            "deg": pa.nulls(m, pa.float64()), "v": t["v"], "w": t["w"],
+        })
+
+    tagged = deg.map_batches(_tag_deg, batch_format="pyarrow").union(
+        directed.map_batches(_tag_edge, batch_format="pyarrow")
+    )
+
+    def _norm_part(df: pd.DataFrame) -> pd.DataFrame:
+        eg = df[df["tag"] == 1]
+        dg = df[df["tag"] == 0]
+        if len(eg) == 0:
+            return pd.DataFrame({"u": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype=object),
+                                 "wn": pd.Series([], dtype=np.float64)})
+        dmap = pd.Series(dg["deg"].to_numpy(), index=dg["u"].to_numpy())
+        wn = eg["w"].to_numpy() / eg["u"].map(dmap).to_numpy(np.float64)
+        return pd.DataFrame({"u": eg["u"].to_numpy(),
+                             "v": eg["v"].to_numpy(), "wn": wn})
+
+    norm = hash_partition_apply(
+        tagged, ["u"], _norm_part,
+        num_partitions=num_partitions, stamp_batch_size=None,
+    ).materialize()
+
+    def _rank0(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t["u"],
+            "r": pa.array(np.full(t.num_rows, 1.0 / n, dtype=np.float64)),
+        })
+
+    rank = deg.map_batches(_rank0, batch_format="pyarrow").materialize()
+
+    def _tag_rank(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table({
+            "u": t["u"], "tag": pa.array(np.zeros(m, dtype=np.int8)),
+            "r": t["r"], "v": pa.nulls(m, pa.string()),
+            "wn": pa.nulls(m, pa.float64()),
+        })
+
+    def _tag_norm(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table({
+            "u": t["u"], "tag": pa.array(np.ones(m, dtype=np.int8)),
+            "r": pa.nulls(m, pa.float64()), "v": t["v"], "wn": t["wn"],
+        })
+
+    def _contrib_part(df: pd.DataFrame) -> pd.DataFrame:
+        eg = df[df["tag"] == 1]
+        rk = df[df["tag"] == 0]
+        if len(eg) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.float64)})
+        rmap = pd.Series(rk["r"].to_numpy(), index=rk["u"].to_numpy())
+        vals = eg["u"].map(rmap).to_numpy(np.float64) * eg["wn"].to_numpy()
+        v = eg["v"].to_numpy()
+        uniq, inv = np.unique(v, return_inverse=True)
+        c = np.bincount(inv, weights=vals, minlength=len(uniq))
+        return pd.DataFrame({"node": uniq, "c": c})
+
+    norm_tagged = norm.map_batches(_tag_norm, batch_format="pyarrow").materialize()
+    teleport = (1.0 - damping) / n
+
+    def _apply_teleport(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t["node"],
+            "r": pc.add(teleport, pc.multiply(damping, t["c"])),
+        })
+
+    for _ in range(iters):
+        partials = hash_partition_apply(
+            rank.map_batches(_tag_rank, batch_format="pyarrow").union(norm_tagged),
+            ["u"], _contrib_part,
+            num_partitions=num_partitions, stamp_batch_size=None,
+        )
+        agg = hash_partition_aggregate(
+            partials, ["node"], {"c": ("c", "sum")},
+            num_partitions=num_partitions, stamp_batch_size=None,
+        )
+        rank = agg.map_batches(
+            _apply_teleport, batch_format="pyarrow"
+        ).materialize()
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table({"qid": t["u"], "pagerank": t["r"]})
+
+    return rank.map_batches(_final, batch_format="pyarrow")
+
 
 def pagerank_auto(
     edge_ds: ray.data.Dataset, damping: float = 0.85, iters: int = 20
@@ -179,9 +332,18 @@ def pagerank_auto(
     nd = hash_partition_aggregate(
         edge_ds.map_batches(_nodes, batch_format="pandas"),
         ["qid"], {"n": ("qid", "count")}, stamp_batch_size=None,
-    ).to_pandas()
+    ).materialize()
+    if nd.count() > PAGERANK_BROADCAST_MAX_NODES:
+        # co-shuffled tier: rank never leaves the object store; the pull
+        # here is only the |V|-row RESULT (at true scale call
+        # pagerank_coshuffled directly and write_parquet the Dataset)
+        out = pagerank_coshuffled(edge_ds, damping, iters).to_pandas()
+        return out.sort_values(
+            "qid", key=lambda s: s.str[1:].astype(np.int64)
+        ).reset_index(drop=True)
     names = np.array(
-        sorted(nd["qid"].tolist(), key=lambda q: int(q[1:])), dtype=object
+        sorted(nd.to_pandas()["qid"].tolist(), key=lambda q: int(q[1:])),
+        dtype=object,
     )
     return pagerank_distributed(edge_ds, names, damping, iters)
 
