@@ -55,3 +55,19 @@ def test_apply_merge_flat_word_boundary():
     widx = np.array([0, 0, 1, 1], dtype=np.int64)
     out_s, _ = _apply_merge_flat(syms, widx, "a", "b")
     assert out_s.tolist() == ["x", "a", "b", "y"]
+
+
+def test_bpe_tiers_equal():
+    """Driver-merge pair tier == distributed hash-partitioned tier,
+    bitwise (same argmax rule on both sides)."""
+    import ray
+    import ray.data
+
+    from wikidata_qrank_ray.stages.bpe import bpe_learn
+
+    texts = ["low lower lowest " * 3, "new newer newest " * 2,
+             "wide wider widest", "low newer low"] * 5
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(4)
+    a = bpe_learn(ds, n_merges=6, distributed=False)
+    b = bpe_learn(ds, n_merges=6, distributed=True)
+    pd.testing.assert_frame_equal(a, b)
