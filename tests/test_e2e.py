@@ -100,12 +100,13 @@ def test_registry_keys_consistent():
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q)
     # minhash_dedup left this set in round 3 (polyhash signatures made it
-    # SQL-expressible); the remaining six are approximate/iterative by
-    # nature, each value-checked against an exact twin (or a bitwise
-    # single-process twin, for the iterative k-means and BPE trainers)
-    # in tests
+    # SQL-expressible); ann_ivf left it in round 4 (integer-domain coarse
+    # quantizer unrolls in SQL). The remaining seven are
+    # approximate/iterative by nature, each value-checked against an
+    # exact twin (or a bitwise single-process twin, for the iterative
+    # k-means and BPE trainers) in tests
     assert set(q) - set(o) == {
-        "ann_ivf", "approx_distinct_users", "embedding_near_dups_lsh",
+        "approx_distinct_users", "embedding_near_dups_lsh",
         "graph_pagerank", "kmeans_clusters", "bpe_merges",
         "approx_users_per_type", "pq_codes",
     }

@@ -3773,6 +3773,83 @@ SELECT pos, vec_id FROM (
 ) WHERE pos <= {k}"""
 
 
+def _ann_ivf_sql(n_lists: int = 8, n_probe: int = 2, iters: int = 3,
+                 k: int = 10, scale: str = "1000000.0") -> str:
+    """DuckDB twin of stages.similarity.ann_ivf_topk, value-exact: the
+    coarse quantizer (ivf_train_integer) lives entirely on the integer
+    quant grid -- init = vectors of the n_lists smallest vec_ids,
+    distances are BIGINT L2 sums (order-independent), centroid updates
+    are half-away-from-zero rounded rational means in integer ops -- so
+    the SQL can unroll the same ``iters`` Lloyd iterations and reproduce
+    the centroids bit for bit. The probed-list scan set then matches
+    exactly, and the final cosine ranking uses the same
+    list_cosine_similarity idiom as the ann_topk oracle."""
+    rnd = ("CASE WHEN s >= 0 THEN (2*s + n) // (2*n) "
+           "ELSE -((-2*s + n) // (2*n)) END")
+    blocks = []
+    for i in range(iters):
+        blocks.append(f"""
+d{i} AS (
+  SELECT e.vec_id, c.cluster,
+         SUM((e.q[dd.d] - c.qc[dd.d]) * (e.q[dd.d] - c.qc[dd.d])) AS d2
+  FROM qe e CROSS JOIN c{i} c CROSS JOIN dims dd
+  GROUP BY e.vec_id, c.cluster),
+a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d{i}) WHERE rn = 1),
+s{i} AS (
+  SELECT a.cluster, dd.d, CAST(SUM(e.q[dd.d]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{i} a JOIN qe e USING (vec_id) CROSS JOIN dims dd
+  GROUP BY a.cluster, dd.d),
+c{i + 1} AS (
+  SELECT p.cluster, CASE WHEN u.qc_new IS NULL THEN p.qc ELSE u.qc_new END AS qc
+  FROM c{i} p LEFT JOIN (
+    SELECT cluster, list({rnd} ORDER BY d) AS qc_new
+    FROM s{i} GROUP BY cluster) u USING (cluster))""")
+    iter_sql = ",".join(blocks)
+    return f"""
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS q,
+         embedding
+  FROM embeddings),
+dims AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM qe), 0) + 1)) AS d),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster, q AS qc
+  FROM (SELECT vec_id, q FROM qe ORDER BY vec_id LIMIT {n_lists})),{iter_sql},
+qv AS (SELECT q AS qq, embedding AS qemb FROM qe WHERE vec_id = 0),
+pdist AS (
+  SELECT c.cluster,
+         SUM((v.qq[dd.d] - c.qc[dd.d]) * (v.qq[dd.d] - c.qc[dd.d])) AS d2
+  FROM c{iters} c CROSS JOIN qv v CROSS JOIN dims dd GROUP BY c.cluster),
+probe AS (
+  SELECT cluster FROM (
+    SELECT cluster, row_number() OVER (ORDER BY d2, cluster) AS rn FROM pdist)
+  WHERE rn <= {n_probe}),
+dfin AS (
+  SELECT e.vec_id, c.cluster,
+         SUM((e.q[dd.d] - c.qc[dd.d]) * (e.q[dd.d] - c.qc[dd.d])) AS d2
+  FROM qe e CROSS JOIN c{iters} c CROSS JOIN dims dd
+  GROUP BY e.vec_id, c.cluster),
+afin AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM dfin) WHERE rn = 1),
+scan AS (
+  SELECT e.vec_id, e.embedding FROM qe e JOIN afin a USING (vec_id)
+  WHERE a.cluster IN (SELECT cluster FROM probe))
+SELECT pos, vec_id FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(s.embedding, v.qemb) DESC, s.vec_id ASC) AS BIGINT) AS pos,
+         s.vec_id AS vec_id
+  FROM scan s, qv v
+) WHERE pos <= {k}"""
+
+
 def _classify_sql() -> str:
     from ..stages.scoring import classify_sql
 
@@ -4974,6 +5051,7 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         "lang_id": _lang_id_sql(),
         "embedding_class": _classify_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         # full MinHash-LSH pipeline recomputed in SQL (signatures, band
         # hashes, the O(n)-per-bucket candidate edge rule, exact-Jaccard
         # verification, min-label clustering) -- value-exact because every

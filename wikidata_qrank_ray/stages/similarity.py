@@ -194,33 +194,114 @@ def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10, seed: int = 13
     return cent
 
 
+def _quant_int(m: np.ndarray, scale: float = 1e6) -> np.ndarray:
+    """Half-away-from-zero integer quantization (== DuckDB ROUND)."""
+    return (np.sign(m) * np.floor(np.abs(m) * scale + 0.5)).astype(np.int64)
+
+
+def _int_round_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """round-half-away-from-zero of the rational s/n in pure int64
+    (n > 0) -- elementwise, exactly reproducible in SQL integer ops."""
+    s = s.astype(np.int64)
+    n = n.astype(np.int64)
+    mag = (2 * np.abs(s) + n) // (2 * n)
+    return np.where(s < 0, -mag, mag)
+
+
+def ivf_train_integer(
+    emb: ray.data.Dataset,
+    n_lists: int = 8,
+    iters: int = 3,
+    quant_scale: float = 1e6,
+) -> np.ndarray:
+    """INTEGER-DOMAIN Lloyd's k-means coarse quantizer for IVF: centroids
+    are int64 vectors on the quant grid, distances are int64 L2 sums
+    (order-independent, EXACT), centroid updates are rounded rational
+    means in pure integer arithmetic -- so training is bitwise
+    deterministic, reshard-invariant AND reproducible by a DuckDB oracle
+    in SQL integer ops (no float summation anywhere). Init = vectors of
+    the n_lists smallest vec_ids (per-batch partial min-k). Driver state:
+    n_lists x (d+1) integers per iteration (the mergeable-partials
+    pattern, same shape as kmeans_train)."""
+    def _quant(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(np.int64),
+             "q": list(_quant_int(m, quant_scale))}
+        )
+
+    quant = emb.map_batches(_quant, batch_format="pandas", batch_size=4096).materialize()
+    seed_rows = quant.map_batches(
+        lambda d: d.nsmallest(n_lists, "vec_id"), batch_format="pandas"
+    ).to_pandas()
+    if len(seed_rows):
+        seed_rows = seed_rows.nsmallest(n_lists, "vec_id")
+    if len(seed_rows) == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    cent = np.stack(seed_rows["q"].to_numpy()).astype(np.int64)
+    kk = len(cent)
+
+    def _partials(batch: pd.DataFrame, cent=None) -> pd.DataFrame:
+        qi = np.stack(batch["q"].to_numpy()).astype(np.int64)
+        d2 = ((qi[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # int64-exact; ties -> lowest cluster
+        sums = np.zeros((kk, qi.shape[1]), dtype=np.int64)
+        np.add.at(sums, assign, qi)
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        return pd.DataFrame(
+            {"cluster": np.arange(kk, dtype=np.int64),
+             "n": counts, "s": list(sums)}
+        )
+
+    for _ in range(iters):
+        parts = quant.map_batches(
+            _partials, fn_kwargs={"cent": cent},
+            batch_format="pandas", batch_size=4096,
+        ).to_pandas()
+        g = parts.groupby("cluster", sort=True)
+        n = g["n"].sum().to_numpy(np.int64)
+        s = np.stack(
+            g["s"].apply(lambda col: np.sum(np.stack(col.to_numpy()), axis=0)).to_numpy()
+        )
+        upd = n > 0
+        cent = cent.copy()
+        cent[upd] = _int_round_div(s[upd], n[upd, None])
+    return cent
+
+
 def ann_ivf_topk(
     emb: ray.data.Dataset,
     query_vec: np.ndarray,
     k: int = 10,
     n_lists: int = 8,
     n_probe: int = 2,
-    sample_size: int = 1024,
-    seed: int = 13,
+    iters: int = 3,
+    quant_scale: float = 1e6,
 ) -> pd.DataFrame:
-    """IVF (inverted-file) cosine top-k -- the scale path: a k-means coarse
-    quantizer (trained on a driver-side sample, centroids broadcast)
-    assigns every row to a list inside ``map_batches``; only rows in the
-    ``n_probe`` lists nearest the query are scored. Approximate by design;
-    scan cost ~ n_probe/n_lists of brute force. -> (pos, vec_id, n_scanned)
-    """
-    sample = (
-        emb.limit(sample_size).to_pandas()["embedding"].to_numpy()
-    )
-    cent = kmeans_centroids(np.stack(sample), n_lists, seed=seed)
+    """IVF (inverted-file) cosine top-k -- the scale path: an integer-
+    domain k-means coarse quantizer (``ivf_train_integer``, bitwise and
+    SQL-reproducible) assigns every row to a list inside ``map_batches``
+    (centroids are KBs, closure-captured); only rows in the ``n_probe``
+    lists nearest the query are cosine-scored. Approximate by design
+    (recall < 1); scan cost ~ n_probe/n_lists of brute force. Value-exact
+    DuckDB oracle: the oracle SQL unrolls the same integer iterations
+    (queries._ann_ivf_sql). -> (pos, vec_id)"""
+    cent = ivf_train_integer(emb, n_lists, iters, quant_scale)
+    empty = pd.DataFrame({"pos": pd.Series([], dtype=np.int64),
+                          "vec_id": pd.Series([], dtype=np.int64)})
+    if cent.size == 0:
+        return empty
     q = np.asarray(query_vec, dtype=np.float64)
-    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
-    probe_arr = np.sort(np.argsort(qd)[:n_probe])
+    qq = _quant_int(q[None, :], quant_scale)[0]
+    qd = ((cent - qq[None, :]) ** 2).sum(axis=1)  # int64-exact
+    probe_arr = np.sort(np.argsort(qd, kind="stable")[:n_probe])
 
     # centroids + probe list are KBs -- closure-captured on elastic tasks
-    def _list_scan(batch: pd.DataFrame, cent=cent, probe=probe_arr, q=q) -> pd.DataFrame:
+    def _list_scan(batch: pd.DataFrame, cent=cent, probe=probe_arr,
+                   q=q, scale=quant_scale) -> pd.DataFrame:
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        qi = _quant_int(m, scale)
+        d = ((qi[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
         keep = np.isin(assign, probe)
         if not keep.any():
@@ -232,7 +313,7 @@ def ann_ivf_topk(
     partial = emb.map_batches(_list_scan, batch_format="pandas", batch_size=4096)
     df = partial.to_pandas()
     if df.empty:
-        return pd.DataFrame({"pos": pd.Series([], dtype=np.int64), "vec_id": pd.Series([], dtype=np.int64)})
+        return empty
     order = np.lexsort((df["vec_id"].to_numpy(), -df["sim"].to_numpy()))[:k]
     out = df.iloc[order].reset_index(drop=True)
     return pd.DataFrame(
