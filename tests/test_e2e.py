@@ -111,3 +111,34 @@ def test_registry_keys_consistent():
         "approx_users_per_type", "pq_codes",
     }
     assert len(q) >= 100
+
+
+def test_no_relative_imports_in_worker_closures():
+    """A relative import INSIDE a nested (worker) closure raises
+    ModuleNotFoundError on foreign-cwd workers: by-value cloudpickle ships
+    the function code but does not make the package importable. Module-top
+    and driver-level (function-body) imports are fine; depth>=2 nesting is
+    only allowed on the audited driver-side tier-dispatch lines."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "wikidata_qrank_ray"
+    # whole-file allowance: __main__ (CLI subcommand bodies) and
+    # kg_build.run (checkpointed stage branches) run on the driver only
+    allowed_files = {"__main__.py", "pipelines/kg_build.py"}
+    # audited driver-side tier-dispatch lines inside stage functions
+    allowed_lines = {
+        ("stages/dedup.py", "from .graph import connected_components"),
+        ("stages/graph.py", "from .dedup import _union_find_links"),
+    }
+    bad = []
+    for f in pkg.rglob("*.py"):
+        rel = str(f.relative_to(pkg))
+        if rel in allowed_files:
+            continue
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if re.match(r"^ {8,}from \.", line):
+                frag = line.strip()
+                if not any(rel == a[0] and frag.startswith(a[1]) for a in allowed_lines):
+                    bad.append(f"{rel}:{i}: {frag}")
+    assert not bad, "worker-closure relative imports (foreign-cwd unsafe):\n" + "\n".join(bad)

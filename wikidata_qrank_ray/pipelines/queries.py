@@ -29,6 +29,7 @@ from ..stages.normalize import normalize_stage_sql_parity
 from ..stages.rank import qrank_order, rollup, salted_rollup
 from ..stages.similarity import ann_brute_topk, ann_lsh_topk
 from ..stages.stats import rank_stats_table
+from ..sources.gazetteer import tokens_of_batch
 from ..stages.textstats import fingerprints, lang_id, quality_scores, token_counts
 from ..stages.triples import extract_triples
 
@@ -914,8 +915,8 @@ def q_top_tokens(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        from ..sources.gazetteer import tokens_of_batch
-
+        # tokens_of_batch imported at module top (worker-closure relative
+        # imports break under foreign-cwd by-value pickling)
         vc = tokens_of_batch(t["text"]).value_counts()
         return pd.DataFrame(
             {

@@ -17,8 +17,6 @@ results (candidate pairs, cluster edges) reach the driver.
 
 from __future__ import annotations
 
-from functools import lru_cache as _lru_cache
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -96,9 +94,18 @@ def _minhash_sig_batch(
     )
 
 
-@_lru_cache(maxsize=8)
+_MINHASH_COEFF_CACHE: dict = {}
+
+
 def _cached_minhash_coeffs(num_perm: int, seed: int):
-    return minhash_coeffs(num_perm, seed)
+    # plain-dict per-process cache, NOT functools.lru_cache: an
+    # lru_cache wrapper pickles BY REFERENCE (module+qualname), so a
+    # worker without the repo on sys.path raises ModuleNotFoundError the
+    # moment a by-value task function references it (foreign-cwd driver)
+    key = (num_perm, seed)
+    if key not in _MINHASH_COEFF_CACHE:
+        _MINHASH_COEFF_CACHE[key] = minhash_coeffs(num_perm, seed)
+    return _MINHASH_COEFF_CACHE[key]
 
 
 class MinHashSignatures(_SigStage):

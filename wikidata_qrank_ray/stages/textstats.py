@@ -514,8 +514,9 @@ def sequence_pack_offsets(
     from .groupby import hash_partition_apply
 
     def _count(t: pa.Table) -> pa.Table:
-        from ..functions.tokenize import flat_tokens
-
+        # flat_tokens is a module-top import: a relative import INSIDE a
+        # worker closure raises ModuleNotFoundError under foreign-cwd
+        # by-value pickling (verify-skill gotcha)
         _, parent = flat_tokens(t[text_col], fill_null=True)
         n = np.zeros(t.num_rows, dtype=np.int64)
         if len(parent):
