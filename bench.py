@@ -98,6 +98,14 @@ QUERY_NAMES = [
     "role_transitions",
     "entity_neighbor_features",
     "pq_codes",
+    "ann_ivf",
+    "doc_sentences",
+    "prefix_dups",
+    "token_budget_mix",
+    "events_dedup_hourly",
+    "entity_two_hop",
+    "neighborhood_jaccard",
+    "entity_kcore",
 ]
 
 

@@ -526,3 +526,72 @@ def test_pagerank_fixedpoint_bitwise_and_close_to_float():
         rf = {n: (DD - DN) / DD + DN * inf[n] / DD for n in und}
     for n in und:
         assert abs(got[n] / SCALE - rf[n]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Round-4 structural operators
+# ---------------------------------------------------------------------------
+
+
+def _mirror(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"u": pd.concat([df["u"], df["v"]], ignore_index=True).to_numpy(np.int64),
+         "v": pd.concat([df["v"], df["u"]], ignore_index=True).to_numpy(np.int64)}
+    )
+
+
+def test_two_hop_counts_path_graph():
+    """Path 1-2-3-4: exact-2-hop pairs are (1,3),(2,4) both ways."""
+    from wikidata_qrank_ray.stages.graph import two_hop_counts
+
+    e = pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 4]})
+    und = ray.data.from_pandas(_mirror(e)).repartition(3)
+    out = two_hop_counts(und, num_partitions=4).to_pandas()
+    got = dict(zip(out["a"].astype(int), out["n_two_hop"].astype(int)))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_hop_excludes_direct_and_self():
+    """Triangle 1-2-3 plus pendant 4 on 1: inside the triangle every
+    2-hop target is also direct (count 0 -> absent); 4's only 2-hop
+    reaches are 2 and 3."""
+    from wikidata_qrank_ray.stages.graph import two_hop_counts
+
+    e = pd.DataFrame({"u": [1, 2, 3, 1], "v": [2, 3, 1, 4]})
+    und = ray.data.from_pandas(_mirror(e)).repartition(2)
+    out = two_hop_counts(und, num_partitions=4).to_pandas()
+    got = dict(zip(out["a"].astype(int), out["n_two_hop"].astype(int)))
+    assert got == {4: 2, 2: 1, 3: 1}  # 2 and 3 reach 4 via 1
+
+
+def test_neighborhood_jaccard_planted():
+    """Nodes 1 and 2 share neighbors {3,4} and have no others ->
+    inter=2, uni=2, jaccard 1. Node 5 attached only to 3 dilutes 3's
+    set, leaving (1,2) the only pair at >= 1/3... plus pairs through
+    shared neighbor 3."""
+    from wikidata_qrank_ray.stages.graph import neighborhood_jaccard_pairs
+
+    e = pd.DataFrame({"u": [1, 1, 2, 2], "v": [3, 4, 3, 4]})
+    und = ray.data.from_pandas(_mirror(e).drop_duplicates()).repartition(2)
+    out = neighborhood_jaccard_pairs(und, num_partitions=4).to_pandas()
+    row = out[(out["a"] == 1) & (out["b"] == 2)]
+    assert len(row) == 1
+    assert int(row["inter"].iloc[0]) == 2 and int(row["uni"].iloc[0]) == 2
+    # 3 and 4 both neighbor exactly {1,2}: inter=2, uni=2 as well
+    row34 = out[(out["a"] == 3) & (out["b"] == 4)]
+    assert int(row34["inter"].iloc[0]) == 2 and int(row34["uni"].iloc[0]) == 2
+
+
+def test_kcore_peel_pendant_chain():
+    """Triangle 1-2-3 with chain 3-4-5: k=2 peeling removes 5 (deg 1)
+    then 4; the triangle survives with degree 2 each. One round only
+    removes 5; three rounds reach the fixpoint."""
+    from wikidata_qrank_ray.stages.graph import kcore_peel
+
+    e = pd.DataFrame({"u": [1, 2, 3, 3, 4], "v": [2, 3, 1, 4, 5]})
+    und = ray.data.from_pandas(_mirror(e)).repartition(2)
+    one = kcore_peel(und, k=2, rounds=1).to_pandas()
+    assert set(one["u"].astype(int)) == {1, 2, 3, 4}  # 5 peeled, 4 not yet
+    out = kcore_peel(und, k=2, rounds=3).to_pandas()
+    got = dict(zip(out["u"].astype(int), out["kcore_deg"].astype(int)))
+    assert got == {1: 2, 2: 2, 3: 2}

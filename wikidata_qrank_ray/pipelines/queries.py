@@ -14,11 +14,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
 
 
+from ..functions.tokenize import flat_tokens
 from ..sources.gazetteer import GAZETTEER_TOP_N, build_aliases, build_gazetteer
 from ..sources.tables import read_table
 from ..sources.transcripts import derive_transcripts
@@ -3557,10 +3559,259 @@ FROM planted"""
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Round-4 operators
+# ---------------------------------------------------------------------------
+
+
+def q_doc_sentences(sf_dir: str):
+    """Sentence segmentation stats per document: segments = text split on
+    [.!?]+ runs; a segment is a sentence iff it contains a non-whitespace
+    char -> (doc_id, n_sentences, sent_chars). Fully vectorized Arrow
+    (split_pattern_regex + flatten + bincount); null text = 0 sentences."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _seg(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        segs = pc.split_pattern_regex(txt, pattern="[.!?]+")
+        flat = pc.list_flatten(segs)
+        parent = pc.list_parent_indices(segs).to_numpy()
+        is_sent = pc.match_substring_regex(flat, r"\S").to_numpy(
+            zero_copy_only=False
+        )
+        lens = pc.utf8_length(flat).to_numpy()
+        n = np.bincount(parent[is_sent], minlength=t.num_rows).astype(np.int64)
+        chars = np.bincount(
+            parent[is_sent], weights=lens[is_sent].astype(np.float64),
+            minlength=t.num_rows,
+        ).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_sentences": pa.array(n),
+                         "sent_chars": pa.array(chars)})
+
+    return docs.map_batches(_seg, batch_format="pyarrow")
+
+
+def q_prefix_dups(sf_dir: str):
+    """Boilerplate detection: groups of documents sharing the same 24-char
+    text prefix (>= 2 docs) -> (prefix, n_docs, min_doc). Per-batch partial
+    groupby, hash-partitioned exact final -- the cheap first pass of a
+    template-dedup pipeline."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _pref(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t["text"])
+        t = t.filter(mask)
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        pref = pc.utf8_slice_codeunits(txt, 0, 24)
+        g = pa.table({"prefix": pref, "doc_id": t["doc_id"]})
+        return _arrow_groupby_q(g)
+
+    def _arrow_groupby_q(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g, ["prefix"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "min")]
+        )
+        return pa.table({
+            "prefix": out["prefix"],
+            "n_docs": pc.cast(out["doc_id_count"], pa.int64()),
+            "min_doc": pc.cast(out["doc_id_min"], pa.int64()),
+        })
+
+    partial = docs.map_batches(_pref, batch_format="pyarrow")
+    agg = hash_partition_aggregate(
+        partial, ["prefix"],
+        {"n_docs": ("n_docs", "sum"), "min_doc": ("min_doc", "min")},
+        stamp_batch_size=None,
+    )
+
+    def _dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_docs"], 2))
+
+    return agg.map_batches(_dups, batch_format="pyarrow")
+
+
+def q_token_budget_mix(sf_dir: str, budget: int = 800):
+    """Data-mixing to a per-source token budget: within each source, docs
+    are taken in doc_id order while the running \\S+-token total stays
+    within ``budget`` -> (doc_id, source, n_tokens, cum_tokens). One
+    hash-partition shuffle on source; the cumulative sweep is a vectorized
+    grouped cumsum (the per-source doc list rides the partition)."""
+    from ..stages.groupby import hash_partition_apply
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        _, parent = flat_tokens(t["text"], fill_null=True)
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        out = pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                        "n_tokens": pa.array(n)})
+        return out.filter(pc.is_valid(out["source"]))
+
+    tk = docs.map_batches(_tok, batch_format="pyarrow")
+
+    def _cum(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(["source", "doc_id"], kind="mergesort")
+        srt["cum_tokens"] = srt.groupby("source", sort=False)["n_tokens"].cumsum()
+        out = srt[srt["cum_tokens"] <= budget].reset_index(drop=True)
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        out["cum_tokens"] = out["cum_tokens"].astype(np.int64)
+        return out
+
+    return hash_partition_apply(tk, ["source"], _cum, stamp_batch_size=None)
+
+
+def q_events_dedup_hourly(sf_dir: str):
+    """CDC-style windowed dedup: keep the FIRST event per (user_id,
+    event_type, hour) by (ts, event_id), with the window's duplicate count
+    -> (event_id, user_id, event_type, hour, n_dups). One hash-partition
+    shuffle on the window key; the survivor pick is a vectorized sort +
+    grouped cumcount."""
+    from ..stages.groupby import hash_partition_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _hour(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.floor("h")
+        return df
+
+    evh = ev.map_batches(_hour, batch_format="pandas")
+
+    def _first(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(
+            ["user_id", "event_type", "hour", "ts", "event_id"],
+            kind="mergesort",
+        )
+        g = srt.groupby(["user_id", "event_type", "hour"],
+                        sort=False, dropna=False)
+        keep = g.cumcount() == 0
+        out = srt[keep].copy()
+        out["n_dups"] = g.size().to_numpy(np.int64)
+        return out[["event_id", "user_id", "event_type", "hour", "n_dups"]]
+
+    return hash_partition_apply(
+        evh, ["user_id", "event_type", "hour"], _first, stamp_batch_size=None
+    )
+
+
+def _canon_cooccur_und(sf_dir: str, strong: bool = False):
+    """Undirected (mirrored) integer-id edge Dataset of the canonical
+    co-occurrence graph -- shared input of the round-4 graph operators.
+    ``strong=True`` keeps only strictly-above-median-weight edges (the
+    edge_negatives scale-free cutoff: the synthetic co-occurrence graph
+    is complete, so topology-sensitive operators need the strong-tie
+    subgraph to be non-trivial); the median comes from the weight-DOMAIN-
+    sized count table, never an edge-scaled shuffle."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.stats import grouped_weighted_median
+
+    ct = _canon_triples_mat(sf_dir)
+    med = 0
+    if strong:
+        wcounts = hash_partition_aggregate(
+            ct.map_batches(
+                lambda df: pd.DataFrame(
+                    {"w": df[df["pred"] == "co_occurs"]["weight"]
+                     .to_numpy(dtype=np.int64)}),
+                batch_format="pandas",
+            ),
+            ["w"], {"n": ("w", "count")}, num_partitions=8,
+        )
+        med_df = grouped_weighted_median(
+            wcounts.map_batches(
+                lambda df: df.assign(k=np.int64(0)), batch_format="pandas"
+            ),
+            ["k"], "w", "n", num_partitions=4,
+        ).to_pandas()
+        med = int(med_df["w_median"].iloc[0]) if len(med_df) else 0
+
+    def _und(df: pd.DataFrame, m=med) -> pd.DataFrame:
+        e = df[(df["pred"] == "co_occurs")
+               & (df["weight"].to_numpy(dtype=np.int64) > m)]
+        u = e["subj"].str[1:].astype(np.int64).to_numpy()
+        v = e["obj"].str[1:].astype(np.int64).to_numpy()
+        return pd.DataFrame({"u": np.concatenate([u, v]),
+                             "v": np.concatenate([v, u])})
+
+    return ct.map_batches(_und, batch_format="pandas")
+
+
+def q_entity_two_hop(sf_dir: str):
+    """Two-hop reach per entity: count of DISTINCT nodes exactly 2 hops
+    away (reachable via a shared neighbor, not a direct neighbor, not
+    self) -> (qid, n_two_hop). Composition: bucketed self-join on the
+    middle node, pair-key co-partitioned anti-join against the direct
+    edges, hash-partitioned final count (stages/graph.two_hop_counts).
+    Runs on the STRONG-TIE subgraph (weight > median): the complete
+    synthetic co-occurrence graph has no exact-2-hop pairs at all."""
+    from ..stages.graph import two_hop_counts
+
+    und = _canon_cooccur_und(sf_dir, strong=True).materialize()
+    cnt = two_hop_counts(und)
+    return cnt.map_batches(
+        lambda df: pd.DataFrame(
+            {"qid": "Q" + df["a"].astype(np.int64).astype(str),
+             "n_two_hop": df["n_two_hop"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def q_neighborhood_jaccard(sf_dir: str):
+    """Graph-structural near-duplicates: unordered entity pairs whose
+    1-hop neighbor sets overlap with Jaccard >= 1/3 (integer cross-check:
+    3*inter >= deg_a + deg_b - inter) -> (qid_a, qid_b, inter, uni).
+    Pairs via co-partition on the SHARED NEIGHBOR (the shingle-join
+    pattern); degrees are a vocab-bounded broadcast lookup
+    (stages/graph.neighborhood_jaccard_pairs)."""
+    from ..stages.graph import neighborhood_jaccard_pairs
+
+    und = _canon_cooccur_und(sf_dir).materialize()
+    pairs = neighborhood_jaccard_pairs(und)
+    return pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"qid_a": "Q" + df["a"].astype(np.int64).astype(str),
+             "qid_b": "Q" + df["b"].astype(np.int64).astype(str),
+             "inter": df["inter"].astype(np.int64),
+             "uni": df["uni"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def q_entity_kcore(sf_dir: str, k: int = 2, rounds: int = 3):
+    """Fixed-round k-core peeling over the canonical co-occurrence graph:
+    each round drops nodes with (current) degree < k and restricts the
+    edge set to survivors; after ``rounds`` rounds every remaining node is
+    reported with its remaining degree -> (qid, kcore_deg). The fixed
+    round count makes it SQL-unrollable (the LPA / fixed-point-PageRank
+    precedent); kernel in stages/graph.kcore_peel. Runs on the STRONG-TIE
+    subgraph (weight > median) so the peeling has real structure."""
+    from ..stages.graph import kcore_peel
+
+    und = _canon_cooccur_und(sf_dir, strong=True).materialize()
+    final = kcore_peel(und, k=k, rounds=rounds)
+    return final.map_batches(
+        lambda df: pd.DataFrame(
+            {"qid": "Q" + df["u"].astype(np.int64).astype(str),
+             "kcore_deg": df["kcore_deg"].astype(np.int64)}),
+        batch_format="pandas")
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
-    return {}
+    return {
+        "doc_sentences": q_doc_sentences,
+        "prefix_dups": q_prefix_dups,
+        "token_budget_mix": q_token_budget_mix,
+        "events_dedup_hourly": q_events_dedup_hourly,
+        "entity_two_hop": q_entity_two_hop,
+        "neighborhood_jaccard": q_neighborhood_jaccard,
+        "entity_kcore": q_entity_kcore,
+    }
 
 
 def queries():
@@ -5334,8 +5585,104 @@ SELECT a, b, dist FROM (
   FROM k x JOIN k y ON x.doc_id < y.doc_id
     AND abs(length(x.key) - length(y.key)) <= 3
 ) WHERE dist <= 3""",
-        # ann_ivf (data-dependent k-means quantizer) /
         # approx_distinct_users (HLL estimate): approximate by design ->
-        # rows-only here, value-checked against their exact twins in tests
-        # (ann_topk recall, distinct_user_count bound)
+        # rows-only here, value-checked against its exact twin in tests
+        # (distinct_user_count bound)
+        # --- round-4 operators ---
+        "doc_sentences": r"""
+SELECT doc_id,
+       CAST(COALESCE(SUM(CASE WHEN regexp_matches(s, '\S') THEN 1 END), 0) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(SUM(CASE WHEN regexp_matches(s, '\S') THEN length(s) END), 0) AS BIGINT) AS sent_chars
+FROM (SELECT doc_id, UNNEST(string_split_regex(COALESCE(text, ''), '[.!?]+')) AS s
+      FROM documents)
+GROUP BY doc_id""",
+        "prefix_dups": """
+SELECT substr(text, 1, 24) AS prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1 HAVING COUNT(*) >= 2""",
+        "token_budget_mix": r"""
+WITH tbm AS (
+  SELECT doc_id, source,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+  FROM documents WHERE source IS NOT NULL),
+tbc AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens
+  FROM tbm)
+SELECT doc_id, source, n_tokens, cum_tokens FROM tbc WHERE cum_tokens <= 800""",
+        "events_dedup_hourly": """
+SELECT event_id, user_id, event_type, hour, n_dups FROM (
+  SELECT event_id, user_id, event_type, date_trunc('hour', ts) AS hour,
+         row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)) AS BIGINT) AS n_dups
+  FROM events) WHERE rn = 1""",
+        "entity_two_hop": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""th_all AS (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS u, CAST(substr(obj, 2) AS BIGINT) AS v,
+         CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+th_med AS (
+  SELECT COALESCE(MIN(CASE WHEN 2 * cum >= tot THEN w END), 0) AS m FROM (
+    SELECT w, SUM(n) OVER (ORDER BY w) AS cum, SUM(n) OVER () AS tot
+    FROM (SELECT w, COUNT(*) AS n FROM th_all GROUP BY w))),
+th_e AS (SELECT u, v FROM th_all WHERE w > (SELECT m FROM th_med)),
+th_und AS (SELECT u, v FROM th_e UNION ALL SELECT v, u FROM th_e),
+th_two AS (
+  SELECT DISTINCT a.u AS a, b.v AS b
+  FROM th_und a JOIN th_und b ON a.v = b.u WHERE b.v <> a.u),
+th_anti AS (
+  SELECT a, b FROM th_two t
+  WHERE NOT EXISTS (SELECT 1 FROM th_und d WHERE d.u = t.a AND d.v = t.b))""",
+            select="""
+SELECT 'Q' || CAST(a AS VARCHAR) AS qid, CAST(COUNT(*) AS BIGINT) AS n_two_hop
+FROM th_anti GROUP BY a""",
+        ),
+        "neighborhood_jaccard": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""nj_e AS (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS u, CAST(substr(obj, 2) AS BIGINT) AS v
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+nj_und AS (SELECT u, v FROM nj_e UNION ALL SELECT v, u FROM nj_e),
+nj_deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM nj_und GROUP BY u),
+nj_pairs AS (
+  SELECT a.v AS a, b.v AS b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM nj_und a JOIN nj_und b ON a.u = b.u AND a.v < b.v
+  GROUP BY a.v, b.v)""",
+            select="""
+SELECT 'Q' || CAST(p.a AS VARCHAR) AS qid_a, 'Q' || CAST(p.b AS VARCHAR) AS qid_b,
+       p.inter AS inter, da.deg + db.deg - p.inter AS uni
+FROM nj_pairs p JOIN nj_deg da ON da.u = p.a JOIN nj_deg db ON db.u = p.b
+WHERE 3 * p.inter >= da.deg + db.deg - p.inter""",
+        ),
+        "entity_kcore": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""kc_all AS (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS u, CAST(substr(obj, 2) AS BIGINT) AS v,
+         CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+kc_med AS (
+  SELECT COALESCE(MIN(CASE WHEN 2 * cum >= tot THEN w END), 0) AS m FROM (
+    SELECT w, SUM(n) OVER (ORDER BY w) AS cum, SUM(n) OVER () AS tot
+    FROM (SELECT w, COUNT(*) AS n FROM kc_all GROUP BY w))),
+kc_s AS (SELECT u, v FROM kc_all WHERE w > (SELECT m FROM kc_med)),
+kc_e0 AS (
+  SELECT u, v FROM kc_s
+  UNION ALL
+  SELECT v, u FROM kc_s),
+kc_s0 AS (SELECT u FROM kc_e0 GROUP BY u HAVING COUNT(*) >= 2),
+kc_e1 AS (SELECT e.u, e.v FROM kc_e0 e
+          JOIN kc_s0 a ON e.u = a.u JOIN kc_s0 b ON e.v = b.u),
+kc_s1 AS (SELECT u FROM kc_e1 GROUP BY u HAVING COUNT(*) >= 2),
+kc_e2 AS (SELECT e.u, e.v FROM kc_e1 e
+          JOIN kc_s1 a ON e.u = a.u JOIN kc_s1 b ON e.v = b.u),
+kc_s2 AS (SELECT u FROM kc_e2 GROUP BY u HAVING COUNT(*) >= 2),
+kc_e3 AS (SELECT e.u, e.v FROM kc_e2 e
+          JOIN kc_s2 a ON e.u = a.u JOIN kc_s2 b ON e.v = b.u)""",
+            select="""
+SELECT 'Q' || CAST(u AS VARCHAR) AS qid, CAST(COUNT(*) AS BIGINT) AS kcore_deg
+FROM kc_e3 GROUP BY u""",
+        ),
     }

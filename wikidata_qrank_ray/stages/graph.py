@@ -915,3 +915,155 @@ def pagerank_fixedpoint(
             batch_format="pandas",
         ).materialize()
     return rank
+
+
+# ---------------------------------------------------------------------------
+# Round-4 structural operators (two-hop reach, neighborhood Jaccard, k-core)
+# ---------------------------------------------------------------------------
+
+
+def two_hop_counts(und: ray.data.Dataset, num_partitions: int = 64) -> ray.data.Dataset:
+    """MIRRORED edge Dataset (u, v) -> (a, n_two_hop): per node, the count
+    of DISTINCT nodes exactly two hops away (via a shared neighbor, not a
+    direct neighbor, not self). Composition: bucketed self-join on the
+    middle node, pair-key co-partitioned anti-join against the direct
+    edges (tag-union, one shuffle), hash-partitioned final count. Nothing
+    graph-scaled on the driver."""
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+    from .join import bucketed_hash_join
+
+    left = und.map_batches(
+        lambda df: pd.DataFrame({"a": df["u"], "x": df["v"]}),
+        batch_format="pandas")
+    right = und.map_batches(
+        lambda df: pd.DataFrame({"x2": df["u"], "b": df["v"]}),
+        batch_format="pandas")
+    two = bucketed_hash_join(left, right, "x", "x2",
+                             num_partitions=num_partitions).map_batches(
+        lambda df: df[df["a"] != df["b"]][["a", "b"]],
+        batch_format="pandas")
+
+    direct = und.map_batches(
+        lambda df: pd.DataFrame({"a": df["u"], "b": df["v"],
+                                 "tag": np.zeros(len(df), dtype=np.int8)}),
+        batch_format="pandas")
+    cand = two.map_batches(
+        lambda df: pd.DataFrame({"a": df["a"], "b": df["b"],
+                                 "tag": np.ones(len(df), dtype=np.int8)}),
+        batch_format="pandas")
+
+    def _anti(part: pd.DataFrame) -> pd.DataFrame:
+        d = part[part["tag"] == 0][["a", "b"]].drop_duplicates()
+        t = part[part["tag"] == 1][["a", "b"]].drop_duplicates()
+        m = t.merge(d, on=["a", "b"], how="left", indicator=True)
+        return m[m["_merge"] == "left_only"][["a", "b"]]
+
+    pairs = hash_partition_apply(
+        direct.union(cand), ["a", "b"], _anti,
+        num_partitions=num_partitions, stamp_batch_size=None,
+    )
+    return hash_partition_aggregate(
+        pairs, ["a"], {"n_two_hop": ("b", "count")},
+        num_partitions=num_partitions, stamp_batch_size=None,
+    )
+
+
+def neighborhood_jaccard_pairs(
+    und: ray.data.Dataset,
+    num_threshold: int = 1,
+    den_threshold: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """MIRRORED DISTINCT edge Dataset (u, v) -> unordered pairs (a < b)
+    whose neighbor sets overlap with Jaccard >= num/den (integer
+    cross-multiplied: den*inter >= num*(deg_a+deg_b-inter)) ->
+    (a, b, inter, uni). Pair generation co-partitions on the SHARED
+    NEIGHBOR (the shingle-join pattern from stages/dedup.py); degrees are
+    a node-space-bounded broadcast lookup."""
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+
+    deg_df = hash_partition_aggregate(
+        und, ["u"], {"deg": ("v", "count")},
+        num_partitions=num_partitions, stamp_batch_size=None,
+    ).to_pandas()
+    deg_map = dict(zip(deg_df.get("u", pd.Series(dtype=np.int64)).astype(np.int64),
+                       deg_df.get("deg", pd.Series(dtype=np.int64)).astype(np.int64)))
+    deg_ref = ray.put(deg_map)
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(["u", "v"], kind="mergesort")
+        u = srt["u"].to_numpy(np.int64)
+        v = srt["v"].to_numpy(np.int64)
+        # vectorized within-group pair explosion: for each group of size
+        # g, emit all C(g,2) ordered index pairs via offset arithmetic
+        outs = []
+        starts = np.concatenate([[0], np.where(u[1:] != u[:-1])[0] + 1, [len(u)]])
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            g = s1 - s0
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(g, k=1)
+            outs.append(pd.DataFrame({"a": v[s0 + ii], "b": v[s0 + jj]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    shared = hash_partition_apply(
+        und, ["u"], _pairs, num_partitions=num_partitions,
+        stamp_batch_size=None,
+    )
+    inter = hash_partition_aggregate(
+        shared, ["a", "b"], {"inter": ("a", "count")},
+        num_partitions=num_partitions, stamp_batch_size=None,
+    )
+
+    def _jac(df: pd.DataFrame, deg_ref=deg_ref, num=num_threshold,
+             den=den_threshold) -> pd.DataFrame:
+        dm = ray.get(deg_ref)
+        da = df["a"].map(dm).to_numpy(np.int64)
+        db = df["b"].map(dm).to_numpy(np.int64)
+        it = df["inter"].to_numpy(np.int64)
+        uni = da + db - it
+        keep = den * it >= num * uni
+        return pd.DataFrame({"a": df["a"].to_numpy(np.int64)[keep],
+                             "b": df["b"].to_numpy(np.int64)[keep],
+                             "inter": it[keep], "uni": uni[keep]})
+
+    return inter.map_batches(_jac, batch_format="pandas")
+
+
+def kcore_peel(
+    und: ray.data.Dataset, k: int = 2, rounds: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Fixed-round k-core peeling on a MIRRORED edge Dataset (u, v): each
+    round drops nodes with degree < k and restricts the edges to
+    survivors; returns (u, kcore_deg) for every node still present after
+    ``rounds`` rounds. Degrees via the hash-partitioned aggregate; the
+    survivor node set is node-space-bounded and broadcast per round
+    (beyond ~10^8 nodes the filter becomes a co-partition semi-join --
+    stages/join.py machinery; documented tier). Fixed round count keeps
+    it SQL-unrollable (the LPA precedent)."""
+    from .groupby import hash_partition_aggregate
+
+    for _ in range(rounds):
+        deg = hash_partition_aggregate(
+            und, ["u"], {"deg": ("v", "count")},
+            num_partitions=num_partitions, stamp_batch_size=None,
+        ).to_pandas()
+        if len(deg) == 0:
+            break
+        surv = set(deg[deg["deg"] >= k]["u"].astype(np.int64))
+        surv_ref = ray.put(surv)
+
+        def _filt(df: pd.DataFrame, surv_ref=surv_ref) -> pd.DataFrame:
+            s = ray.get(surv_ref)
+            keep = df["u"].isin(s).to_numpy() & df["v"].isin(s).to_numpy()
+            return df[keep]
+
+        und = und.map_batches(_filt, batch_format="pandas").materialize()
+    return hash_partition_aggregate(
+        und, ["u"], {"kcore_deg": ("v", "count")},
+        num_partitions=num_partitions, stamp_batch_size=None,
+    )
