@@ -106,6 +106,10 @@ QUERY_NAMES = [
     "entity_two_hop",
     "neighborhood_jaccard",
     "entity_kcore",
+    "turn_windows",
+    "ann_doc_maxsim",
+    "ann_per_class",
+    "doc_difficulty_deciles",
 ]
 
 

@@ -48,3 +48,23 @@ def test_zorder_rank_is_exact_permutation():
     # rank order IS (zval, id) order
     srt = out.sort_values(["zval", "id"]).reset_index(drop=True)
     assert (srt["zrank"].to_numpy() == np.arange(1, n + 1)).all()
+
+
+def test_ranked_by_key_matches_row_number():
+    """ranked_by_key == ROW_NUMBER() OVER (ORDER BY key, id) without a
+    global sort, including heavy key ties."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from wikidata_qrank_ray.stages.layout import ranked_by_key
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "k": rng.randint(0, 7, 1000).astype(np.int64)})
+    out = (ranked_by_key(ray.data.from_pandas(df).repartition(8), "k", "id",
+                         num_partitions=8)
+           .to_pandas().sort_values("rnk").reset_index(drop=True))
+    want = df.sort_values(["k", "id"], kind="mergesort").reset_index(drop=True)
+    assert out["id"].tolist() == want["id"].tolist()
+    assert out["rnk"].tolist() == list(range(1, 1001))

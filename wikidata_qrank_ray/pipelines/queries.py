@@ -3800,6 +3800,142 @@ def q_entity_kcore(sf_dir: str, k: int = 2, rounds: int = 3):
         batch_format="pandas")
 
 
+def q_turn_windows(sf_dir: str):
+    """Training-sample context assembly over transcripts: for every turn,
+    the char length of its rolling 2-turn context (the two preceding
+    turns of the same conversation) -> (conv_id, turn_idx, ctx_chars).
+    One hash-partition shuffle on conv_id; the window is a vectorized
+    shifted-cumsum sweep (no per-turn Python)."""
+    from ..stages.groupby import hash_partition_apply
+
+    turns = derive_transcripts(sf_dir)
+
+    def _lens(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+            "len": pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")),
+                           pa.int64()),
+        })
+
+    tl = turns.map_batches(_lens, batch_format="pyarrow")
+
+    def _ctx(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = srt.groupby("conv_id", sort=False)["len"]
+        prev1 = g.shift(1, fill_value=0).to_numpy(np.int64)
+        prev2 = g.shift(2, fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "conv_id": srt["conv_id"].to_numpy(),
+            "turn_idx": srt["turn_idx"].to_numpy(np.int32),
+            "ctx_chars": prev1 + prev2,
+        })
+
+    return hash_partition_apply(tl, ["conv_id"], _ctx, stamp_batch_size=None)
+
+
+def _doc_of_vec(vec_id: np.ndarray) -> np.ndarray:
+    return (vec_id // 4).astype(np.int64)
+
+
+def q_ann_doc_maxsim(sf_dir: str):
+    """Multi-vector (late-interaction) retrieval reduced to one query
+    vector: each document owns 4 chunk vectors (doc = vec_id // 4); doc
+    score = MAX cosine over its chunks; -> top-10 docs (pos, doc_id).
+    Per-batch partial max per doc, hash-partitioned exact max (max is
+    associative on identical doubles), per-block top-10 candidates, tiny
+    driver final -- the ColBERT-style MaxSim aggregation shape."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vec(sf_dir)
+    if q is None:
+        return pd.DataFrame({"pos": pd.Series(dtype=np.int64),
+                             "doc_id": pd.Series(dtype=np.int64)})
+
+    def _partial(batch: pd.DataFrame, q=q) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+        df = pd.DataFrame({"doc_id": _doc_of_vec(batch["vec_id"].to_numpy()),
+                           "sim": sims})
+        return df.groupby("doc_id", as_index=False)["sim"].max()
+
+    agg = hash_partition_aggregate(
+        emb.map_batches(_partial, batch_format="pandas", batch_size=4096),
+        ["doc_id"], {"sim": ("sim", "max")}, stamp_batch_size=None,
+    )
+
+    def _cand(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["doc_id"].to_numpy(), -df["sim"].to_numpy()))[:10]
+        return df.iloc[order]
+
+    tops = agg.map_batches(_cand, batch_format="pandas").to_pandas()
+    order = np.lexsort((tops["doc_id"].to_numpy(), -tops["sim"].to_numpy()))[:10]
+    out = tops.iloc[order].reset_index(drop=True)
+    return pd.DataFrame({"pos": np.arange(1, len(out) + 1, dtype=np.int64),
+                         "doc_id": out["doc_id"].astype(np.int64)})
+
+
+def q_ann_per_class(sf_dir: str):
+    """Per-label nearest neighbors: top-3 vectors per label class by
+    cosine to the query (diversity-constrained retrieval / per-domain
+    candidate pools) -> (label, pos, vec_id). Per-batch partial top-3 per
+    label, label-count-bounded driver final."""
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    q = _query_vec(sf_dir)
+    if q is None:
+        return pd.DataFrame({"label": pd.Series(dtype=np.int64),
+                             "pos": pd.Series(dtype=np.int64),
+                             "vec_id": pd.Series(dtype=np.int64)})
+
+    def _partial(batch: pd.DataFrame, q=q) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+        df = pd.DataFrame({"label": batch["label"].to_numpy(),
+                           "vec_id": batch["vec_id"].to_numpy(np.int64),
+                           "sim": sims})
+        srt = df.sort_values(["label", "sim", "vec_id"],
+                             ascending=[True, False, True], kind="mergesort")
+        return srt[srt.groupby("label", sort=False).cumcount() < 3]
+
+    parts = emb.map_batches(
+        _partial, batch_format="pandas", batch_size=4096
+    ).to_pandas()  # label-count x 3 x blocks rows
+    srt = parts.sort_values(["label", "sim", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    out = srt[srt.groupby("label", sort=False).cumcount() < 3].reset_index(drop=True)
+    pos = out.groupby("label", sort=False).cumcount().to_numpy(np.int64) + 1
+    return pd.DataFrame({"label": out["label"].to_numpy(np.int64),
+                         "pos": pos,
+                         "vec_id": out["vec_id"].astype(np.int64)})
+
+
+def q_doc_difficulty_deciles(sf_dir: str):
+    """Curriculum bucketing: global rank of every document by
+    (token count, doc_id) -> decile 0..9 via ((rnk-1)*10) // N -- a global
+    ROW_NUMBER with NO global sort (distributed key histogram + driver
+    prefix over the token-count DOMAIN, stages/layout.ranked_by_key)
+    -> (doc_id, n_tokens, decile)."""
+    from ..stages.layout import ranked_by_key
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        _, parent = flat_tokens(t["text"], fill_null=True)
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n)})
+
+    tk = docs.map_batches(_tok, batch_format="pyarrow").materialize()
+    n_total = tk.count()
+    ranked = ranked_by_key(tk, "n_tokens", "doc_id")
+    return ranked.map_batches(
+        lambda df, n=n_total: pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64),
+             "n_tokens": df["n_tokens"].to_numpy(np.int64),
+             "decile": ((df["rnk"].to_numpy(np.int64) - 1) * 10) // max(n, 1)}),
+        batch_format="pandas")
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -3811,6 +3947,10 @@ def _round4_queries():
         "entity_two_hop": q_entity_two_hop,
         "neighborhood_jaccard": q_neighborhood_jaccard,
         "entity_kcore": q_entity_kcore,
+        "turn_windows": q_turn_windows,
+        "ann_doc_maxsim": q_ann_doc_maxsim,
+        "ann_per_class": q_ann_per_class,
+        "doc_difficulty_deciles": q_doc_difficulty_deciles,
     }
 
 
@@ -5657,6 +5797,43 @@ SELECT 'Q' || CAST(p.a AS VARCHAR) AS qid_a, 'Q' || CAST(p.b AS VARCHAR) AS qid_
 FROM nj_pairs p JOIN nj_deg da ON da.u = p.a JOIN nj_deg db ON db.u = p.b
 WHERE 3 * p.inter >= da.deg + db.deg - p.inter""",
         ),
+        "turn_windows": _with(
+            SQL_TURNS,
+            select="""
+SELECT conv_id, turn_idx,
+       CAST(COALESCE(SUM(length(text)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ctx_chars
+FROM turns""",
+        ),
+        "ann_doc_maxsim": """
+WITH mq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ms AS (
+  SELECT CAST(e.vec_id // 4 AS BIGINT) AS doc_id,
+         MAX(list_cosine_similarity(e.embedding, q.qv)) AS sim
+  FROM embeddings e, mq q GROUP BY e.vec_id // 4)
+SELECT pos, doc_id FROM (
+  SELECT CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS pos,
+         doc_id
+  FROM ms) WHERE pos <= 10""",
+        "ann_per_class": """
+WITH cq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT label, pos, vec_id FROM (
+  SELECT CAST(e.label AS BIGINT) AS label,
+         CAST(row_number() OVER (PARTITION BY e.label
+           ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id ASC) AS BIGINT) AS pos,
+         e.vec_id AS vec_id
+  FROM embeddings e, cq q) WHERE pos <= 3""",
+        "doc_difficulty_deciles": r"""
+WITH dt AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+  FROM documents),
+dr AS (SELECT doc_id, n_tokens,
+              row_number() OVER (ORDER BY n_tokens, doc_id) AS rnk,
+              COUNT(*) OVER () AS n FROM dt)
+SELECT doc_id, n_tokens, CAST(((rnk - 1) * 10) // GREATEST(n, 1) AS BIGINT) AS decile
+FROM dr""",
         "entity_kcore": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
             f"""kc_all AS (

@@ -87,3 +87,48 @@ def zorder_rank(
         return out
 
     return hash_partition_apply(zed, ["zb"], _rank, num_partitions)
+
+
+def ranked_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """(id, key int64) -> (id, key, rnk): rnk = 1-based global ROW_NUMBER
+    in (key, id) order WITHOUT a global sort -- the zorder_rank bucket-
+    offset scheme generalized to an arbitrary integer key: distributed
+    per-key histogram, driver exclusive prefix sum (key-DOMAIN-sized, the
+    watermark-bucket precedent; for huge domains shift the key into
+    buckets first), broadcast bases, one bucket-hashed sweep."""
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+
+    hist = hash_partition_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame({"kb": df[key_col].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["kb"], {"n": ("kb", "count")}, num_partitions,
+    ).to_pandas()
+    if len(hist) == 0:
+        return ds.map_batches(
+            lambda df: pd.DataFrame(
+                {id_col: pd.Series(dtype=np.int64),
+                 key_col: pd.Series(dtype=np.int64),
+                 "rnk": pd.Series(dtype=np.int64)}),
+            batch_format="pandas")
+    hist = hist.sort_values("kb").reset_index(drop=True)
+    keys = hist["kb"].to_numpy(dtype=np.int64)
+    vals = (hist["n"].cumsum().shift(1, fill_value=0) + 1).to_numpy(dtype=np.int64)
+    base_ref = ray.put((keys, vals))
+
+    def _rank(part: pd.DataFrame, ref=base_ref) -> pd.DataFrame:
+        keys, vals = ray.get(ref)
+        srt = part.sort_values([key_col, id_col], kind="mergesort")
+        local = srt.groupby(key_col, sort=False).cumcount().to_numpy(np.int64)
+        kb = srt[key_col].to_numpy(np.int64)
+        b = vals[np.searchsorted(keys, kb)]
+        out = srt[[id_col, key_col]].copy()
+        out["rnk"] = b + local
+        return out
+
+    return hash_partition_apply(ds, [key_col], _rank, num_partitions)
