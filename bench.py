@@ -110,6 +110,8 @@ QUERY_NAMES = [
     "ann_doc_maxsim",
     "ann_per_class",
     "doc_difficulty_deciles",
+    "entity_ppr_int",
+    "walk_pairs",
 ]
 
 

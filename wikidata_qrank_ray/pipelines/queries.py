@@ -3936,6 +3936,60 @@ def q_doc_difficulty_deciles(sf_dir: str):
         batch_format="pandas")
 
 
+def q_entity_ppr_int(sf_dir: str):
+    """Personalized PageRank (bitwise fixed-point integer arithmetic, 3
+    iterations) seeded at the top-ranked canonical entity -- the
+    seed-anchored relevance primitive for entity-centric retrieval.
+    Same seed rule as entity_bfs (max mention_count, ties to the lowest
+    numeric qid); value-exact SQL oracle via unrolled CTEs
+    (stages/graph.ppr_fixedpoint). -> (qid, rank_i)."""
+    from ..stages.graph import ppr_fixedpoint
+
+    rank = q_canonical_rank(sf_dir)
+    rdf = rank.to_pandas() if not isinstance(rank, pd.DataFrame) else rank
+    if len(rdf) == 0:
+        return pd.DataFrame({"qid": pd.Series(dtype=object),
+                             "rank_i": pd.Series(dtype=np.int64)})
+    rdf = rdf.assign(qnum=rdf["qid"].str[1:].astype(np.int64))
+    seed = int(rdf.sort_values(["mention_count", "qnum"],
+                               ascending=[False, True])["qnum"].iloc[0])
+
+    ct = _canon_triples_mat(sf_dir)
+    edges = ct.map_batches(
+        lambda df: pd.DataFrame(
+            {"u": df[df["pred"] == "co_occurs"]["subj"].str[1:].astype(np.int64),
+             "v": df[df["pred"] == "co_occurs"]["obj"].str[1:].astype(np.int64),
+             "w": df[df["pred"] == "co_occurs"]["weight"].astype(np.int64)}),
+        batch_format="pandas",
+    )
+    ranks = ppr_fixedpoint(edges, seed, n_iters=3)
+    return ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"qid": "Q" + df["node"].astype(str),
+             "rank_i": df["rank_i"].to_numpy(dtype=np.int64)}),
+        batch_format="pandas",
+    )
+
+
+def q_walk_pairs(sf_dir: str):
+    """Deterministic node2vec-style walk sampling over the canonical
+    co-occurrence graph: one 2-step walk per node, step k chosen by
+    polyhash64('<start>|<step>') mod degree over (v asc)-ranked neighbors
+    -- RNG-free, SQL-replayable training pairs for graph embeddings
+    (stages/graph.deterministic_walks). -> (start, hop1, hop2) as qids."""
+    from ..stages.graph import deterministic_walks
+
+    und = _canon_cooccur_und(sf_dir).materialize()
+    walks = deterministic_walks(und)
+    return walks.map_batches(
+        lambda df: pd.DataFrame(
+            {"start": "Q" + df["start"].astype(np.int64).astype(str),
+             "hop1": "Q" + df["hop1"].astype(np.int64).astype(str),
+             "hop2": "Q" + df["hop2"].astype(np.int64).astype(str)}),
+        batch_format="pandas",
+    )
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -3951,6 +4005,8 @@ def _round4_queries():
         "ann_doc_maxsim": q_ann_doc_maxsim,
         "ann_per_class": q_ann_per_class,
         "doc_difficulty_deciles": q_doc_difficulty_deciles,
+        "entity_ppr_int": q_entity_ppr_int,
+        "walk_pairs": q_walk_pairs,
     }
 
 
@@ -4425,6 +4481,35 @@ pr_r{it} AS (
   FROM pr_e e
   JOIN pr_deg d ON e.src = d.src
   JOIN pr_r{it - 1} r ON e.src = r.node
+  GROUP BY e.dst)"""
+
+    # personalized variant: teleport mass returns to the crank-top seed only
+    ppr_cte = f"""ppr_seed AS (
+  SELECT CAST(substr(qid, 2) AS BIGINT) AS s FROM (
+    SELECT qid, row_number() OVER (ORDER BY mention_count DESC,
+                                   CAST(substr(qid, 2) AS BIGINT) ASC) AS rp
+    FROM crank) WHERE rp = 1),
+ppr_und AS (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS u,
+         CAST(substr(obj, 2) AS BIGINT) AS v,
+         CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+ppr_e AS (SELECT u AS src, v AS dst, w FROM ppr_und
+          UNION ALL SELECT v, u, w FROM ppr_und),
+ppr_deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM ppr_e GROUP BY src),
+ppr_r0 AS (
+  SELECT src AS node,
+         CAST(CASE WHEN src = (SELECT s FROM ppr_seed) THEN {SCALE} ELSE 0 END AS BIGINT) AS rank_i
+  FROM ppr_deg)"""
+    for it in range(1, 4):
+        ppr_cte += f""",
+ppr_r{it} AS (
+  SELECT e.dst AS node,
+         CAST(CASE WHEN e.dst = (SELECT s FROM ppr_seed) THEN {pr_base} ELSE 0 END
+              + ({DNUM} * SUM((r.rank_i * e.w) // d.wdeg)) // {DDEN} AS BIGINT) AS rank_i
+  FROM ppr_e e
+  JOIN ppr_deg d ON e.src = d.src
+  JOIN ppr_r{it - 1} r ON e.src = r.node
   GROUP BY e.dst)"""
 
     return {
@@ -5834,6 +5919,41 @@ dr AS (SELECT doc_id, n_tokens,
               COUNT(*) OVER () AS n FROM dt)
 SELECT doc_id, n_tokens, CAST(((rnk - 1) * 10) // GREATEST(n, 1) AS BIGINT) AS decile
 FROM dr""",
+        "entity_ppr_int": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS, crank_cte,
+            SQL_TRIPLES, ppr_cte,
+            select="""
+SELECT 'Q' || CAST(node AS VARCHAR) AS qid, rank_i FROM ppr_r3""",
+        ),
+        "walk_pairs": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""wk_und AS (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS u, CAST(substr(obj, 2) AS BIGINT) AS v
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'
+  UNION ALL
+  SELECT CAST(substr(obj, 2) AS BIGINT), CAST(substr(subj, 2) AS BIGINT)
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+wk_nb AS (
+  SELECT u, v,
+         CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT) AS idx,
+         CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS deg
+  FROM wk_und),
+wk_s1 AS (
+  SELECT u AS start, v AS hop1 FROM wk_nb
+  WHERE idx = CAST(list_reduce(
+      [CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(CAST(u AS VARCHAR) || '|1', '')],
+      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) % CAST(deg AS HUGEINT) AS BIGINT)),
+wk_s2 AS (
+  SELECT s.start, s.hop1, n.v AS hop2
+  FROM wk_s1 s JOIN wk_nb n ON n.u = s.hop1
+  WHERE n.idx = CAST(list_reduce(
+      [CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(CAST(s.start AS VARCHAR) || '|2', '')],
+      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) % CAST(n.deg AS HUGEINT) AS BIGINT))""",
+            select="""
+SELECT 'Q' || CAST(start AS VARCHAR) AS start, 'Q' || CAST(hop1 AS VARCHAR) AS hop1,
+       'Q' || CAST(hop2 AS VARCHAR) AS hop2
+FROM wk_s2""",
+        ),
         "entity_kcore": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
             f"""kc_all AS (

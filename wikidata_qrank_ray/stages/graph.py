@@ -1067,3 +1067,138 @@ def kcore_peel(
         und, ["u"], {"kcore_deg": ("v", "count")},
         num_partitions=num_partitions, stamp_batch_size=None,
     )
+
+
+def ppr_fixedpoint(
+    edges: ray.data.Dataset,
+    seed_node: int,
+    n_iters: int = 3,
+    scale: int = 1_000_000_000,
+    d_num: int = 17,
+    d_den: int = 20,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Personalized fixed-point INTEGER PageRank: identical arithmetic to
+    ``pagerank_fixedpoint`` (truncating integer contributions -> bitwise
+    deterministic, SQL-unrollable) except ALL teleport mass returns to
+    ``seed_node``: r0 = scale at the seed / 0 elsewhere, and the damping
+    base ((d_den-d_num)*scale)//d_den is added at the seed only. The
+    personalized-retrieval primitive (seed-anchored relevance) of a KG
+    feature pipeline. -> (node, rank_i)."""
+    from .groupby import hash_partition_aggregate
+    from .join import bucketed_hash_join
+
+    def _undirect(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df[["u", "v", "w"]].rename(columns={"u": "src", "v": "dst"})
+        rev = df[["v", "u", "w"]].rename(columns={"v": "src", "u": "dst"})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    und = edges.map_batches(_undirect, batch_format="pandas").materialize()
+    num_partitions = min(num_partitions, max(2, und.count() // 10_000 + 1))
+    wdeg = hash_partition_aggregate(
+        und.map_batches(lambda df: df[["src", "w"]], batch_format="pandas"),
+        ["src"], {"wdeg": ("w", "sum")}, num_partitions,
+    )
+    und_deg = bucketed_hash_join(
+        und, wdeg, "src", "src", num_partitions=num_partitions
+    ).materialize()
+
+    rank = wdeg.map_batches(
+        lambda df, s=scale, sd=seed_node: pd.DataFrame(
+            {"node": df["src"].to_numpy(dtype=np.int64),
+             "rank_i": np.where(df["src"].to_numpy(np.int64) == sd, s, 0
+                                ).astype(np.int64)}),
+        batch_format="pandas",
+    ).materialize()
+    base = ((d_den - d_num) * scale) // d_den
+
+    for _ in range(n_iters):
+        j = bucketed_hash_join(
+            und_deg,
+            rank.map_batches(
+                lambda df: df.rename(columns={"node": "src"}),
+                batch_format="pandas",
+            ),
+            "src", "src", num_partitions=num_partitions,
+        )
+        contrib = j.map_batches(
+            lambda df: pd.DataFrame(
+                {"dst": df["dst"].to_numpy(dtype=np.int64),
+                 "c": (df["rank_i"].to_numpy(dtype=np.int64)
+                       * df["w"].to_numpy(dtype=np.int64))
+                      // df["wdeg"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas",
+        )
+        inflow = hash_partition_aggregate(
+            contrib, ["dst"], {"inflow": ("c", "sum")}, num_partitions,
+        )
+        rank = inflow.map_batches(
+            lambda df, b=base, dn=d_num, dd=d_den, sd=seed_node: pd.DataFrame(
+                {"node": df["dst"].to_numpy(dtype=np.int64),
+                 "rank_i": np.where(df["dst"].to_numpy(np.int64) == sd, b, 0)
+                 + (dn * df["inflow"].to_numpy(dtype=np.int64)) // dd}),
+            batch_format="pandas",
+        ).materialize()
+    return rank
+
+
+def deterministic_walks(
+    und: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Deterministic 2-step 'random' walks from EVERY node over a MIRRORED
+    DISTINCT edge Dataset (u, v) -- node2vec-style positive-pair sampling
+    with NO RNG: step s from current node picks the k-th neighbor in
+    (v asc) order where k = polyhash64('<start>|<s>') mod degree, so the
+    walk is a pure function of the graph and SQL-replayable (the
+    edge_negatives hash idiom). -> (start, hop1, hop2). Step 1 is pure
+    map-side (the pick predicate evaluates per neighbor row); step 2 is
+    one bucketed join on the hop-1 node."""
+    from ..functions.hashing import polyhash64
+    from .groupby import hash_partition_apply
+    from .join import bucketed_hash_join
+
+    def _rank_nb(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(["u", "v"], kind="mergesort")
+        idx = srt.groupby("u", sort=False).cumcount().to_numpy(np.int64)
+        deg = srt.groupby("u", sort=False)["v"].transform("size").to_numpy(np.int64)
+        return pd.DataFrame({"u": srt["u"].to_numpy(np.int64),
+                             "v": srt["v"].to_numpy(np.int64),
+                             "idx": idx, "deg": deg})
+
+    nb = hash_partition_apply(
+        und, ["u"], _rank_nb, num_partitions=num_partitions,
+        stamp_batch_size=None,
+    ).materialize()
+
+    def _step1(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"start": pd.Series(dtype=np.int64),
+                                 "hop1": pd.Series(dtype=np.int64)})
+        keys = (df["u"].astype(np.int64).astype(str) + "|1").to_numpy(dtype=object)
+        k = (polyhash64(keys) % df["deg"].to_numpy(np.uint64)).astype(np.int64)
+        keep = df["idx"].to_numpy(np.int64) == k
+        return pd.DataFrame({"start": df["u"].to_numpy(np.int64)[keep],
+                             "hop1": df["v"].to_numpy(np.int64)[keep]})
+
+    s1 = nb.map_batches(_step1, batch_format="pandas")
+    j = bucketed_hash_join(
+        s1.map_batches(lambda df: df.rename(columns={"hop1": "nbu"}),
+                       batch_format="pandas"),
+        nb.map_batches(lambda df: df.rename(columns={"u": "nbu2"}),
+                       batch_format="pandas"),
+        "nbu", "nbu2", num_partitions=num_partitions,
+    )
+
+    def _step2(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"start": pd.Series(dtype=np.int64),
+                                 "hop1": pd.Series(dtype=np.int64),
+                                 "hop2": pd.Series(dtype=np.int64)})
+        keys = (df["start"].astype(np.int64).astype(str) + "|2").to_numpy(dtype=object)
+        k = (polyhash64(keys) % df["deg"].to_numpy(np.uint64)).astype(np.int64)
+        keep = df["idx"].to_numpy(np.int64) == k
+        return pd.DataFrame({"start": df["start"].to_numpy(np.int64)[keep],
+                             "hop1": df["nbu"].to_numpy(np.int64)[keep],
+                             "hop2": df["v"].to_numpy(np.int64)[keep]})
+
+    return j.map_batches(_step2, batch_format="pandas")
