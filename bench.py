@@ -112,6 +112,7 @@ QUERY_NAMES = [
     "doc_difficulty_deciles",
     "entity_ppr_int",
     "walk_pairs",
+    "audio_features",
 ]
 
 

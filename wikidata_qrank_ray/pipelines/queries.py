@@ -3990,6 +3990,31 @@ def q_walk_pairs(sf_dir: str):
     )
 
 
+def q_audio_features(sf_dir: str):
+    """REAL multimodal decode: deterministic RIFF/WAVE binaries (stdlib
+    ``wave``-written, one per document) flow through an actor-pool stage
+    that genuinely PARSES the container -- header fields + PCM frames --
+    and emits integer-exact features (frames, rate, duration, energy,
+    peak). The sample formula is SQL-replayable, so the whole decode path
+    is value-oracled; see stages/multimodal.py (image/video decode remains
+    environment-blocked and honestly stubbed)."""
+    from ..stages.multimodal import extract_audio_features, synth_wav_payload
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _synth(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["doc_id"]))
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array([synth_wav_payload(i) for i in ids],
+                                pa.binary()),
+        })
+
+    media = docs.map_batches(_synth, batch_format="pyarrow", batch_size=64)
+    return extract_audio_features(media)
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4007,6 +4032,7 @@ def _round4_queries():
         "doc_difficulty_deciles": q_doc_difficulty_deciles,
         "entity_ppr_int": q_entity_ppr_int,
         "walk_pairs": q_walk_pairs,
+        "audio_features": q_audio_features,
     }
 
 
@@ -5919,6 +5945,16 @@ dr AS (SELECT doc_id, n_tokens,
               COUNT(*) OVER () AS n FROM dt)
 SELECT doc_id, n_tokens, CAST(((rnk - 1) * 10) // GREATEST(n, 1) AS BIGINT) AS decile
 FROM dr""",
+        "audio_features": """
+WITH af AS (SELECT doc_id AS media_id, 100 + doc_id % 50 AS n
+            FROM documents WHERE doc_id IS NOT NULL),
+asm AS (SELECT media_id, n, UNNEST(range(0, n)) AS k FROM af),
+asv AS (SELECT media_id, n,
+               ((media_id * 1000003 + k * 37) % 65536) - 32768 AS s FROM asm)
+SELECT media_id, CAST(n AS BIGINT) AS n_frames, CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM(s * s) AS BIGINT) AS sumsq, CAST(MAX(ABS(s)) AS BIGINT) AS peak
+FROM asv GROUP BY media_id, n""",
         "entity_ppr_int": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_RANK, SQL_ALIAS, crank_cte,
             SQL_TRIPLES, ppr_cte,

@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-container) behind ``DecodeUnavailable`` or a deterministic fake, but the
-Ray-side plumbing is real and tested: schema, actor-pool signature, small
-batch sizes for large binary payloads, and output layout.
+AUDIO decode is REAL (round 4): stdlib ``wave`` parses genuine RIFF/WAVE
+payloads -- header + PCM frames -- in an actor-pool stage with a
+value-exact oracle (AudioFeatureExtractor below). Image/video decode
+kernels remain STUBBED (no image/video libraries in this container)
+behind ``DecodeUnavailable`` or a deterministic fake, with the Ray-side
+plumbing real and tested: schema, actor-pool signature, small batch
+sizes for large binary payloads, and output layout.
 
 Design notes for 100 TB: binary payloads dominate block size, so these
 stages run with small ``batch_size`` and ``batch_format="pyarrow"`` (binary
@@ -227,5 +230,75 @@ def resize_images(
         fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
         batch_format="pyarrow",
         batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real audio container decode (stdlib `wave`): the audio seam is no longer
+# a stub -- payloads are genuine RIFF/WAVE binaries and the extractor
+# PARSES them (header + PCM frames); only image/video decode remains
+# environment-blocked behind DecodeUnavailable.
+# ---------------------------------------------------------------------------
+
+import io
+import wave
+
+
+def synth_wav_payload(media_id: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono WAV: n = 100 + media_id % 50 frames,
+    sample k = ((media_id * 1000003 + k * 37) % 65536) - 32768. The
+    sample formula is integer-exact and SQL-replayable, so a decoder that
+    truly parses the container can be value-oracled end to end."""
+    n = 100 + media_id % 50
+    k = np.arange(n, dtype=np.int64)
+    s = ((media_id * 1000003 + k * 37) % 65536) - 32768
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage that REALLY decodes WAV payloads: stdlib ``wave``
+    parses the RIFF header (channels / width / rate / frame count) and the
+    PCM frames are decoded to int16 -> integer-exact features
+    (n_frames, sample_rate, duration_ms, sumsq, peak). Binary-safe Arrow
+    batches, small batch_size (payloads dominate block size)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        outs = {"media_id": [], "n_frames": [], "sample_rate": [],
+                "duration_ms": [], "sumsq": [], "peak": []}
+        for mid, buf in zip(ids, batch["payload"].to_pylist()):
+            with wave.open(io.BytesIO(buf), "rb") as w:
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                rate = w.getframerate()
+                n = w.getnframes()
+                pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+            outs["media_id"].append(mid)
+            outs["n_frames"].append(n)
+            outs["sample_rate"].append(rate)
+            outs["duration_ms"].append(n * 1000 // rate)
+            outs["sumsq"].append(int((pcm * pcm).sum()))
+            outs["peak"].append(int(np.abs(pcm).max()) if n else 0)
+        return pa.table({
+            "media_id": pa.array(outs["media_id"], pa.int64()),
+            "n_frames": pa.array(outs["n_frames"], pa.int64()),
+            "sample_rate": pa.array(outs["sample_rate"], pa.int64()),
+            "duration_ms": pa.array(outs["duration_ms"], pa.int64()),
+            "sumsq": pa.array(outs["sumsq"], pa.int64()),
+            "peak": pa.array(outs["peak"], pa.int64()),
+        })
+
+
+def extract_audio_features(media: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
+    return media.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=64,  # large binary rows: keep batches small
         concurrency=concurrency,
     )
