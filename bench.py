@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "entity_ppr_int",
     "walk_pairs",
     "audio_features",
+    "training_mix",
 ]
 
 

@@ -4015,6 +4015,67 @@ def q_audio_features(sf_dir: str):
     return extract_audio_features(media)
 
 
+def q_training_mix(sf_dir: str, budget: int = 800):
+    """END-TO-END training-data preparation pipeline in one composition:
+    quality filter (>= 50 tokens, stopword ratio <= 1/4 -- tighter than
+    doc_quality_filter so the stage has real selectivity on the synthetic
+    corpus) -> exact dedup of survivors (smallest doc_id per identical
+    text, co-partition survivor pick carrying all columns, no join-back)
+    -> per-source token-budget mixing (cumulative cutoff in doc_id
+    order) -> (doc_id, source, n_tokens, cum_tokens). Every stage is the
+    already-oracled operator; the composition itself is value-oracled by
+    the chained SQL twin -- the 'a user could run their data-prep
+    pipeline end to end' query (the title_resolution precedent)."""
+    from ..sources.gazetteer import STOPWORDS
+    from ..stages.groupby import hash_partition_apply
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _signals(t: pa.Table) -> pa.Table:
+        flat, parent = flat_tokens(t["text"], fill_null=True)
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        stop_mask = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+            zero_copy_only=False)
+        sw = np.bincount(parent[stop_mask], minlength=t.num_rows).astype(np.int64)
+        out = pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                        "text": pc.fill_null(t["text"], ""),
+                        "n_tokens": pa.array(n), "stopword_cnt": pa.array(sw)})
+        keep = pc.and_(pc.greater_equal(out["n_tokens"], 50),
+                       pc.less_equal(pc.multiply(out["stopword_cnt"], 4),
+                                     out["n_tokens"]))
+        return out.filter(keep)
+
+    filtered = docs.map_batches(_signals, batch_format="pyarrow")
+
+    def _survivor(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(["text", "doc_id"], kind="mergesort")
+        return srt.groupby("text", sort=False, dropna=False).head(1)
+
+    surv = hash_partition_apply(filtered, ["text"], _survivor,
+                                stamp_batch_size=None)
+
+    def _cum(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part["source"].notna()]
+        srt = part.sort_values(["source", "doc_id"], kind="mergesort")
+        srt = srt.assign(
+            cum_tokens=srt.groupby("source", sort=False)["n_tokens"].cumsum()
+        )
+        out = srt[srt["cum_tokens"] <= budget]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "source": out["source"].to_numpy(),
+            "n_tokens": out["n_tokens"].to_numpy(np.int64),
+            "cum_tokens": out["cum_tokens"].to_numpy(np.int64),
+        })
+
+    return hash_partition_apply(
+        surv.map_batches(
+            lambda df: df[["doc_id", "source", "n_tokens"]],
+            batch_format="pandas"),
+        ["source"], _cum, stamp_batch_size=None,
+    )
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4033,6 +4094,7 @@ def _round4_queries():
         "entity_ppr_int": q_entity_ppr_int,
         "walk_pairs": q_walk_pairs,
         "audio_features": q_audio_features,
+        "training_mix": q_training_mix,
     }
 
 
@@ -5945,6 +6007,21 @@ dr AS (SELECT doc_id, n_tokens,
               COUNT(*) OVER () AS n FROM dt)
 SELECT doc_id, n_tokens, CAST(((rnk - 1) * 10) // GREATEST(n, 1) AS BIGINT) AS decile
 FROM dr""",
+        "training_mix": r"""
+WITH tmq AS (
+  SELECT doc_id, source, COALESCE(text, '') AS text,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(array_length(list_filter(regexp_extract_all(text, '\S+'),
+                                                x -> x IN ('the', 'a'))), 0) AS BIGINT) AS stopword_cnt
+  FROM documents),
+tmf AS (SELECT * FROM tmq WHERE n_tokens >= 50 AND stopword_cnt * 4 <= n_tokens),
+tmm AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM tmf GROUP BY text),
+tmr AS (SELECT f.doc_id, f.source, f.n_tokens FROM tmf f JOIN tmm USING (doc_id)),
+tmc AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens
+  FROM tmr WHERE source IS NOT NULL)
+SELECT doc_id, source, n_tokens, cum_tokens FROM tmc WHERE cum_tokens <= 800""",
         "audio_features": """
 WITH af AS (SELECT doc_id AS media_id, 100 + doc_id % 50 AS n
             FROM documents WHERE doc_id IS NOT NULL),
