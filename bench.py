@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "walk_pairs",
     "audio_features",
     "training_mix",
+    "retention_cohorts",
 ]
 
 

@@ -4076,6 +4076,41 @@ def q_training_mix(sf_dir: str, budget: int = 800):
     )
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-activity week
+    (cohort), counted per whole-week offset of later activity ->
+    (cohort_week, week_offset, n_users). Two hash-partitioned aggregates
+    (first-seen per user, then distinct user-week activity) joined by a
+    co-partition on user_id -- the standard engagement-analytics rollup,
+    nothing user-scaled on the driver."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _wk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["user_id"].notna() & df["ts"].notna()]
+        wk = df["ts"].dt.to_period("W-SUN").dt.start_time
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "week": wk.to_numpy()})
+
+    weeks = ev.map_batches(_wk, batch_format="pandas")
+    # distinct (user, week) + per-user first week, in ONE co-partition
+    def _cohort(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates(["user_id", "week"])
+        first = d.groupby("user_id", sort=False)["week"].transform("min")
+        off = ((d["week"] - first).dt.days // 7).astype(np.int64)
+        return pd.DataFrame({"cohort_week": first.to_numpy(),
+                             "week_offset": off.to_numpy(),
+                             "user_id": d["user_id"].to_numpy(np.int64)})
+
+    cw = hash_partition_apply(weeks, ["user_id"], _cohort,
+                              stamp_batch_size=None)
+    return hash_partition_aggregate(
+        cw, ["cohort_week", "week_offset"],
+        {"n_users": ("user_id", "count")}, stamp_batch_size=None,
+    )
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4095,6 +4130,7 @@ def _round4_queries():
         "walk_pairs": q_walk_pairs,
         "audio_features": q_audio_features,
         "training_mix": q_training_mix,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -6007,6 +6043,16 @@ dr AS (SELECT doc_id, n_tokens,
               COUNT(*) OVER () AS n FROM dt)
 SELECT doc_id, n_tokens, CAST(((rnk - 1) * 10) // GREATEST(n, 1) AS BIGINT) AS decile
 FROM dr""",
+        "retention_cohorts": """
+WITH rcw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+rcf AS (SELECT user_id, MIN(week) AS cohort_week FROM rcw GROUP BY user_id)
+SELECT f.cohort_week AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, w.week) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM rcw w JOIN rcf f USING (user_id)
+GROUP BY f.cohort_week, week_offset""",
         "training_mix": r"""
 WITH tmq AS (
   SELECT doc_id, source, COALESCE(text, '') AS text,
