@@ -115,6 +115,9 @@ QUERY_NAMES = [
     "audio_features",
     "training_mix",
     "retention_cohorts",
+    "conversation_entity_density",
+    "doc_type_token",
+    "source_quality_profile",
 ]
 
 

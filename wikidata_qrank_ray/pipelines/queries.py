@@ -4111,6 +4111,96 @@ def q_retention_cohorts(sf_dir: str):
     )
 
 
+def q_conversation_entity_density(sf_dir: str):
+    """KG x transcripts composition: per conversation, the distinct
+    entity-mention count next to the total token count (the 'how
+    knowledge-dense is this dialogue' curation signal) ->
+    (conv_id, n_mentions, n_tokens). Mentions via the gazetteer automaton
+    (stages/mentions), tokens via the flat_tokens kernel; both rollups are
+    hash-partitioned aggregates joined by a pad-union left join."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    turns = derive_transcripts(sf_dir)
+    m = detect_mentions(turns, _gaz_ref(sf_dir), mode="mentions")
+    nm = hash_partition_aggregate(
+        m.map_batches(lambda df: df[["conv_id"]], batch_format="pandas"),
+        ["conv_id"], {"n_mentions": ("conv_id", "count")},
+        stamp_batch_size=None,
+    )
+
+    def _tok(t: pa.Table) -> pa.Table:
+        _, parent = flat_tokens(t["text"], fill_null=True)
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        return pa.table({"conv_id": t["conv_id"], "n": pa.array(n)})
+
+    nt = hash_partition_aggregate(
+        turns.map_batches(_tok, batch_format="pyarrow"),
+        ["conv_id"], {"n_tokens": ("n", "sum")}, stamp_batch_size=None,
+    )
+    j = bucketed_hash_join(nt, nm, "conv_id", "conv_id", how="left")
+    return j.map_batches(
+        lambda df: pd.DataFrame(
+            {"conv_id": df["conv_id"].to_numpy(),
+             "n_mentions": df["n_mentions"].fillna(0).to_numpy(np.int64),
+             "n_tokens": df["n_tokens"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
+def q_doc_type_token(sf_dir: str):
+    """Type-token ratio signals per document (lexical-diversity quality
+    filter): total \\S+ tokens and DISTINCT tokens as exact integers ->
+    (doc_id, n_tokens, n_distinct). Vectorized: one flatten + one
+    per-batch pandas drop_duplicates on (row, token)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tt(t: pa.Table) -> pa.Table:
+        flat, parent = flat_tokens(t["text"], fill_null=True)
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        df = pd.DataFrame({"p": parent,
+                           "tok": flat.to_numpy(zero_copy_only=False)})
+        dd = df.drop_duplicates()
+        nd = np.bincount(dd["p"].to_numpy(), minlength=t.num_rows).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n),
+                         "n_distinct": pa.array(nd)})
+
+    return docs.map_batches(_tt, batch_format="pyarrow")
+
+
+def q_source_quality_profile(sf_dir: str):
+    """Per-source (per-domain) corpus quality profile: doc count, exact
+    char / token / stopword sums -> the curation dashboard rollup
+    (source, n_docs, sum_chars, sum_tokens, sum_stopwords). Map-side
+    Arrow partials + one hash-partitioned final."""
+    from ..sources.gazetteer import STOPWORDS
+    from ..stages.groupby import hash_partition_aggregate
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def _sig(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["source"]))
+        flat, parent = flat_tokens(t["text"], fill_null=True)
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+            zero_copy_only=False)
+        sw = np.bincount(parent[stop], minlength=t.num_rows).astype(np.int64)
+        chars = pc.utf8_length(pc.fill_null(t["text"], "")).to_numpy()
+        return pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "chars": pa.array(chars.astype(np.int64)),
+            "toks": pa.array(n), "sw": pa.array(sw),
+        })
+
+    return hash_partition_aggregate(
+        docs.map_batches(_sig, batch_format="pyarrow"),
+        ["source"],
+        {"n_docs": ("one", "sum"), "sum_chars": ("chars", "sum"),
+         "sum_tokens": ("toks", "sum"), "sum_stopwords": ("sw", "sum")},
+        stamp_batch_size=None,
+    )
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4131,6 +4221,9 @@ def _round4_queries():
         "audio_features": q_audio_features,
         "training_mix": q_training_mix,
         "retention_cohorts": q_retention_cohorts,
+        "conversation_entity_density": q_conversation_entity_density,
+        "doc_type_token": q_doc_type_token,
+        "source_quality_profile": q_source_quality_profile,
     }
 
 
@@ -6043,6 +6136,33 @@ dr AS (SELECT doc_id, n_tokens,
               COUNT(*) OVER () AS n FROM dt)
 SELECT doc_id, n_tokens, CAST(((rnk - 1) * 10) // GREATEST(n, 1) AS BIGINT) AS decile
 FROM dr""",
+        "conversation_entity_density": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS,
+            select=r"""
+, ced_t AS (
+  SELECT conv_id,
+         CAST(SUM(coalesce(array_length(regexp_extract_all(text, '\S+')), 0)) AS BIGINT) AS n_tokens
+  FROM turns GROUP BY conv_id),
+ced_m AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_mentions
+  FROM (SELECT DISTINCT conv_id, turn_idx, qid, surface FROM hits)
+  GROUP BY conv_id)
+SELECT t.conv_id AS conv_id, COALESCE(m.n_mentions, 0) AS n_mentions,
+       t.n_tokens AS n_tokens
+FROM ced_t t LEFT JOIN ced_m m USING (conv_id)""",
+        ),
+        "doc_type_token": r"""
+SELECT doc_id,
+       CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(array_length(list_distinct(regexp_extract_all(text, '\S+'))), 0) AS BIGINT) AS n_distinct
+FROM documents""",
+        "source_quality_profile": r"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_chars,
+       CAST(SUM(coalesce(array_length(regexp_extract_all(text, '\S+')), 0)) AS BIGINT) AS sum_tokens,
+       CAST(SUM(coalesce(array_length(list_filter(regexp_extract_all(text, '\S+'),
+                                                  x -> x IN ('the', 'a'))), 0)) AS BIGINT) AS sum_stopwords
+FROM documents WHERE source IS NOT NULL GROUP BY source""",
         "retention_cohorts": """
 WITH rcw AS (
   SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
