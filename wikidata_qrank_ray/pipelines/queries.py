@@ -4515,6 +4515,35 @@ SELECT pos, vec_id FROM (
 ) WHERE pos <= {k}"""
 
 
+def _lsh_near_dups_sql(bits: int = 4, n_tables: int = 8, seed: int = 11,
+                       dim: int = 64, threshold: float = 0.4) -> str:
+    """DuckDB twin of stages.similarity.lsh_blocked_near_dups, value-exact
+    (round-4; the ann_lsh precedent extended to the multi-table OR): all
+    n_tables x bits hyperplanes depend only on (dim, bits, seed) and embed
+    as literals; bucket ids, the within-bucket cosine verification
+    (identical comparison to the exact embedding_near_dups oracle) and the
+    cross-table DISTINCT pair collapse are plain SQL."""
+    from ..stages.similarity import lsh_hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        planes = lsh_hyperplanes(dim, bits, seed + 7919 * t)
+        for j in range(bits):
+            rows.append(
+                f"({t}, {j}, [{', '.join(repr(float(x)) for x in planes[j])}])"
+            )
+    vals = ",\n".join(rows)
+    return f"""
+WITH lplanes(t, j, v) AS (VALUES {vals}),
+leb AS (
+  SELECT e.vec_id AS vec_id, e.embedding AS embedding, p.t AS tbl,
+         SUM(CASE WHEN list_dot_product(e.embedding, p.v) > 0 THEN 1 << p.j ELSE 0 END) AS b
+  FROM embeddings e, lplanes p GROUP BY e.vec_id, e.embedding, p.t)
+SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+FROM leb a JOIN leb b ON a.tbl = b.tbl AND a.b = b.b AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}"""
+
+
 def _classify_sql() -> str:
     from ..stages.scoring import classify_sql
 
@@ -5746,6 +5775,7 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         "embedding_class": _classify_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
+        "embedding_near_dups_lsh": _lsh_near_dups_sql(),
         # full MinHash-LSH pipeline recomputed in SQL (signatures, band
         # hashes, the O(n)-per-bucket candidate edge rule, exact-Jaccard
         # verification, min-label clustering) -- value-exact because every
