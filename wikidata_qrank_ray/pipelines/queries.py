@@ -2764,19 +2764,20 @@ def q_event_transitions(sf_dir: str):
 
 
 def q_kmeans_clusters(sf_dir: str):
-    """Distributed full-corpus Lloyd's k-means (5 iterations, k=8) over
-    the embeddings table -> (vec_id, cluster). Rows-only by nature
-    (iterative training isn't one SQL statement), but BITWISE
-    deterministic by construction -- integer-quantized coordinate sums
-    make every reduction order-independent -- so tests pin it exactly
-    against a single-threaded NumPy twin and against resharded input."""
-    from ..stages.similarity import kmeans_train
+    """Distributed full-corpus Lloyd's k-means (3 iterations, k=8) over
+    the embeddings table -> (vec_id, cluster), on the pure INTEGER quant
+    grid (stages/similarity.kmeans_integer_assign): int64 L2 distances
+    and rounded rational-mean centroid updates make training bitwise
+    deterministic AND value-exact against a DuckDB oracle that unrolls
+    the same iterations in SQL integer ops (round-4; previously
+    rows-only). The float-mean variant (kmeans_train) remains the PQ
+    codebook trainer, pinned by its own bitwise twin."""
+    from ..stages.similarity import kmeans_integer_assign
 
-    _, assign = kmeans_train(
+    return kmeans_integer_assign(
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-        k=8, iters=5,
+        k=8, iters=3,
     )
-    return _pd(assign, {"vec_id": "int64", "cluster": "int64"})
 
 
 def q_user_value_deltas(sf_dir: str):
@@ -4438,17 +4439,12 @@ SELECT pos, vec_id FROM (
 ) WHERE pos <= {k}"""
 
 
-def _ann_ivf_sql(n_lists: int = 8, n_probe: int = 2, iters: int = 3,
-                 k: int = 10, scale: str = "1000000.0") -> str:
-    """DuckDB twin of stages.similarity.ann_ivf_topk, value-exact: the
-    coarse quantizer (ivf_train_integer) lives entirely on the integer
-    quant grid -- init = vectors of the n_lists smallest vec_ids,
-    distances are BIGINT L2 sums (order-independent), centroid updates
-    are half-away-from-zero rounded rational means in integer ops -- so
-    the SQL can unroll the same ``iters`` Lloyd iterations and reproduce
-    the centroids bit for bit. The probed-list scan set then matches
-    exactly, and the final cosine ranking uses the same
-    list_cosine_similarity idiom as the ann_topk oracle."""
+def _ivf_train_ctes(n_lists: int, iters: int, scale: str) -> str:
+    """Shared WITH-body of the integer-domain Lloyd trainer: quantized
+    embeddings, smallest-vec_id init, ``iters`` unrolled iterations of
+    BIGINT L2 assignment + half-away-rounded rational-mean centroid
+    update, and the FINAL assignment CTE ``afin``. Used by both the
+    ann_ivf and kmeans_clusters oracles."""
     rnd = ("CASE WHEN s >= 0 THEN (2*s + n) // (2*n) "
            "ELSE -((-2*s + n) // (2*n)) END")
     blocks = []
@@ -4485,15 +4481,6 @@ dims AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM qe), 0) + 1)) 
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster, q AS qc
   FROM (SELECT vec_id, q FROM qe ORDER BY vec_id LIMIT {n_lists})),{iter_sql},
-qv AS (SELECT q AS qq, embedding AS qemb FROM qe WHERE vec_id = 0),
-pdist AS (
-  SELECT c.cluster,
-         SUM((v.qq[dd.d] - c.qc[dd.d]) * (v.qq[dd.d] - c.qc[dd.d])) AS d2
-  FROM c{iters} c CROSS JOIN qv v CROSS JOIN dims dd GROUP BY c.cluster),
-probe AS (
-  SELECT cluster FROM (
-    SELECT cluster, row_number() OVER (ORDER BY d2, cluster) AS rn FROM pdist)
-  WHERE rn <= {n_probe}),
 dfin AS (
   SELECT e.vec_id, c.cluster,
          SUM((e.q[dd.d] - c.qc[dd.d]) * (e.q[dd.d] - c.qc[dd.d])) AS d2
@@ -4503,7 +4490,30 @@ afin AS (
   SELECT vec_id, cluster FROM (
     SELECT vec_id, cluster,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-    FROM dfin) WHERE rn = 1),
+    FROM dfin) WHERE rn = 1)"""
+
+
+def _ann_ivf_sql(n_lists: int = 8, n_probe: int = 2, iters: int = 3,
+                 k: int = 10, scale: str = "1000000.0") -> str:
+    """DuckDB twin of stages.similarity.ann_ivf_topk, value-exact: the
+    coarse quantizer (ivf_train_integer) lives entirely on the integer
+    quant grid -- init = vectors of the n_lists smallest vec_ids,
+    distances are BIGINT L2 sums (order-independent), centroid updates
+    are half-away-from-zero rounded rational means in integer ops -- so
+    the SQL can unroll the same ``iters`` Lloyd iterations and reproduce
+    the centroids bit for bit. The probed-list scan set then matches
+    exactly, and the final cosine ranking uses the same
+    list_cosine_similarity idiom as the ann_topk oracle."""
+    return _ivf_train_ctes(n_lists, iters, scale) + f""",
+qv AS (SELECT q AS qq, embedding AS qemb FROM qe WHERE vec_id = 0),
+pdist AS (
+  SELECT c.cluster,
+         SUM((v.qq[dd.d] - c.qc[dd.d]) * (v.qq[dd.d] - c.qc[dd.d])) AS d2
+  FROM c{iters} c CROSS JOIN qv v CROSS JOIN dims dd GROUP BY c.cluster),
+probe AS (
+  SELECT cluster FROM (
+    SELECT cluster, row_number() OVER (ORDER BY d2, cluster) AS rn FROM pdist)
+  WHERE rn <= {n_probe}),
 scan AS (
   SELECT e.vec_id, e.embedding FROM qe e JOIN afin a USING (vec_id)
   WHERE a.cluster IN (SELECT cluster FROM probe))
@@ -4513,6 +4523,14 @@ SELECT pos, vec_id FROM (
          s.vec_id AS vec_id
   FROM scan s, qv v
 ) WHERE pos <= {k}"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3,
+                scale: str = "1000000.0") -> str:
+    """DuckDB twin of stages.similarity.kmeans_integer_assign: the same
+    unrolled integer-domain Lloyd trainer, final select = assignments."""
+    return _ivf_train_ctes(k, iters, scale) + """
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afin"""
 
 
 def _lsh_near_dups_sql(bits: int = 4, n_tables: int = 8, seed: int = 11,
@@ -5776,6 +5794,7 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "embedding_near_dups_lsh": _lsh_near_dups_sql(),
+        "kmeans_clusters": _kmeans_sql(),
         # full MinHash-LSH pipeline recomputed in SQL (signatures, band
         # hashes, the O(n)-per-bucket candidate edge rule, exact-Jaccard
         # verification, min-label clustering) -- value-exact because every

@@ -536,3 +536,31 @@ def pq_adc_topk(
     out = pd.DataFrame({"vec_id": codes_df["vec_id"].to_numpy(np.int64),
                         "adc_dist": dist})
     return out.nsmallest(topk, ["adc_dist", "vec_id"]).reset_index(drop=True)
+
+
+def kmeans_integer_assign(
+    emb: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    quant_scale: float = 1e6,
+) -> ray.data.Dataset:
+    """Distributed k-means -> (vec_id, cluster) assignments on the pure
+    INTEGER quant grid (``ivf_train_integer``): training and assignment
+    use int64 L2 distances only, so the whole query is bitwise
+    deterministic AND value-exact against a DuckDB oracle that unrolls
+    the same Lloyd iterations in SQL integer ops (queries._kmeans_sql)."""
+    cent = ivf_train_integer(emb, k, iters, quant_scale)
+    if cent.size == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"vec_id": pd.Series(dtype=np.int64),
+             "cluster": pd.Series(dtype=np.int64)}))
+
+    def _assign(batch: pd.DataFrame, cent=cent, scale=quant_scale) -> pd.DataFrame:
+        qi = _quant_int(
+            np.stack(batch["embedding"].to_numpy()).astype(np.float64), scale)
+        d2 = ((qi[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(np.int64),
+             "cluster": d2.argmin(axis=1).astype(np.int64)})
+
+    return emb.map_batches(_assign, batch_format="pandas", batch_size=4096)
