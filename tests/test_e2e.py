@@ -100,15 +100,16 @@ def test_registry_keys_consistent():
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q)
     # minhash_dedup left this set in round 3 (polyhash signatures made it
-    # SQL-expressible); ann_ivf + kmeans_clusters (integer-domain Lloyd
-    # trainer unrolls in SQL) and embedding_near_dups_lsh (seeded
-    # multi-table planes as literals) left it in round 4. The remaining
-    # five are approximate/iterative/float-non-associative by nature,
-    # each value-checked against an exact twin (or a bitwise
-    # single-process twin, for the iterative BPE/PQ trainers) in tests
+    # SQL-expressible); round 4 moved ann_ivf, kmeans_clusters and
+    # pq_codes (integer-domain Lloyd trainers unroll in SQL) plus
+    # embedding_near_dups_lsh (seeded multi-table planes as literals) to
+    # value-exact. The remaining four are approximate (HLL) or
+    # float-non-associative (classic PageRank) or argmax-over-unbounded-
+    # rounds (BPE) by nature, each value-checked against an exact twin
+    # or bitwise single-process twin in tests
     assert set(q) - set(o) == {
         "approx_distinct_users", "graph_pagerank",
-        "bpe_merges", "approx_users_per_type", "pq_codes",
+        "bpe_merges", "approx_users_per_type",
     }
     assert len(q) >= 100
 

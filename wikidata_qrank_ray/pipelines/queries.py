@@ -1731,15 +1731,17 @@ def q_ngram_jaccard(sf_dir: str):
 
 def q_pq_codes(sf_dir: str):
     """Product-quantization encoding of the embeddings table: 4 subspace
-    codebooks x 16 centroids (64-dim -> 4 bytes/vector), trained with the
-    bitwise-deterministic integer k-means (rows-only by nature -- the
-    iterative trainer is not SQL-expressible; pinned vs the single-process
-    twin + reshard-invariance + ADC recall in tests/test_pq.py)."""
-    from ..stages.similarity import pq_train_encode
+    codebooks x 16 centroids (64-dim -> 4 bytes/vector), trained and
+    assigned entirely on the INTEGER quant grid
+    (stages/similarity.pq_encode_integer) -- value-exact against a DuckDB
+    oracle that unrolls all four Lloyd trainers (round-4; previously
+    rows-only). The float-mean pq_train_encode remains the ADC scan path,
+    pinned vs its single-process twin + reshard-invariance + ADC recall
+    in tests/test_pq.py."""
+    from ..stages.similarity import pq_encode_integer
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    _, codes = pq_train_encode(emb, m=4, k=16, iters=4)
-    return codes
+    return pq_encode_integer(emb, m=4, k=16, iters=3)
 
 
 def q_entity_neighbor_features(sf_dir: str):
@@ -4439,38 +4441,57 @@ SELECT pos, vec_id FROM (
 ) WHERE pos <= {k}"""
 
 
-def _ivf_train_ctes(n_lists: int, iters: int, scale: str) -> str:
-    """Shared WITH-body of the integer-domain Lloyd trainer: quantized
-    embeddings, smallest-vec_id init, ``iters`` unrolled iterations of
-    BIGINT L2 assignment + half-away-rounded rational-mean centroid
-    update, and the FINAL assignment CTE ``afin``. Used by both the
-    ann_ivf and kmeans_clusters oracles."""
+def _lloyd_ctes(pfx: str, n_lists: int, iters: int) -> str:
+    """CTE chain (no WITH header) of one integer-domain Lloyd trainer over
+    source CTEs ``{pfx}qe`` (vec_id, q BIGINT[]) and ``{pfx}dims`` (d):
+    smallest-vec_id init, ``iters`` unrolled iterations of BIGINT L2
+    assignment + half-away-rounded rational-mean centroid update, ending
+    in the final assignment CTE ``{pfx}afin``. Shared by the ann_ivf,
+    kmeans_clusters and pq_codes oracles."""
     rnd = ("CASE WHEN s >= 0 THEN (2*s + n) // (2*n) "
            "ELSE -((-2*s + n) // (2*n)) END")
-    blocks = []
+    out = f"""{pfx}c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster, q AS qc
+  FROM (SELECT vec_id, q FROM {pfx}qe ORDER BY vec_id LIMIT {n_lists}))"""
     for i in range(iters):
-        blocks.append(f"""
-d{i} AS (
+        out += f""",
+{pfx}d{i} AS (
   SELECT e.vec_id, c.cluster,
          SUM((e.q[dd.d] - c.qc[dd.d]) * (e.q[dd.d] - c.qc[dd.d])) AS d2
-  FROM qe e CROSS JOIN c{i} c CROSS JOIN dims dd
+  FROM {pfx}qe e CROSS JOIN {pfx}c{i} c CROSS JOIN {pfx}dims dd
   GROUP BY e.vec_id, c.cluster),
-a{i} AS (
+{pfx}a{i} AS (
   SELECT vec_id, cluster FROM (
     SELECT vec_id, cluster,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-    FROM d{i}) WHERE rn = 1),
-s{i} AS (
+    FROM {pfx}d{i}) WHERE rn = 1),
+{pfx}s{i} AS (
   SELECT a.cluster, dd.d, CAST(SUM(e.q[dd.d]) AS BIGINT) AS s,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM a{i} a JOIN qe e USING (vec_id) CROSS JOIN dims dd
+  FROM {pfx}a{i} a JOIN {pfx}qe e USING (vec_id) CROSS JOIN {pfx}dims dd
   GROUP BY a.cluster, dd.d),
-c{i + 1} AS (
+{pfx}c{i + 1} AS (
   SELECT p.cluster, CASE WHEN u.qc_new IS NULL THEN p.qc ELSE u.qc_new END AS qc
-  FROM c{i} p LEFT JOIN (
+  FROM {pfx}c{i} p LEFT JOIN (
     SELECT cluster, list({rnd} ORDER BY d) AS qc_new
-    FROM s{i} GROUP BY cluster) u USING (cluster))""")
-    iter_sql = ",".join(blocks)
+    FROM {pfx}s{i} GROUP BY cluster) u USING (cluster))"""
+    out += f""",
+{pfx}dfin AS (
+  SELECT e.vec_id, c.cluster,
+         SUM((e.q[dd.d] - c.qc[dd.d]) * (e.q[dd.d] - c.qc[dd.d])) AS d2
+  FROM {pfx}qe e CROSS JOIN {pfx}c{iters} c CROSS JOIN {pfx}dims dd
+  GROUP BY e.vec_id, c.cluster),
+{pfx}afin AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM {pfx}dfin) WHERE rn = 1)"""
+    return out
+
+
+def _ivf_train_ctes(n_lists: int, iters: int, scale: str) -> str:
+    """WITH-body of the single-codebook trainer over the full embedding:
+    source CTEs qe/dims + the shared Lloyd chain ending in ``afin``."""
     return f"""
 WITH qe AS (
   SELECT vec_id,
@@ -4478,19 +4499,7 @@ WITH qe AS (
          embedding
   FROM embeddings),
 dims AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM qe), 0) + 1)) AS d),
-c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster, q AS qc
-  FROM (SELECT vec_id, q FROM qe ORDER BY vec_id LIMIT {n_lists})),{iter_sql},
-dfin AS (
-  SELECT e.vec_id, c.cluster,
-         SUM((e.q[dd.d] - c.qc[dd.d]) * (e.q[dd.d] - c.qc[dd.d])) AS d2
-  FROM qe e CROSS JOIN c{iters} c CROSS JOIN dims dd
-  GROUP BY e.vec_id, c.cluster),
-afin AS (
-  SELECT vec_id, cluster FROM (
-    SELECT vec_id, cluster,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-    FROM dfin) WHERE rn = 1)"""
+""" + _lloyd_ctes("", n_lists, iters)
 
 
 def _ann_ivf_sql(n_lists: int = 8, n_probe: int = 2, iters: int = 3,
@@ -4531,6 +4540,30 @@ def _kmeans_sql(k: int = 8, iters: int = 3,
     unrolled integer-domain Lloyd trainer, final select = assignments."""
     return _ivf_train_ctes(k, iters, scale) + """
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afin"""
+
+
+def _pq_codes_sql(m: int = 4, k: int = 16, iters: int = 3,
+                  dim: int = 64, scale: str = "1000000.0") -> str:
+    """DuckDB twin of stages.similarity.pq_encode_integer: one shared
+    quantized base + m prefixed integer-domain Lloyd trainers over the
+    contiguous subspace slices, joined back into one code row per
+    vector."""
+    bounds = [(si * dim // m, (si + 1) * dim // m) for si in range(m)]
+    parts = [f"""pq_base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS qfull
+  FROM embeddings)"""]
+    for si, (lo, hi) in enumerate(bounds):
+        pfx = f"p{si}_"
+        parts.append(f"""{pfx}qe AS (SELECT vec_id, qfull[{lo + 1}:{hi}] AS q FROM pq_base),
+{pfx}dims AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM {pfx}qe), 0) + 1)) AS d)""")
+        parts.append(_lloyd_ctes(pfx, k, iters))
+    joins = " ".join(
+        f"JOIN p{si}_afin p{si} ON p{si}.vec_id = b.vec_id" for si in range(m))
+    cols = ", ".join(
+        f"CAST(p{si}.cluster AS BIGINT) AS code_{si}" for si in range(m))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT b.vec_id AS vec_id, {cols} FROM pq_base b {joins}")
 
 
 def _lsh_near_dups_sql(bits: int = 4, n_tables: int = 8, seed: int = 11,
@@ -5795,6 +5828,7 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         "ann_ivf": _ann_ivf_sql(),
         "embedding_near_dups_lsh": _lsh_near_dups_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "pq_codes": _pq_codes_sql(),
         # full MinHash-LSH pipeline recomputed in SQL (signatures, band
         # hashes, the O(n)-per-bucket candidate edge rule, exact-Jaccard
         # verification, min-label clustering) -- value-exact because every

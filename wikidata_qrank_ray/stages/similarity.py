@@ -564,3 +564,48 @@ def kmeans_integer_assign(
              "cluster": d2.argmin(axis=1).astype(np.int64)})
 
     return emb.map_batches(_assign, batch_format="pandas", batch_size=4096)
+
+
+def pq_encode_integer(
+    emb: ray.data.Dataset,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    quant_scale: float = 1e6,
+) -> ray.data.Dataset:
+    """Product-quantization ENCODING on the pure integer quant grid:
+    per contiguous subspace, train the integer-domain Lloyd codebook
+    (``ivf_train_integer`` over the sliced quantized vectors) and assign
+    by int64 L2 -- so codes are bitwise deterministic AND value-exact
+    against a DuckDB oracle that unrolls all m trainers
+    (queries._pq_codes_sql). -> (vec_id, code_0..code_{m-1}).
+    The float-mean pq_train_encode remains the ADC/topk path with its
+    own bitwise twin."""
+    from .join import bucketed_hash_join
+
+    head = emb.limit(1).to_pandas()
+    if len(head) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"vec_id": pd.Series(dtype=np.int64)}))
+    d = len(head["embedding"].iloc[0])
+    bounds = [(si * d // m, (si + 1) * d // m) for si in range(m)]
+
+    codes = None
+    for si, (lo, hi) in enumerate(bounds):
+
+        def _slice(batch: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
+            v = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {"vec_id": batch["vec_id"].to_numpy(np.int64),
+                 "embedding": list(v[:, lo:hi])})
+
+        sub = emb.map_batches(_slice, batch_format="pandas", batch_size=4096)
+        part = kmeans_integer_assign(sub, k=k, iters=iters,
+                                     quant_scale=quant_scale).map_batches(
+            lambda df, si=si: df.rename(columns={"cluster": f"code_{si}"}),
+            batch_format="pandas",
+        )
+        codes = part if codes is None else bucketed_hash_join(
+            codes, part, "vec_id", "vec_id", num_partitions=8
+        )
+    return codes
