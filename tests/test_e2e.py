@@ -100,16 +100,18 @@ def test_registry_keys_consistent():
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q)
     # minhash_dedup left this set in round 3 (polyhash signatures made it
-    # SQL-expressible); round 4 moved ann_ivf, kmeans_clusters and
-    # pq_codes (integer-domain Lloyd trainers unroll in SQL) plus
-    # embedding_near_dups_lsh (seeded multi-table planes as literals) to
-    # value-exact. The remaining four are approximate (HLL) or
-    # float-non-associative (classic PageRank) or argmax-over-unbounded-
-    # rounds (BPE) by nature, each value-checked against an exact twin
-    # or bitwise single-process twin in tests
+    # SQL-expressible); round 4 moved ann_ivf, kmeans_clusters, pq_codes
+    # (integer-domain Lloyd trainers unroll in SQL),
+    # embedding_near_dups_lsh (seeded multi-table planes as literals) and
+    # bpe_merges (fixed-round merge loop unrolled with the
+    # gaps-and-islands run-parity rule) to value-exact. The remaining
+    # three are approximate (HLL: the estimate passes through libm ln,
+    # not bitwise across engines) or float-non-associative (classic
+    # PageRank) by nature, each value-checked against an exact twin
+    # (distinct_user_count / users_per_type / entity_pagerank_int) with
+    # pinned error bounds in tests
     assert set(q) - set(o) == {
-        "approx_distinct_users", "graph_pagerank",
-        "bpe_merges", "approx_users_per_type",
+        "approx_distinct_users", "graph_pagerank", "approx_users_per_type",
     }
     assert len(q) >= 100
 

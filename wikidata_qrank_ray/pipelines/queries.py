@@ -2313,9 +2313,10 @@ def q_entity_window_comentions(sf_dir: str):
 
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training: first 8 merges over the corpus
-    word table (rows-only by nature -- the iterative merge loop is not
-    SQL-expressible; bitwise-pinned against the single-process textbook
-    twin in tests/test_bpe.py, the kmeans precedent)."""
+    word table. Value-exact (round-4): the fixed-round merge loop UNROLLS
+    into SQL (queries._bpe_merges_sql -- pair counts, floored argmax,
+    gaps-and-islands run-parity merge); also bitwise-pinned against the
+    single-process textbook twin in tests/test_bpe.py."""
     from ..stages.bpe import bpe_learn
 
     return bpe_learn(
@@ -4566,6 +4567,65 @@ def _pq_codes_sql(m: int = 4, k: int = 16, iters: int = 3,
             + f"\nSELECT b.vec_id AS vec_id, {cols} FROM pq_base b {joins}")
 
 
+def _bpe_merges_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of stages.bpe.bpe_learn (round-4; previously
+    rows-only): the Sennrich word-count reduction, then ``n_merges``
+    UNROLLED merge rounds -- pair counts over adjacent same-word symbols
+    weighted by word count, argmax by (weight DESC, left, right) with the
+    >= 2 floor, and the greedy-leftmost merge via the gaps-and-islands
+    run-parity rule (keep even offsets within each run of consecutive
+    matches == the sequential scan). MATERIALIZED CTEs stop DuckDB from
+    re-inlining the state into every reference. A round whose best pair
+    falls below the floor leaves the state untouched (NULL scalar
+    subqueries match nothing), so later rounds emit nothing -- identical
+    early-stop semantics to the Ray trainer."""
+    parts = [r"""bw AS MATERIALIZED (
+  SELECT t AS wid, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(regexp_extract_all(COALESCE(text, ''), '\S+')) AS t
+    FROM documents) GROUP BY t),
+bs0 AS MATERIALIZED (
+  SELECT w.wid, u.i AS pos, w.wid[u.i] AS sym
+  FROM bw w, UNNEST(range(1, length(w.wid) + 1)) AS u(i))"""]
+    for i in range(n_merges):
+        parts.append(f"""br{i} AS MATERIALIZED (
+  SELECT wid, pos, sym,
+         row_number() OVER (PARTITION BY wid ORDER BY pos) AS rn
+  FROM bs{i}),
+bpc{i} AS MATERIALIZED (
+  SELECT a.sym AS l, b.sym AS r, CAST(SUM(w.cnt) AS BIGINT) AS wgt
+  FROM br{i} a JOIN br{i} b ON b.wid = a.wid AND b.rn = a.rn + 1
+  JOIN bw w ON w.wid = a.wid
+  GROUP BY a.sym, b.sym),
+bbest{i} AS MATERIALIZED (
+  SELECT l, r, wgt FROM (
+    SELECT l, r, wgt, row_number() OVER (ORDER BY wgt DESC, l, r) AS k FROM bpc{i})
+  WHERE k = 1 AND wgt >= 2),
+bm{i} AS MATERIALIZED (
+  SELECT wid, pos, sym, rn,
+         CASE WHEN sym = (SELECT l FROM bbest{i})
+               AND lead(sym) OVER (PARTITION BY wid ORDER BY rn) = (SELECT r FROM bbest{i})
+              THEN 1 ELSE 0 END AS m
+  FROM br{i}),
+bk{i} AS MATERIALIZED (
+  SELECT wid, pos, sym, rn, m,
+         CASE WHEN m = 1 AND
+              (row_number() OVER (PARTITION BY wid, m, rn - mrn ORDER BY rn) - 1) % 2 = 0
+              THEN 1 ELSE 0 END AS keep
+  FROM (SELECT *, row_number() OVER (PARTITION BY wid, m ORDER BY rn) AS mrn FROM bm{i})),
+bs{i + 1} AS MATERIALIZED (
+  SELECT k.wid, k.pos,
+         CASE WHEN k.keep = 1
+              THEN (SELECT l FROM bbest{i}) || (SELECT r FROM bbest{i})
+              ELSE k.sym END AS sym
+  FROM bk{i} k
+  LEFT JOIN bk{i} p ON p.wid = k.wid AND p.rn = k.rn - 1
+  WHERE COALESCE(p.keep, 0) = 0)""")
+    final = " UNION ALL ".join(
+        f'SELECT CAST({i} AS BIGINT) AS step, l AS "left", r AS "right", wgt AS weight FROM bbest{i}'
+        for i in range(n_merges))
+    return "WITH " + ",\n".join(parts) + "\n" + final + " ORDER BY step"
+
+
 def _lsh_near_dups_sql(bits: int = 4, n_tables: int = 8, seed: int = 11,
                        dim: int = 64, threshold: float = 0.4) -> str:
     """DuckDB twin of stages.similarity.lsh_blocked_near_dups, value-exact
@@ -5829,6 +5889,7 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         "embedding_near_dups_lsh": _lsh_near_dups_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "pq_codes": _pq_codes_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         # full MinHash-LSH pipeline recomputed in SQL (signatures, band
         # hashes, the O(n)-per-bucket candidate edge rule, exact-Jaccard
         # verification, min-label clustering) -- value-exact because every
