@@ -4205,6 +4205,93 @@ def q_source_quality_profile(sf_dir: str):
     )
 
 
+def q_label_centroids(sf_dir: str):
+    """Class prototypes over the embedding table: per (label, dimension)
+    the EXACT integer coordinate sum on the quant grid plus the member
+    count -> (label, d, s_q, n) -- everything a centroid / few-shot
+    prototype classifier needs, kept in integers so the oracle is exact
+    (the mean is one downstream division). Fixed-size per-batch integer
+    partials (labels x dims), one hash-partitioned final."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.similarity import _quant_int
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qi = _quant_int(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        lab = batch["label"].to_numpy(np.int64)
+        dims = qi.shape[1]
+        labs, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labs), dims), dtype=np.int64)
+        np.add.at(sums, inv, qi)
+        cnt = np.bincount(inv).astype(np.int64)
+        ll = np.repeat(labs, dims)
+        dd = np.tile(np.arange(1, dims + 1, dtype=np.int64), len(labs))
+        return pd.DataFrame({"label": ll, "d": dd,
+                             "s_q": sums.ravel(),
+                             "n": np.repeat(cnt, dims)})
+
+    return hash_partition_aggregate(
+        emb.map_batches(_partial, batch_format="pandas", batch_size=4096),
+        ["label", "d"], {"s_q": ("s_q", "sum"), "n": ("n", "sum")},
+        stamp_batch_size=None,
+    )
+
+
+def q_embedding_outliers(sf_dir: str):
+    """Per-class embedding outliers (label-noise / mis-embedding audit):
+    the 2 vectors FARTHEST from their label centroid, centroid = rounded
+    rational integer mean on the quant grid (the Lloyd-update rule), all
+    distances int64 L2 -- fully integer-exact and SQL-expressible ->
+    (label, pos, vec_id, d2). Centroids are label-count-bounded
+    (broadcast); the scan is one map pass + per-batch partial top-2."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.similarity import _int_round_div, _quant_int
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    cent_df = q_label_centroids(sf_dir).to_pandas()  # labels x dims
+    if len(cent_df) == 0:
+        return pd.DataFrame({"label": pd.Series(dtype=np.int64),
+                             "pos": pd.Series(dtype=np.int64),
+                             "vec_id": pd.Series(dtype=np.int64),
+                             "d2": pd.Series(dtype=np.int64)})
+    cent_df = cent_df.sort_values(["label", "d"])
+    labs = cent_df["label"].unique()
+    dims = cent_df["d"].max()
+    cmat = _int_round_div(
+        cent_df["s_q"].to_numpy(np.int64).reshape(len(labs), dims),
+        cent_df["n"].to_numpy(np.int64).reshape(len(labs), dims),
+    )
+    lab_ix = {int(l): i for i, l in enumerate(labs)}
+    cref = ray.put((lab_ix, cmat))
+
+    def _far(batch: pd.DataFrame, cref=cref) -> pd.DataFrame:
+        lab_ix, cmat = ray.get(cref)
+        qi = _quant_int(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        lab = batch["label"].to_numpy(np.int64)
+        rows = np.array([lab_ix[int(l)] for l in lab], dtype=np.int64)
+        d2 = ((qi - cmat[rows]) ** 2).sum(axis=1)
+        df = pd.DataFrame({"label": lab,
+                           "vec_id": batch["vec_id"].to_numpy(np.int64),
+                           "d2": d2})
+        srt = df.sort_values(["label", "d2", "vec_id"],
+                             ascending=[True, False, True], kind="mergesort")
+        return srt[srt.groupby("label", sort=False).cumcount() < 2]
+
+    parts = emb.map_batches(_far, batch_format="pandas",
+                            batch_size=4096).to_pandas()
+    srt = parts.sort_values(["label", "d2", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    out = srt[srt.groupby("label", sort=False).cumcount() < 2].reset_index(drop=True)
+    pos = out.groupby("label", sort=False).cumcount().to_numpy(np.int64) + 1
+    return pd.DataFrame({"label": out["label"].to_numpy(np.int64),
+                         "pos": pos,
+                         "vec_id": out["vec_id"].to_numpy(np.int64),
+                         "d2": out["d2"].to_numpy(np.int64)})
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4228,6 +4315,8 @@ def _round4_queries():
         "conversation_entity_density": q_conversation_entity_density,
         "doc_type_token": q_doc_type_token,
         "source_quality_profile": q_source_quality_profile,
+        "label_centroids": q_label_centroids,
+        "embedding_outliers": q_embedding_outliers,
     }
 
 
@@ -4496,7 +4585,7 @@ def _ivf_train_ctes(n_lists: int, iters: int, scale: str) -> str:
     return f"""
 WITH qe AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS q,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q,
          embedding
   FROM embeddings),
 dims AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM qe), 0) + 1)) AS d),
@@ -4552,7 +4641,7 @@ def _pq_codes_sql(m: int = 4, k: int = 16, iters: int = 3,
     bounds = [(si * dim // m, (si + 1) * dim // m) for si in range(m)]
     parts = [f"""pq_base AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS qfull
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qfull
   FROM embeddings)"""]
     for si, (lo, hi) in enumerate(bounds):
         pfx = f"p{si}_"
@@ -6280,6 +6369,36 @@ dr AS (SELECT doc_id, n_tokens,
               COUNT(*) OVER () AS n FROM dt)
 SELECT doc_id, n_tokens, CAST(((rnk - 1) * 10) // GREATEST(n, 1) AS BIGINT) AS decile
 FROM dr""",
+        "label_centroids": """
+SELECT CAST(e.label AS BIGINT) AS label, dd.d AS d,
+       CAST(SUM(e.q[dd.d]) AS BIGINT) AS s_q, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT label,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings) e
+CROSS JOIN (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(embedding)) FROM embeddings), 0) + 1)) AS d) dd
+GROUP BY e.label, dd.d""",
+        "embedding_outliers": """
+WITH eoq AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings),
+eod AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM eoq), 0) + 1)) AS d),
+eos AS (
+  SELECT label, dd.d AS d, CAST(SUM(q[dd.d]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM eoq CROSS JOIN eod dd GROUP BY label, dd.d),
+eoc AS (
+  SELECT label, d,
+         CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+              ELSE -((-2*s + n) // (2*n)) END AS c
+  FROM eos),
+eodist AS (
+  SELECT e.vec_id, e.label, SUM((e.q[c.d] - c.c) * (e.q[c.d] - c.c)) AS d2
+  FROM eoq e JOIN eoc c ON c.label = e.label GROUP BY e.vec_id, e.label)
+SELECT label, pos, vec_id, d2 FROM (
+  SELECT label, vec_id, CAST(d2 AS BIGINT) AS d2,
+         CAST(row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS BIGINT) AS pos
+  FROM eodist) WHERE pos <= 2""",
         "conversation_entity_density": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS,
             select=r"""
