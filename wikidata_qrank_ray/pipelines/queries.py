@@ -4292,6 +4292,103 @@ def q_embedding_outliers(sf_dir: str):
                          "d2": out["d2"].to_numpy(np.int64)})
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # inactivity gap that closes a session
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (the classic clickstream operator the
+    reference's hour-bucketed rollups approximate; pageviews.go:418-464
+    buckets by wall-clock, this buckets by INACTIVITY): a >30-min silence
+    starts a new session -> per session (user_id, session_pos, n_events,
+    start_us, end_us, value_cents). One hash-partition shuffle on user_id;
+    the gaps-and-islands sweep is one vectorized diff + cumsum per
+    partition, so partition cost is O(rows in partition) regardless of how
+    many users share it."""
+    from ..stages.groupby import hash_partition_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def _sessions(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        us = srt["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = srt["user_id"].to_numpy(np.int64)
+        new_user = np.empty(len(srt), dtype=bool)
+        new_user[:1] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user | np.concatenate(
+            ([False], (us[1:] - us[:-1]) > SESSION_GAP_US))
+        # per-user 1-based session ordinal: global break cumsum minus the
+        # cumsum value at each user's first row
+        gsid = np.cumsum(brk)
+        sid = gsid - np.repeat(gsid[new_user] - 1, np.diff(
+            np.append(np.flatnonzero(new_user), len(srt))))
+        df = pd.DataFrame({"user_id": uid, "session_pos": sid,
+                           "us": us,
+                           "cents": _cents(srt["value"].to_numpy())})
+        g = df.groupby(["user_id", "session_pos"], sort=False)
+        out = g.agg(n_events=("us", "size"), start_us=("us", "min"),
+                    end_us=("us", "max"),
+                    value_cents=("cents", "sum")).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return hash_partition_apply(ev, ["user_id"], _sessions,
+                                stamp_batch_size=None)
+
+
+def q_funnel_stages(sf_dir: str):
+    """Ordered conversion funnel signup -> click -> purchase: per user the
+    earliest signup, the first click strictly after it, the first purchase
+    strictly after that -> (user_id, stage, signup_us, click_us,
+    purchase_us) with -1 for stages never reached (integer sentinels keep
+    the compare exact; no NULL-timestamp hashing ambiguity). One
+    hash-partition shuffle on user_id, then three vectorized grouped-min
+    sweeps -- no per-user Python loop, no window-function quadratic."""
+    from ..stages.groupby import hash_partition_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type"])
+
+    def _funnel(part: pd.DataFrame) -> pd.DataFrame:
+        us = part["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"user_id": part["user_id"].to_numpy(np.int64),
+                           "us": us,
+                           "etype": part["event_type"].to_numpy()})
+        big = np.int64(np.iinfo(np.int64).max)
+
+        def first_after(mask: np.ndarray, floor: pd.Series) -> pd.Series:
+            t = pd.Series(np.where(mask & (df["us"].to_numpy()
+                                           > floor.to_numpy()),
+                                   df["us"].to_numpy(), big),
+                          index=df.index)
+            return t.groupby(df["user_id"]).transform("min")
+
+        et = df["etype"].to_numpy()
+        t1 = pd.Series(np.where(et == "signup", df["us"].to_numpy(), big),
+                       index=df.index).groupby(df["user_id"]).transform("min")
+        t2 = first_after(et == "click", t1)
+        t3 = first_after(et == "purchase", t2)
+        per_user = pd.DataFrame({"user_id": df["user_id"],
+                                 "t1": t1, "t2": t2, "t3": t3}) \
+            .groupby("user_id", sort=False).first().reset_index()
+        t1v = per_user["t1"].to_numpy(np.int64)
+        t2v = per_user["t2"].to_numpy(np.int64)
+        t3v = per_user["t3"].to_numpy(np.int64)
+        stage = ((t1v < big).astype(np.int64) + (t2v < big) + (t3v < big))
+        return pd.DataFrame({
+            "user_id": per_user["user_id"].to_numpy(np.int64),
+            "stage": stage,
+            "signup_us": np.where(t1v < big, t1v, -1),
+            "click_us": np.where(t2v < big, t2v, -1),
+            "purchase_us": np.where(t3v < big, t3v, -1),
+        })
+
+    return hash_partition_apply(ev, ["user_id"], _funnel,
+                                stamp_batch_size=None)
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4317,6 +4414,8 @@ def _round4_queries():
         "source_quality_profile": q_source_quality_profile,
         "label_centroids": q_label_centroids,
         "embedding_outliers": q_embedding_outliers,
+        "sessionize": q_sessionize,
+        "funnel_stages": q_funnel_stages,
     }
 
 
@@ -6399,6 +6498,51 @@ SELECT label, pos, vec_id, d2 FROM (
   SELECT label, vec_id, CAST(d2 AS BIGINT) AS d2,
          CAST(row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS BIGINT) AS pos
   FROM eodist) WHERE pos <= 2""",
+        "sessionize": """
+WITH se AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+ss AS (
+  SELECT user_id, us, cents,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_pos
+  FROM se)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_pos AS BIGINT) AS session_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM ss GROUP BY user_id, session_pos""",
+        "funnel_stages": """
+WITH f1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t1
+  FROM events GROUP BY user_id),
+f2 AS (
+  SELECT e.user_id, f1.t1,
+         MIN(CASE WHEN e.event_type = 'click' AND epoch_us(e.ts) > f1.t1
+                  THEN epoch_us(e.ts) END) AS t2
+  FROM events e JOIN f1 ON e.user_id = f1.user_id
+  GROUP BY e.user_id, f1.t1),
+f3 AS (
+  SELECT e.user_id, f2.t1, f2.t2,
+         MIN(CASE WHEN e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t2
+                  THEN epoch_us(e.ts) END) AS t3
+  FROM events e JOIN f2 ON e.user_id = f2.user_id
+  GROUP BY e.user_id, f2.t1, f2.t2)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage,
+       CAST(COALESCE(t1, -1) AS BIGINT) AS signup_us,
+       CAST(COALESCE(t2, -1) AS BIGINT) AS click_us,
+       CAST(COALESCE(t3, -1) AS BIGINT) AS purchase_us
+FROM f3""",
         "conversation_entity_density": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS,
             select=r"""
