@@ -4389,6 +4389,90 @@ def q_funnel_stages(sf_dir: str):
                                 stamp_batch_size=None)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document keyword extraction: the top-3 tokens by an integer
+    tf-idf score tf * ((N * 10^6) // df) (ties: score desc, token asc) ->
+    (doc_id, pos, token, score). The idf stays on the integer grid so the
+    oracle is exact. DF table = one token-keyed hash-partitioned aggregate
+    over distinct (doc, token) pairs -- vocabulary-sized, broadcast once
+    per worker (the gazetteer pattern); the per-doc top-3 is batch-local
+    because a document's tokens live in its own row."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = flat_tokens(batch["text"], fill_null=True)
+        pairs = pd.DataFrame(
+            {"p": parent,
+             "token": flat.to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        vc = pairs["token"].value_counts()
+        return pa.table({
+            "token": pa.array(vc.index.to_numpy(dtype=object),
+                              type=pa.string()),
+            "df": pa.array(vc.to_numpy(np.int64), type=pa.int64()),
+        })
+
+    dft = hash_partition_aggregate(
+        docs.map_batches(_df_partial, batch_format="pyarrow"),
+        ["token"], {"df": ("df", "sum")}, stamp_batch_size=None,
+    )
+    df_pd = _pd(dft, {"token": object, "df": np.int64})
+    n_docs = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    idf = {t: (n_docs * 1_000_000) // int(d)
+           for t, d in zip(df_pd["token"], df_pd["df"])}
+    idf_ref = ray.put(idf)
+
+    def _top(batch: pa.Table, idf_ref=idf_ref) -> pd.DataFrame:
+        idf = ray.get(idf_ref)
+        flat, parent = flat_tokens(batch["text"], fill_null=True)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        tok = flat.to_numpy(zero_copy_only=False)
+        tf = (pd.DataFrame({"doc_id": doc, "token": tok})
+              .groupby(["doc_id", "token"], sort=False)
+              .size().rename("tf").reset_index())
+        tf["score"] = (tf["tf"].to_numpy(np.int64)
+                       * np.array([idf[t] for t in tf["token"]],
+                                  dtype=np.int64))
+        srt = tf.sort_values(["doc_id", "score", "token"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+        keep = srt.groupby("doc_id", sort=False).cumcount() < 3
+        out = srt[keep].copy()
+        out["pos"] = out.groupby("doc_id", sort=False).cumcount() \
+                        .to_numpy(np.int64) + 1
+        return out[["doc_id", "pos", "token", "score"]].astype(
+            {"doc_id": np.int64, "score": np.int64})
+
+    return docs.map_batches(_top, batch_format="pyarrow")
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: every equivalence class with its size and a
+    suppress flag (n < 5) -> (c_nationkey, c_mktsegment, n, suppress).
+    The class table is quasi-identifier-domain-sized; one
+    hash-partitioned aggregate, no driver-side corpus pull."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    grp = hash_partition_aggregate(
+        cust.map_batches(
+            lambda df: pd.DataFrame(
+                {"c_nationkey": df["c_nationkey"].to_numpy(np.int64),
+                 "c_mktsegment": df["c_mktsegment"].to_numpy(),
+                 "one": np.int64(1)}),
+            batch_format="pandas"),
+        ["c_nationkey", "c_mktsegment"], {"n": ("one", "sum")},
+    )
+    return grp.map_batches(
+        lambda df: df.assign(
+            suppress=(df["n"].to_numpy(np.int64) < 5).astype(np.int64)),
+        batch_format="pandas")
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4416,6 +4500,8 @@ def _round4_queries():
         "embedding_outliers": q_embedding_outliers,
         "sessionize": q_sessionize,
         "funnel_stages": q_funnel_stages,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -6543,6 +6629,32 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(COALESCE(t2, -1) AS BIGINT) AS click_us,
        CAST(COALESCE(t3, -1) AS BIGINT) AS purchase_us
 FROM f3""",
+        "tfidf_top_terms": r"""
+WITH ttoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents),
+ttf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ttoks GROUP BY doc_id, token),
+tdf AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM ttoks GROUP BY token),
+tnd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+tsc AS (
+  SELECT ttf.doc_id, ttf.token,
+         ttf.tf * ((tnd.n * 1000000) // tdf.df) AS score
+  FROM ttf JOIN tdf USING (token) CROSS JOIN tnd)
+SELECT doc_id, pos, token, score FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+         CAST(score AS BIGINT) AS score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, token) AS BIGINT) AS pos
+  FROM tsc) WHERE pos <= 3""",
+        "k_anonymity": """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS suppress
+FROM customer GROUP BY c_nationkey, c_mktsegment""",
         "conversation_entity_density": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS,
             select=r"""
