@@ -145,3 +145,35 @@ def test_no_relative_imports_in_worker_closures():
                 if not any(rel == a[0] and frag.startswith(a[1]) for a in allowed_lines):
                     bad.append(f"{rel}:{i}: {frag}")
     assert not bad, "worker-closure relative imports (foreign-cwd unsafe):\n" + "\n".join(bad)
+
+
+def test_no_shadowed_defs_or_duplicate_keys():
+    """A second top-level `def q_x` silently shadows the first (every
+    call site resolves to the LAST definition at module level), and a
+    repeated literal key in the registry / oracle dicts silently drops
+    the earlier entry -- both broke session_overlaps in round 4 when a
+    new gap-based sessionize reused the q_sessionize name. Fail fast on
+    either pattern anywhere in the package."""
+    import ast
+    import collections
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "wikidata_qrank_ray"
+    bad = []
+    for f in pkg.rglob("*.py"):
+        tree = ast.parse(f.read_text())
+        funcs = collections.Counter(
+            n.name for n in tree.body if isinstance(n, ast.FunctionDef))
+        for name, cnt in funcs.items():
+            if cnt > 1:
+                bad.append(f"{f.name}: duplicate def {name} x{cnt}")
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Dict):
+                keys = collections.Counter(
+                    k.value for k in node.keys
+                    if isinstance(k, ast.Constant) and isinstance(k.value, str))
+                for key, cnt in keys.items():
+                    if cnt > 1:
+                        bad.append(
+                            f"{f.name}:{node.lineno}: duplicate key {key!r} x{cnt}")
+    assert not bad, "shadowed definitions / duplicate dict keys:\n" + "\n".join(bad)

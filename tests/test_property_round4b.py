@@ -11,7 +11,7 @@ from wikidata_qrank_ray.pipelines.queries import (
     SESSION_GAP_US,
     _cents,
     q_funnel_stages,
-    q_sessionize,
+    q_sessionize_value,
 )
 
 
@@ -61,7 +61,8 @@ def _brute_sessions(df: pd.DataFrame) -> set:
 def test_sessionize_random_tables(tmp_path):
     for seed in (1, 2):
         df = _rand_events(seed)
-        got = q_sessionize(_write_dir(tmp_path / f"s{seed}", df)).to_pandas()
+        got = q_sessionize_value(
+            _write_dir(tmp_path / f"s{seed}", df)).to_pandas()
         got_set = set(zip(got["user_id"].astype(int),
                           got["session_pos"].astype(int),
                           got["n_events"].astype(int),

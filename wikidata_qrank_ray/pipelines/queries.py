@@ -4295,12 +4295,15 @@ def q_embedding_outliers(sf_dir: str):
 SESSION_GAP_US = 30 * 60 * 1_000_000  # inactivity gap that closes a session
 
 
-def q_sessionize(sf_dir: str):
-    """Gap-based sessionization (the classic clickstream operator the
-    reference's hour-bucketed rollups approximate; pageviews.go:418-464
-    buckets by wall-clock, this buckets by INACTIVITY): a >30-min silence
-    starts a new session -> per session (user_id, session_pos, n_events,
-    start_us, end_us, value_cents). One hash-partition shuffle on user_id;
+def q_sessionize_value(sf_dir: str):
+    """Gap-based sessionization with session value rollup (the classic
+    clickstream operator the reference's hour-bucketed rollups
+    approximate; pageviews.go:418-464 buckets by wall-clock, this buckets
+    by INACTIVITY): a >30-min silence starts a new session -> per session
+    (user_id, session_pos, n_events, start_us, end_us, value_cents).
+    Companion to q_sessionize (timestamps-only schema, feeds the interval
+    join): this variant carries the exact-cents session value and keeps
+    every boundary in integer epoch-us. One hash-partition shuffle on user_id;
     the gaps-and-islands sweep is one vectorized diff + cumsum per
     partition, so partition cost is O(rows in partition) regardless of how
     many users share it."""
@@ -4473,6 +4476,76 @@ def q_k_anonymity(sf_dir: str):
         batch_format="pandas")
 
 
+def q_hard_negatives(sf_dir: str):
+    """Contrastive-training hard-negative mining: for every anchor vector
+    (vec_id % 10 == 0) the nearest vector of a DIFFERENT label by exact
+    int64 L2 on the quant grid -> (vec_id, label, neg_id, d2). See
+    stages/similarity.cross_class_hard_negatives for the block-pair
+    decomposition."""
+    from ..stages.similarity import cross_class_hard_negatives
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    return cross_class_hard_negatives(emb)
+
+
+def q_scalar_quant_error(sf_dir: str):
+    """int8 scalar-quantization audit (embedding compression for serving):
+    per-dimension global [min, max] on the quant grid, 255 levels, each
+    coordinate encoded round-half-up and reconstructed -> per vector the
+    max and total absolute reconstruction error (vec_id, max_err,
+    sum_err). All integer arithmetic, so the oracle is exact. The
+    min/max table is dims-sized (one aggregate + broadcast); the
+    encode/decode sweep is one vectorized map pass."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.similarity import _quant_int
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _ranges(batch: pd.DataFrame) -> pd.DataFrame:
+        qi = _quant_int(np.stack(batch["embedding"].to_numpy())
+                        .astype(np.float64))
+        d = np.arange(1, qi.shape[1] + 1, dtype=np.int64)
+        return pd.DataFrame({"d": d, "mn": qi.min(axis=0),
+                             "mx": qi.max(axis=0)})
+
+    rng = _pd(
+        hash_partition_aggregate(
+            emb.map_batches(_ranges, batch_format="pandas",
+                            batch_size=4096),
+            ["d"], {"mn": ("mn", "min"), "mx": ("mx", "max")},
+            stamp_batch_size=None,
+        ),
+        {"d": np.int64, "mn": np.int64, "mx": np.int64},
+    ).sort_values("d")
+    if len(rng) == 0:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "max_err": pd.Series(dtype=np.int64),
+                             "sum_err": pd.Series(dtype=np.int64)})
+    mn = rng["mn"].to_numpy(np.int64)
+    span = rng["mx"].to_numpy(np.int64) - mn
+    ref = ray.put((mn, span))
+
+    def _err(batch: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        mn, span = ray.get(ref)
+        qi = _quant_int(np.stack(batch["embedding"].to_numpy())
+                        .astype(np.float64))
+        x = qi - mn[None, :]
+        sp = np.maximum(span, 1)[None, :]
+        code = np.where(span[None, :] > 0,
+                        (x * 254 * 2 + sp) // (2 * sp), 0)
+        recon = mn[None, :] + np.where(
+            span[None, :] > 0,
+            (code * sp * 2 + 254) // (2 * 254), 0)
+        err = np.abs(qi - recon)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy(np.int64),
+            "max_err": err.max(axis=1).astype(np.int64),
+            "sum_err": err.sum(axis=1).astype(np.int64)})
+
+    return emb.map_batches(_err, batch_format="pandas", batch_size=4096)
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4498,10 +4571,12 @@ def _round4_queries():
         "source_quality_profile": q_source_quality_profile,
         "label_centroids": q_label_centroids,
         "embedding_outliers": q_embedding_outliers,
-        "sessionize": q_sessionize,
+        "sessionize_value": q_sessionize_value,
         "funnel_stages": q_funnel_stages,
         "tfidf_top_terms": q_tfidf_top_terms,
         "k_anonymity": q_k_anonymity,
+        "hard_negatives": q_hard_negatives,
+        "scalar_quant_error": q_scalar_quant_error,
     }
 
 
@@ -6584,7 +6659,7 @@ SELECT label, pos, vec_id, d2 FROM (
   SELECT label, vec_id, CAST(d2 AS BIGINT) AS d2,
          CAST(row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS BIGINT) AS pos
   FROM eodist) WHERE pos <= 2""",
-        "sessionize": """
+        "sessionize_value": """
 WITH se AS (
   SELECT user_id, event_id, ts, epoch_us(ts) AS us,
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
@@ -6655,6 +6730,48 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS suppress
 FROM customer GROUP BY c_nationkey, c_mktsegment""",
+        "hard_negatives": """
+WITH hq AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings),
+hdd AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM hq), 0) + 1)) AS d),
+hpair AS (
+  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS neg_id,
+         SUM((a.q[dd.d] - b.q[dd.d]) * (a.q[dd.d] - b.q[dd.d])) AS d2
+  FROM hq a JOIN hq b ON a.label <> b.label CROSS JOIN hdd dd
+  WHERE a.vec_id % 10 = 0
+  GROUP BY a.vec_id, a.label, b.vec_id)
+SELECT vec_id, label, neg_id, CAST(d2 AS BIGINT) AS d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, neg_id) AS rn
+  FROM hpair) WHERE rn = 1""",
+        "scalar_quant_error": """
+WITH sq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings),
+sqd AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM sq), 0) + 1)) AS d),
+sqr AS (
+  SELECT dd.d AS d, MIN(q[dd.d]) AS mn, MAX(q[dd.d]) - MIN(q[dd.d]) AS span
+  FROM sq CROSS JOIN sqd dd GROUP BY dd.d),
+sqc AS (
+  SELECT s.vec_id, s.q[r.d] AS qv, r.mn, r.span,
+         CASE WHEN r.span > 0
+              THEN ((s.q[r.d] - r.mn) * 508 + r.span) // (2 * r.span)
+              ELSE 0 END AS code
+  FROM sq s CROSS JOIN sqr r),
+sqe AS (
+  SELECT vec_id,
+         ABS(qv - (mn + CASE WHEN span > 0
+                            THEN (code * span * 2 + 254) // 508
+                            ELSE 0 END)) AS err
+  FROM sqc)
+SELECT vec_id, CAST(MAX(err) AS BIGINT) AS max_err,
+       CAST(SUM(err) AS BIGINT) AS sum_err
+FROM sqe GROUP BY vec_id""",
         "conversation_entity_density": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS,
             select=r"""

@@ -609,3 +609,102 @@ def pq_encode_integer(
             codes, part, "vec_id", "vec_id", num_partitions=8
         )
     return codes
+
+
+def _hn_block_mins(
+    qa: np.ndarray, ia: np.ndarray, la: np.ndarray,
+    qb: np.ndarray, ib: np.ndarray, lb: np.ndarray,
+) -> pd.DataFrame:
+    """For every anchor row of (qa, ia, la): the nearest row of
+    (qb, ib, lb) with a DIFFERENT label, by exact int64 L2 on the quant
+    grid (tie -> smaller neg_id). Self-pairs are excluded for free: a
+    vector shares its own label. Pure integer matmul so the result is
+    bitwise reproducible in SQL."""
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                          "label": pd.Series([], dtype=np.int64),
+                          "neg_id": pd.Series([], dtype=np.int64),
+                          "d2": pd.Series([], dtype=np.int64)})
+    if len(ia) == 0 or len(ib) == 0:
+        return empty
+    d2 = (
+        (qa * qa).sum(axis=1)[:, None]
+        + (qb * qb).sum(axis=1)[None, :]
+        - 2 * (qa @ qb.T)
+    )
+    big = np.int64(np.iinfo(np.int64).max)
+    valid = la[:, None] != lb[None, :]
+    d2 = np.where(valid, d2, big)
+    md = d2.min(axis=1)
+    hit = md < big
+    if not hit.any():
+        return empty
+    cand = np.where(d2[hit] == md[hit][:, None], ib[None, :], big)
+    neg = cand.min(axis=1)
+    return pd.DataFrame({"vec_id": ia[hit], "label": la[hit],
+                         "neg_id": neg.astype(np.int64),
+                         "d2": md[hit]})
+
+
+def cross_class_hard_negatives(
+    emb: ray.data.Dataset,
+    anchor_mod: int = 10,
+    num_blocks: int = 8,
+    quant_scale: float = 1e6,
+) -> ray.data.Dataset:
+    """Hard-negative mining for contrastive training: for every ANCHOR
+    vector (vec_id % anchor_mod == 0 -- the deterministic anchor sample
+    that keeps the exact scan corpus x anchors, not corpus^2) the nearest
+    vector of a DIFFERENT label -> (vec_id, label, neg_id, d2), exact
+    int64 L2 on the quant grid. Block-pair Ray tasks over zero-copy Arrow
+    refs (the all_pairs_cosine pattern -- no full-matrix broadcast, no
+    driver materialization); the partial per-block minima flow back as a
+    Dataset and one vec_id-keyed shuffle picks the global argmin. The
+    approximate scale path swaps the block cross product for IVF probing
+    (ann_ivf_topk); this is the exact baseline."""
+    from .groupby import hash_partition_apply
+
+    packed = emb.map_batches(
+        lambda t: t.select(["vec_id", "embedding", "label"]),
+        batch_format="pyarrow",
+    ).repartition(num_blocks)
+    refs = packed.to_arrow_refs()
+
+    @ray.remote
+    def _task(ta: pa.Table, tb: pa.Table, same: bool) -> pd.DataFrame:
+        if ("vec_id" not in ta.column_names
+                or "vec_id" not in tb.column_names):
+            return _hn_block_mins(*(np.empty((0, 0), np.int64),) * 6)
+
+        def unpack(t: pa.Table):
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                return np.empty((0, 0), np.int64), ids, lab
+            q = _quant_int(
+                np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+                    np.float64), quant_scale)
+            return q, ids, lab
+
+        qa, ia, la = unpack(ta)
+        qb, ib, lb = unpack(tb)
+        am_a = ia % anchor_mod == 0
+        parts = [_hn_block_mins(qa[am_a], ia[am_a], la[am_a], qb, ib, lb)]
+        if not same:
+            am_b = ib % anchor_mod == 0
+            parts.append(
+                _hn_block_mins(qb[am_b], ib[am_b], lb[am_b], qa, ia, la))
+        return pd.concat(parts, ignore_index=True)
+
+    futs = [
+        _task.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    partials = ray.data.from_pandas_refs(futs)
+
+    def _argmin(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(["vec_id", "d2", "neg_id"], kind="mergesort")
+        return srt[srt.groupby("vec_id", sort=False).cumcount() == 0]
+
+    return hash_partition_apply(partials, ["vec_id"], _argmin,
+                                stamp_batch_size=None)
