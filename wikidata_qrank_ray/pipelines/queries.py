@@ -4546,6 +4546,154 @@ def q_scalar_quant_error(sf_dir: str):
     return emb.map_batches(_err, batch_format="pandas", batch_size=4096)
 
 
+def q_knn_label_noise(sf_dir: str):
+    """Label-noise audit: exact 3-NN majority vote per vector -> (vec_id,
+    label, maj_label, n_same, noisy). See stages/similarity.knn_label_audit
+    for the block-pair top-k decomposition."""
+    from ..stages.similarity import knn_label_audit
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    return knn_label_audit(emb, k=3)
+
+
+def q_shingle_containment(sf_dir: str):
+    """Asymmetric containment join (>= 80% of inner's distinct 3-shingles
+    inside outer) -> directed (inner, outer, shared, sz_inner). See
+    stages/dedup.containment_pairs."""
+    from ..stages.dedup import containment_pairs
+
+    return containment_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        shingle_k=3, pct_num=4, pct_den=5)
+
+
+def q_shard_assignment(sf_dir: str):
+    """Curriculum shard assignment: global (n_tokens, doc_id)-ordered
+    greedy packing into 512-token shards -> (doc_id, n_tokens, start_tok,
+    shard) with start_tok the doc's exclusive prefix-sum offset and
+    shard = start_tok // 512 -- the deterministic layout step between
+    curriculum ordering and the training-shard writer. The distributed
+    scan uses the bucket-offset idiom (watermark_hourly's): per-key token
+    totals are a KEY-DOMAIN-sized aggregate (token counts, a few hundred
+    distinct values regardless of corpus size), the driver computes the
+    tiny exclusive prefix over sorted keys, broadcasts it once, and each
+    n_tokens-hashed partition finishes with one local sort + cumsum --
+    no global sort, no corpus-sized driver state."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+    from ..stages.textstats import token_counts
+
+    tok = token_counts(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    per_key = _pd(
+        hash_partition_aggregate(
+            tok.map_batches(
+                lambda df: pd.DataFrame(
+                    {"n_tokens": df["n_tokens"].to_numpy(np.int64),
+                     "tot": df["n_tokens"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            ["n_tokens"], {"tot": ("tot", "sum")}),
+        {"n_tokens": np.int64, "tot": np.int64},
+    ).sort_values("n_tokens")
+    keys = per_key["n_tokens"].to_numpy(np.int64)
+    tots = per_key["tot"].to_numpy(np.int64)
+    offs = np.concatenate([[np.int64(0)], np.cumsum(tots)[:-1]]) \
+        if len(tots) else np.array([], dtype=np.int64)
+    off_ref = ray.put((keys, offs))
+
+    def _assign(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "start_tok": pd.Series([], dtype=np.int64),
+                "shard": pd.Series([], dtype=np.int64)})
+        keys, offs = ray.get(off_ref)
+        srt = part.sort_values(["n_tokens", "doc_id"], kind="mergesort")
+        nt = srt["n_tokens"].to_numpy(np.int64)
+        cs = np.cumsum(nt) - nt  # partition-wide exclusive cumsum
+        first = np.empty(len(nt), dtype=bool)
+        first[:1] = True
+        first[1:] = nt[1:] != nt[:-1]
+        starts = np.flatnonzero(first)
+        # within-key exclusive cumsum + the broadcast global key offset
+        within = cs - np.repeat(cs[starts], np.diff(
+            np.append(starts, len(nt))))
+        start = within + offs[np.searchsorted(keys, nt)]
+        return pd.DataFrame({
+            "doc_id": srt["doc_id"].to_numpy(np.int64),
+            "n_tokens": nt, "start_tok": start, "shard": start // 512})
+
+    return hash_partition_apply(tok, ["n_tokens"], _assign,
+                                stamp_batch_size=None)
+
+
+def q_dedup_savings(sf_dir: str):
+    """Dedup audit rollup: per identical-text duplicate GROUP (>= 2
+    copies) the surviving doc (min doc_id), copy count and characters
+    saved by keeping one copy -> (rep_doc, n_copies, saved_chars) -- the
+    what-did-dedup-buy-us report that accompanies exact_dedup. One
+    text-keyed partial-min/count aggregate (the exact_dedup shuffle) plus
+    a vectorized finalize."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    agg = hash_partition_aggregate(
+        docs, ["text"],
+        {"rep_doc": ("doc_id", "min"), "n_copies": ("doc_id", "count")})
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_copies"] > 1]
+        ln = df["text"].fillna("").str.len().to_numpy(np.int64)
+        return pd.DataFrame({
+            "rep_doc": df["rep_doc"].to_numpy(np.int64),
+            "n_copies": df["n_copies"].to_numpy(np.int64),
+            "saved_chars": (df["n_copies"].to_numpy(np.int64) - 1) * ln})
+
+    return agg.map_batches(_finalize, batch_format="pandas")
+
+
+def q_pair_lifespan(sf_dir: str):
+    """Temporal KG edge validity: per co-mentioned entity pair (same
+    turn, numeric qid order) the first/last co-mention timestamp in
+    integer epoch-us and the number of co-mentioning turns -> (subj, obj,
+    first_us, last_us, n_turns) -- the interval stamp a temporal triple
+    store attaches to co_occurs edges (the reference's links.go edges are
+    timeless; entity_timeline covers single entities, this covers PAIRS).
+    Pair explode is per-turn inside conv_id-hashed partitions (turn
+    locality), partial min/max/count per pair rides the same sweep, one
+    (subj, obj)-keyed aggregate finishes."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+
+    m = q_mentions(sf_dir)
+    base_us = pd.Timestamp("2024-01-01").value // 1000
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        d = part[["conv_id", "turn_idx", "qid"]].drop_duplicates()
+        conv = d["conv_id"].str[1:].astype(np.int64)
+        d = d.assign(
+            _us=base_us + (conv * 8 + d["turn_idx"].astype(np.int64))
+            * 1_000_000,
+            _n=d["qid"].str[1:].astype(np.int64),
+        )
+        mm = d.merge(d, on=["conv_id", "turn_idx"])
+        mm = mm[mm["_n_x"] < mm["_n_y"]]
+        out = mm.groupby(["qid_x", "qid_y"], as_index=False, sort=False).agg(
+            first_us=("_us_x", "min"), last_us=("_us_x", "max"),
+            n_turns=("_us_x", "size"))
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return out.rename(columns={"qid_x": "subj", "qid_y": "obj"})
+
+    partials = hash_partition_apply(m, ["conv_id"], _pairs,
+                                    stamp_batch_size=None)
+    return hash_partition_aggregate(
+        partials, ["subj", "obj"],
+        {"first_us": ("first_us", "min"), "last_us": ("last_us", "max"),
+         "n_turns": ("n_turns", "sum")},
+        stamp_batch_size=None)
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4577,6 +4725,11 @@ def _round4_queries():
         "k_anonymity": q_k_anonymity,
         "hard_negatives": q_hard_negatives,
         "scalar_quant_error": q_scalar_quant_error,
+        "knn_label_noise": q_knn_label_noise,
+        "shingle_containment": q_shingle_containment,
+        "shard_assignment": q_shard_assignment,
+        "dedup_savings": q_dedup_savings,
+        "pair_lifespan": q_pair_lifespan,
     }
 
 
@@ -6772,6 +6925,93 @@ sqe AS (
 SELECT vec_id, CAST(MAX(err) AS BIGINT) AS max_err,
        CAST(SUM(err) AS BIGINT) AS sum_err
 FROM sqe GROUP BY vec_id""",
+        "knn_label_noise": """
+WITH kq AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings),
+kdd AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM kq), 0) + 1)) AS d),
+kpair AS (
+  SELECT a.vec_id AS vec_id, a.label AS label,
+         b.vec_id AS nn_id, b.label AS nn_label,
+         SUM((a.q[dd.d] - b.q[dd.d]) * (a.q[dd.d] - b.q[dd.d])) AS d2
+  FROM kq a JOIN kq b ON a.vec_id <> b.vec_id CROSS JOIN kdd dd
+  GROUP BY a.vec_id, a.label, b.vec_id, b.label),
+ktop AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, nn_id) AS rn
+    FROM kpair) WHERE rn <= 3),
+kvote AS (
+  SELECT vec_id, label, nn_label, COUNT(*) AS c
+  FROM ktop GROUP BY vec_id, label, nn_label),
+kmaj AS (
+  SELECT vec_id, label, nn_label AS maj_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c DESC, nn_label) AS mr
+    FROM kvote) WHERE mr = 1)
+SELECT m.vec_id, m.label, m.maj_label,
+       CAST(COALESCE(s.c, 0) AS BIGINT) AS n_same,
+       CAST(CASE WHEN COALESCE(s.c, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS noisy
+FROM kmaj m LEFT JOIN kvote s
+  ON m.vec_id = s.vec_id AND s.nn_label = s.label""",
+        "shingle_containment": r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM toks),
+ds AS (SELECT doc_id, unnest(list_distinct(sl)) AS s FROM shl),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id <> y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT i.a AS inner_doc, i.b AS outer_doc,
+       CAST(i.i AS BIGINT) AS shared, CAST(sa.sz AS BIGINT) AS sz_inner
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+WHERE 5 * i.i >= 4 * sa.sz""",
+        "shard_assignment": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY n_tokens, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM t)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // 512 AS BIGINT) AS shard
+FROM s""",
+        "dedup_savings": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST((COUNT(*) - 1) * length(COALESCE(text, '')) AS BIGINT) AS saved_chars
+FROM documents GROUP BY text HAVING COUNT(*) > 1""",
+        "pair_lifespan": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS,
+            select="""
+, m AS (SELECT DISTINCT conv_id, turn_idx, qid FROM hits),
+mt AS (
+  SELECT conv_id, turn_idx, qid,
+         epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+           + (CAST(substr(conv_id, 2) AS BIGINT) * 8 + turn_idx) * 1000000 AS us
+  FROM m)
+SELECT a.qid AS subj, b.qid AS obj,
+       CAST(MIN(a.us) AS BIGINT) AS first_us,
+       CAST(MAX(a.us) AS BIGINT) AS last_us,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM mt a JOIN mt b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+ AND CAST(substr(a.qid, 2) AS BIGINT) < CAST(substr(b.qid, 2) AS BIGINT)
+GROUP BY a.qid, b.qid""",
+        ),
         "conversation_entity_density": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS,
             select=r"""

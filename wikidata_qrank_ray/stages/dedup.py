@@ -1660,3 +1660,66 @@ def edit_near_dups(
         staged, ["band", "blo", "bhi"], _pairs, num_partitions,
         stamp_batch_size=None,
     )
+
+def containment_pairs(
+    docs: ray.data.Dataset, shingle_k: int = 3,
+    pct_num: int = 4, pct_den: int = 5,
+    num_partitions: int = 64, df_cutoff: int | None = None,
+) -> ray.data.Dataset:
+    """ASYMMETRIC containment join: directed pairs (inner, outer) where at
+    least pct_num/pct_den (default 80%) of inner's DISTINCT token
+    k-shingles also appear in outer -- the quote-inclusion / boilerplate-
+    wrapper relation that symmetric Jaccard misses (a short doc fully
+    embedded in a long one has low Jaccard but containment 1.0). Same
+    two-shuffle plan as exact_jaccard_pairs (shared-shingle co-partition
+    pair partials with both set sizes riding along, then one (a, b)
+    intersection aggregate); the finalize emits each undirected pair in
+    up to BOTH directions with the exact integer test
+    pct_den * shared >= pct_num * sz_inner -- no float thresholds, so the
+    oracle compare is bitwise. Output (inner, outer, shared, sz_inner),
+    all int64. ``df_cutoff`` is the same documented stopword-cap skew
+    tradeoff as exact_jaccard_pairs (oracle runs with None)."""
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+
+    hot_ref = None
+    if df_cutoff is not None:
+        hot = hot_shingles(docs, shingle_k, df_cutoff, num_partitions)
+        if len(hot):
+            hot_ref = ray.put(hot)
+    sh = shingle_rows(docs, shingle_k, hot_ref)
+
+    def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="s")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False, sort=False).agg(
+            i=("s", "size"), sz_a=("sz_x", "first"), sz_b=("sz_y", "first")
+        )
+        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+
+    pair_partials = hash_partition_apply(
+        sh, ["s"], _pair_partials, num_partitions, stamp_batch_size=None
+    )
+    inter = hash_partition_aggregate(
+        pair_partials,
+        ["a", "b"],
+        {"i": ("i", "sum"), "sz_a": ("sz_a", "min"), "sz_b": ("sz_b", "min")},
+        num_partitions,
+        stamp_batch_size=None,
+    )
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["i"].to_numpy(dtype=np.int64)
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        sa = df["sz_a"].to_numpy(dtype=np.int64)
+        sb = df["sz_b"].to_numpy(dtype=np.int64)
+        ka = pct_den * i >= pct_num * sa  # a contained in b
+        kb = pct_den * i >= pct_num * sb  # b contained in a
+        return pd.DataFrame({
+            "inner_doc": np.concatenate([a[ka], b[kb]]),
+            "outer_doc": np.concatenate([b[ka], a[kb]]),
+            "shared": np.concatenate([i[ka], i[kb]]),
+            "sz_inner": np.concatenate([sa[ka], sb[kb]]),
+        })
+
+    return inter.map_batches(_finalize, batch_format="pandas")

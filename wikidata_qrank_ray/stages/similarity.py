@@ -708,3 +708,128 @@ def cross_class_hard_negatives(
 
     return hash_partition_apply(partials, ["vec_id"], _argmin,
                                 stamp_batch_size=None)
+
+
+def _knn_block_topk(
+    qa: np.ndarray, ia: np.ndarray, la: np.ndarray,
+    qb: np.ndarray, ib: np.ndarray, lb: np.ndarray, k: int,
+) -> pd.DataFrame:
+    """For every anchor row of (qa, ia, la): its k nearest rows of
+    (qb, ib, lb) by exact int64 L2 on the quant grid, self excluded by
+    vec_id, ties broken by smaller neighbor id. Fully vectorized: the
+    per-anchor ranking is ONE flat lexsort over (anchor, d2, nn_id)
+    followed by a cumcount mask -- no per-row Python loop."""
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                          "label": pd.Series([], dtype=np.int64),
+                          "nn_id": pd.Series([], dtype=np.int64),
+                          "nn_label": pd.Series([], dtype=np.int64),
+                          "d2": pd.Series([], dtype=np.int64)})
+    na, nb = len(ia), len(ib)
+    if na == 0 or nb == 0:
+        return empty
+    d2 = (
+        (qa * qa).sum(axis=1)[:, None]
+        + (qb * qb).sum(axis=1)[None, :]
+        - 2 * (qa @ qb.T)
+    )
+    valid = (ia[:, None] != ib[None, :]).ravel()
+    if not valid.any():
+        return empty
+    ai = np.repeat(np.arange(na, dtype=np.int64), nb)[valid]
+    d2f = d2.ravel()[valid]
+    idf = np.tile(ib, na)[valid]
+    labf = np.tile(lb, na)[valid]
+    order = np.lexsort((idf, d2f, ai))
+    ai, d2f, idf, labf = ai[order], d2f[order], idf[order], labf[order]
+    first = np.empty(len(ai), dtype=bool)
+    first[:1] = True
+    first[1:] = ai[1:] != ai[:-1]
+    # position within each anchor's sorted candidate run
+    starts = np.flatnonzero(first)
+    pos = np.arange(len(ai)) - np.repeat(starts, np.diff(
+        np.append(starts, len(ai))))
+    keep = pos < k
+    return pd.DataFrame({"vec_id": ia[ai[keep]], "label": la[ai[keep]],
+                         "nn_id": idf[keep], "nn_label": labf[keep],
+                         "d2": d2f[keep]})
+
+
+def knn_label_audit(
+    emb: ray.data.Dataset,
+    k: int = 3,
+    num_blocks: int = 8,
+    quant_scale: float = 1e6,
+) -> ray.data.Dataset:
+    """Label-noise detection by exact k-NN majority vote (the Confident
+    Learning / cleanlab-style audit a labeled training set runs before
+    fine-tuning): for every vector its k exact nearest neighbors (int64
+    L2 on the quant grid, self excluded, ties -> smaller id), then
+    -> (vec_id, label, maj_label, n_same, noisy) where maj_label is the
+    most common neighbor label (tie -> smaller label), n_same counts
+    neighbors sharing the vector's own label and noisy=1 iff NO neighbor
+    agrees. Exact-scan tier: block-pair Ray tasks over zero-copy Arrow
+    refs emit per-block top-k partials; one vec_id-keyed shuffle reduces
+    to the global top-k and votes. The 100x scale path swaps the block
+    cross product for IVF probing (ann_ivf_topk) -- same reduce."""
+    from .groupby import hash_partition_apply
+
+    packed = emb.map_batches(
+        lambda t: t.select(["vec_id", "embedding", "label"]),
+        batch_format="pyarrow",
+    ).repartition(num_blocks)
+    refs = packed.to_arrow_refs()
+
+    @ray.remote
+    def _task(ta: pa.Table, tb: pa.Table, same: bool) -> pd.DataFrame:
+        def unpack(t: pa.Table):
+            if "vec_id" not in t.column_names or t.num_rows == 0:
+                z = np.empty(0, np.int64)
+                return np.empty((0, 0), np.int64), z, z
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            q = _quant_int(
+                np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+                    np.float64), quant_scale)
+            return q, ids, lab
+
+        qa, ia, la = unpack(ta)
+        qb, ib, lb = unpack(tb)
+        parts = [_knn_block_topk(qa, ia, la, qb, ib, lb, k)]
+        if not same:
+            parts.append(_knn_block_topk(qb, ib, lb, qa, ia, la, k))
+        return pd.concat(parts, ignore_index=True)
+
+    futs = [
+        _task.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    partials = ray.data.from_pandas_refs(futs)
+
+    def _vote(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype=np.int64),
+                "label": pd.Series([], dtype=np.int64),
+                "maj_label": pd.Series([], dtype=np.int64),
+                "n_same": pd.Series([], dtype=np.int64),
+                "noisy": pd.Series([], dtype=np.int64)})
+        srt = part.sort_values(["vec_id", "d2", "nn_id"], kind="mergesort")
+        top = srt[srt.groupby("vec_id", sort=False).cumcount() < k]
+        votes = top.groupby(["vec_id", "label", "nn_label"],
+                            as_index=False, sort=False).size()
+        votes = votes.sort_values(["vec_id", "size", "nn_label"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+        maj = votes[votes.groupby("vec_id", sort=False).cumcount() == 0]
+        same = (votes[votes["nn_label"] == votes["label"]]
+                .set_index("vec_id")["size"])
+        out = maj.rename(columns={"nn_label": "maj_label"})[
+            ["vec_id", "label", "maj_label"]].copy()
+        out["n_same"] = (
+            out["vec_id"].map(same).fillna(0).astype(np.int64))
+        out["noisy"] = (out["n_same"] == 0).astype(np.int64)
+        return out
+
+    return hash_partition_apply(partials, ["vec_id"], _vote,
+                                stamp_batch_size=None)
