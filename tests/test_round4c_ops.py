@@ -113,3 +113,43 @@ def test_knn_label_audit_brute():
         assert row["maj_label"] == maj, i
         assert row["n_same"] == n_same, i
         assert row["noisy"] == (1 if n_same == 0 else 0)
+
+
+def test_dedup_eval_planted(tmp_path):
+    from wikidata_qrank_ray.pipelines.queries import q_dedup_eval
+
+    # 2 exact dups (always same signature -> candidate AND truth), one
+    # unrelated doc, two token-less docs (the jaccard(empty,empty)=1
+    # convention pair -- also identical all-max signatures)
+    texts = ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "zz yy xx qq", "", "   "]
+    d = _write_docs(tmp_path / "de", texts)
+    got = q_dedup_eval(d)
+    assert int(got["tp"][0]) == 2      # (0,1) and (3,4)
+    assert int(got["fp"][0]) == 0
+    assert int(got["fn"][0]) == 0
+
+
+def test_stratified_kfold_balance(tmp_path):
+    from wikidata_qrank_ray.pipelines.queries import q_stratified_kfold
+
+    texts = ["t"] * 23
+    d = _write_docs(tmp_path / "kf", texts)
+    # overwrite with two strata
+    df = pd.DataFrame({
+        "doc_id": np.arange(23, dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * 13 + ["de"] * 10,
+        "source": ["s0"] * 23,
+        "n_chars": [1] * 23,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "kf" / "documents.parquet"))
+    got = q_stratified_kfold(d).to_pandas()
+    assert len(got) == 23
+    # every stratum balanced within 1, folds assigned in doc_id order
+    for lang, n in (("en", 13), ("de", 10)):
+        sub = got[got["lang"] == lang].sort_values("doc_id")
+        counts = sub["fold"].value_counts()
+        assert counts.max() - counts.min() <= 1
+        assert (sub["fold"].to_numpy()
+                == np.arange(n, dtype=np.int64) % 5).all()

@@ -4694,6 +4694,50 @@ def q_pair_lifespan(sf_dir: str):
         stamp_batch_size=None)
 
 
+def q_dedup_eval(sf_dir: str):
+    """LSH-vs-exact dedup audit: tp/fp/fn of the MinHash-LSH candidate
+    edge set against exact Jaccard >= 0.8 truth -> one row (tp, fp, fn).
+    See stages/dedup.lsh_eval for the tag-sum counting plan."""
+    from ..stages.dedup import lsh_eval
+
+    return lsh_eval(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_stratified_kfold(sf_dir: str):
+    """Deterministic 5-fold cross-validation assignment stratified by
+    (lang, source): within each stratum, docs in doc_id order get
+    fold = ordinal % 5 -> (doc_id, lang, source, fold). Every stratum
+    lands within one fold-count of perfectly balanced, with no RNG and no
+    global shuffle -- one stratum-hashed partition sweep (sort + cumcount
+    per partition; NULL strata group together, the SQL PARTITION BY
+    convention)."""
+    from ..stages.groupby import hash_partition_apply
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source"])
+
+    def _fold(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "lang": pd.Series([], dtype=object),
+                "source": pd.Series([], dtype=object),
+                "fold": pd.Series([], dtype=np.int64)})
+        srt = part.sort_values(["lang", "source", "doc_id"],
+                               kind="mergesort")
+        fold = (srt.groupby(["lang", "source"], sort=False, dropna=False)
+                .cumcount() % 5).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": srt["doc_id"].to_numpy(np.int64),
+            "lang": srt["lang"].to_numpy(),
+            "source": srt["source"].to_numpy(),
+            "fold": fold.to_numpy()})
+
+    return hash_partition_apply(docs, ["lang", "source"], _fold,
+                                stamp_batch_size=None)
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4730,6 +4774,8 @@ def _round4_queries():
         "shard_assignment": q_shard_assignment,
         "dedup_savings": q_dedup_savings,
         "pair_lifespan": q_pair_lifespan,
+        "dedup_eval": q_dedup_eval,
+        "stratified_kfold": q_stratified_kfold,
     }
 
 
@@ -5186,6 +5232,42 @@ def _minhash_dedup_sql(
       pairs define jaccard = 1), clustering = recursive min-label
       reachability (same fixpoint as union-find / star contraction).
     """
+    return ("WITH RECURSIVE\n"
+            + _minhash_cand_ctes(num_perm, bands, shingle_k, seed)
+            + rf""",
+inter AS (
+  SELECT c.a AS a, c.b AS b, COUNT(*) AS i
+  FROM cand c
+  JOIN ds x ON x.doc_id = c.a
+  JOIN ds y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b),
+verified AS (
+  SELECT c.a AS a, c.b AS b FROM cand c
+  LEFT JOIN sizes sa ON c.a = sa.doc_id
+  LEFT JOIN sizes sb ON c.b = sb.doc_id
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  WHERE CASE WHEN COALESCE(sa.sz, 0) = 0 AND COALESCE(sb.sz, 0) = 0 THEN 1.0
+             ELSE COALESCE(i.i, 0) * 1.0 /
+                  GREATEST(1, COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0) - COALESCE(i.i, 0))
+        END >= {threshold}),
+edges AS (SELECT a AS u, b AS v FROM verified UNION ALL SELECT b, a FROM verified),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node)
+SELECT node AS doc_id, MIN(r) AS dup_of FROM reach GROUP BY node""")
+
+
+def _minhash_cand_ctes(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> str:
+    """The shared CTE pyramid of the MinHash twins (shingles -> polyhash
+    -> signatures -> band hashes -> the bucket-min + sorted-predecessor
+    candidate edge rule -> per-doc set sizes): used by _minhash_dedup_sql
+    and _lsh_eval_sql so the two oracles cannot drift apart."""
     from ..functions.hashing import minhash_coeffs
 
     a, b = minhash_coeffs(num_perm, seed)
@@ -5195,7 +5277,6 @@ def _minhash_dedup_sql(
     )
     m64 = "18446744073709551616"  # 2^64
     return rf"""
-WITH RECURSIVE
 perm(i, pa, pb) AS (VALUES {perm_rows}),
 toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
 shl AS (
@@ -5237,28 +5318,45 @@ cand AS (
     UNION ALL
     SELECT prv AS a, doc_id AS b FROM ranked
     WHERE doc_id <> frst AND prv IS NOT NULL AND prv <> doc_id)),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
-inter AS (
-  SELECT c.a AS a, c.b AS b, COUNT(*) AS i
-  FROM cand c
-  JOIN ds x ON x.doc_id = c.a
-  JOIN ds y ON y.doc_id = c.b AND y.s = x.s
-  GROUP BY c.a, c.b),
-verified AS (
-  SELECT c.a AS a, c.b AS b FROM cand c
-  LEFT JOIN sizes sa ON c.a = sa.doc_id
-  LEFT JOIN sizes sb ON c.b = sb.doc_id
-  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-  WHERE CASE WHEN COALESCE(sa.sz, 0) = 0 AND COALESCE(sb.sz, 0) = 0 THEN 1.0
-             ELSE COALESCE(i.i, 0) * 1.0 /
-                  GREATEST(1, COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0) - COALESCE(i.i, 0))
-        END >= {threshold}),
-edges AS (SELECT a AS u, b AS v FROM verified UNION ALL SELECT b, a FROM verified),
-reach(node, r) AS (
-  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-  UNION
-  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node)
-SELECT node AS doc_id, MIN(r) AS dup_of FROM reach GROUP BY node"""
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id)"""
+
+
+def _lsh_eval_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of stages.dedup.lsh_eval: the shared candidate pyramid
+    (_minhash_cand_ctes), ground truth = exact all-pairs Jaccard >=
+    threshold plus the both-shingle-less convention pairs, then the three
+    exact counts."""
+    return ("WITH " + _minhash_cand_ctes(num_perm, bands, shingle_k, seed)
+            + rf""",
+jint AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+jtruth AS (
+  SELECT j.a, j.b FROM jint j
+  JOIN sizes sa ON j.a = sa.doc_id
+  JOIN sizes sb ON j.b = sb.doc_id
+  WHERE j.i * 1.0 / (sa.sz + sb.sz - j.i) >= {threshold}),
+empt AS (
+  SELECT d.doc_id FROM documents d
+  LEFT JOIN sizes s ON d.doc_id = s.doc_id
+  WHERE COALESCE(s.sz, 0) = 0),
+etruth AS (
+  SELECT e1.doc_id AS a, e2.doc_id AS b
+  FROM empt e1 JOIN empt e2 ON e1.doc_id < e2.doc_id),
+truth AS (SELECT a, b FROM jtruth UNION SELECT a, b FROM etruth),
+hits AS (SELECT COUNT(*) AS tp
+         FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b)
+SELECT CAST(tp AS BIGINT) AS tp,
+       CAST((SELECT COUNT(*) FROM cand) - tp AS BIGINT) AS fp,
+       CAST((SELECT COUNT(*) FROM truth) - tp AS BIGINT) AS fn
+FROM hits""")
 
 
 def oracle_sql():
@@ -7012,6 +7110,12 @@ FROM mt a JOIN mt b
  AND CAST(substr(a.qid, 2) AS BIGINT) < CAST(substr(b.qid, 2) AS BIGINT)
 GROUP BY a.qid, b.qid""",
         ),
+        "dedup_eval": _lsh_eval_sql(),
+        "stratified_kfold": """
+SELECT doc_id, lang, source,
+       CAST((row_number() OVER (PARTITION BY lang, source
+                                ORDER BY doc_id) - 1) % 5 AS BIGINT) AS fold
+FROM documents""",
         "conversation_entity_density": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS,
             select=r"""

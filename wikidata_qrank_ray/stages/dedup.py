@@ -1723,3 +1723,95 @@ def containment_pairs(
         })
 
     return inter.map_batches(_finalize, batch_format="pandas")
+
+
+def lsh_eval(
+    docs: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Approximation audit for the MinHash-LSH pipeline: exact tp/fp/fn of
+    the LSH candidate EDGE set (the bucket-min + sorted-predecessor rule
+    the real pipeline uses, lsh_candidate_pairs_ds -- not all-in-bucket
+    pairs) against ground truth = exact shingle-set Jaccard >= threshold,
+    with the minhash convention that two shingle-LESS docs are perfect
+    duplicates (jaccard(empty, empty) = 1). -> one row (tp, fp, fn), all
+    int64 -- the recall/precision evidence a 100 TB dedup run records
+    before trusting the approximate tier.
+
+    Counting plan, nothing pair-set-sized on the driver: candidates and
+    truth pairs are tagged 1/2 and reduced by ONE (a, b)-keyed
+    hash-partition aggregate (tag sum 3 = intersection); the shingle-less
+    doc ids are a small broadcast (their C(m,2) truth pairs are counted
+    ANALYTICALLY, never materialized); per-block partial counts sum on
+    the driver (#blocks-sized)."""
+    from .groupby import hash_partition_aggregate
+    from .textstats import token_counts
+
+    rows_per_band = num_perm // bands
+    sigs = docs.map_batches(
+        _minhash_sig_batch,
+        fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+    )
+    cand = lsh_candidate_pairs_ds(
+        minhash_band_rows(sigs, bands, rows_per_band)
+    ).materialize()
+    n_cand = cand.count()
+
+    truth = exact_jaccard_pairs(docs, shingle_k, threshold, num_partitions)
+
+    emp = token_counts(docs).map_batches(
+        lambda df: df[df["n_tokens"] == 0][["doc_id"]],
+        batch_format="pandas").to_pandas()
+    empty_ids = (np.sort(emp["doc_id"].to_numpy(dtype=np.int64))
+                 if len(emp) else np.array([], dtype=np.int64))
+    m = len(empty_ids)
+    n_empty_truth = m * (m - 1) // 2
+    empty_ref = ray.put(empty_ids)
+
+    def _tag(k):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "a": df["a"].to_numpy(dtype=np.int64),
+                "b": df["b"].to_numpy(dtype=np.int64),
+                "tag": np.full(len(df), k, dtype=np.int64)})
+        return fn
+
+    tagged = cand.map_batches(_tag(1), batch_format="pandas").union(
+        truth.map_batches(_tag(2), batch_format="pandas"))
+    groups = hash_partition_aggregate(
+        tagged, ["a", "b"], {"tag": ("tag", "sum")},
+        num_partitions, stamp_batch_size=None)
+
+    def _partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tp1": [int((df["tag"].to_numpy() == 3).sum())],
+            "n_truth_j": [int((df["tag"].to_numpy() >= 2).sum())]})
+
+    parts = groups.map_batches(
+        _partial_counts, batch_format="pandas").to_pandas()
+    tp1 = int(parts["tp1"].sum()) if len(parts) else 0
+    n_truth_j = int(parts["n_truth_j"].sum()) if len(parts) else 0
+
+    def _empty_pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(empty_ref)
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        both = np.isin(a, ids) & np.isin(b, ids)
+        return pd.DataFrame({"tp2": [int(both.sum())]})
+
+    tp2 = 0
+    if m and n_cand:
+        ep = cand.map_batches(
+            _empty_pair_counts, batch_format="pandas").to_pandas()
+        tp2 = int(ep["tp2"].sum()) if len(ep) else 0
+
+    tp = tp1 + tp2
+    fp = n_cand - tp
+    fn = (n_truth_j + n_empty_truth) - tp
+    return pd.DataFrame({"tp": [np.int64(tp)], "fp": [np.int64(fp)],
+                         "fn": [np.int64(fn)]})
