@@ -118,6 +118,21 @@ QUERY_NAMES = [
     "conversation_entity_density",
     "doc_type_token",
     "source_quality_profile",
+    "label_centroids",
+    "embedding_outliers",
+    "sessionize_value",
+    "funnel_stages",
+    "tfidf_top_terms",
+    "k_anonymity",
+    "hard_negatives",
+    "scalar_quant_error",
+    "knn_label_noise",
+    "shingle_containment",
+    "shard_assignment",
+    "dedup_savings",
+    "pair_lifespan",
+    "dedup_eval",
+    "stratified_kfold",
 ]
 
 
