@@ -4738,6 +4738,168 @@ def q_stratified_kfold(sf_dir: str):
                                 stamp_batch_size=None)
 
 
+# ---------------------------------------------------------------------------
+# Round-4d additions (fourth round-4 session): context-window truncation
+# accounting, SCD-2 state history, M4 downsampling, data-quality checks,
+# column profiling, graph clustering coefficient / link prediction,
+# readability scoring, source distribution drift
+# ---------------------------------------------------------------------------
+
+
+def q_truncation_audit(sf_dir: str, budget: int = 256):
+    """Context-window truncation accounting: apply a last-``budget``-token
+    window to every conversation (the fine-tuning "keep the most recent
+    context" rule) and report, per conversation, how many turns/tokens
+    survive -> (conv_id, turns_total, turns_kept, tokens_total,
+    tokens_kept). A turn is kept iff the token sum from the LAST turn back
+    through it stays within budget (whole turns only -- a turn that would
+    straddle the boundary is dropped, like chat-template truncation).
+    Shape: token counts are one Arrow regex kernel per batch; the
+    reverse-cumsum + rollup is one conv-hashed shuffle with a vectorized
+    partition sweep. Nothing conversation-scaled on the driver."""
+    from ..stages.groupby import hash_partition_apply
+
+    ds = derive_transcripts(sf_dir)
+
+    def ntok(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], r"\S+")
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "ntok": pc.cast(n, pa.int64()),
+        })
+
+    toks = ds.map_batches(ntok, batch_format="pyarrow")
+
+    def sweep(part: pd.DataFrame, budget=budget) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "turns_total": pd.Series([], dtype=np.int64),
+                "turns_kept": pd.Series([], dtype=np.int64),
+                "tokens_total": pd.Series([], dtype=np.int64),
+                "tokens_kept": pd.Series([], dtype=np.int64)})
+        # sort turn_idx DESC inside each conv so a grouped cumsum IS the
+        # suffix sum "from the last turn backwards"
+        srt = part.sort_values(["conv_id", "turn_idx"],
+                               ascending=[True, False], kind="mergesort")
+        rcum = srt.groupby("conv_id", sort=False)["ntok"].cumsum()
+        keep = (rcum <= budget).to_numpy()
+        nt = srt["ntok"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "conv_id": srt["conv_id"].to_numpy(),
+            "keep": keep.astype(np.int64),
+            "ntok": nt,
+            "kept_tok": np.where(keep, nt, 0),
+        }).groupby("conv_id", as_index=False, sort=False).agg(
+            turns_total=("ntok", "size"), turns_kept=("keep", "sum"),
+            tokens_total=("ntok", "sum"), tokens_kept=("kept_tok", "sum"))
+        return g.astype({"turns_total": np.int64, "turns_kept": np.int64,
+                         "tokens_total": np.int64, "tokens_kept": np.int64})
+
+    return hash_partition_apply(toks, ["conv_id"], sweep,
+                                stamp_batch_size=None)
+
+
+def q_user_state_islands(sf_dir: str):
+    """SCD-type-2 state history (gaps-and-islands): per user, collapse
+    CONSECUTIVE events of the same event_type (in (ts, event_id) order)
+    into one validity interval -> (user_id, event_type, valid_from,
+    valid_to, n_events). The CDC pattern for "current state with history"
+    tables. One user-hashed shuffle; island detection is one sort + two
+    vectorized boundary comparisons per partition, no per-user loop."""
+    from ..stages.groupby import hash_partition_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "event_type": pd.Series([], dtype=object),
+                "valid_from": pd.Series([], dtype="datetime64[us]"),
+                "valid_to": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype=np.int64)})
+        srt = part.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        new_user = srt["user_id"].ne(srt["user_id"].shift())
+        new_type = srt["event_type"].ne(srt["event_type"].shift())
+        isl = np.cumsum((new_user | new_type).to_numpy())
+        out = (srt.assign(_isl=isl)
+               .groupby("_isl", as_index=False, sort=False)
+               .agg(user_id=("user_id", "first"),
+                    event_type=("event_type", "first"),
+                    valid_from=("ts", "min"), valid_to=("ts", "max"),
+                    n_events=("event_id", "size")))
+        return out[["user_id", "event_type", "valid_from", "valid_to",
+                    "n_events"]].astype(
+            {"user_id": np.int64, "n_events": np.int64})
+
+    return hash_partition_apply(ev, ["user_id"], sweep,
+                                stamp_batch_size=None)
+
+
+def q_events_m4(sf_dir: str):
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per hour
+    bucket keep count, min, max, first and last value -- the four points
+    that make a downsampled line chart pixel-exact -> (bucket, n_events,
+    v_min, v_max, v_first, v_last). First/last are by (ts, event_id)
+    total order; values travel as exact cents and divide once at the
+    edge. One bucket-hashed shuffle, vectorized per-partition sweep."""
+    from ..stages.groupby import hash_partition_apply
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": batch["ts"].dt.floor("h"),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].to_numpy(np.int64),
+            "vc": _cents(batch["value"].to_numpy()),
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pandas", batch_size=65536)
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype=np.int64),
+                "v_min": pd.Series([], dtype=np.float64),
+                "v_max": pd.Series([], dtype=np.float64),
+                "v_first": pd.Series([], dtype=np.float64),
+                "v_last": pd.Series([], dtype=np.float64)})
+        srt = part.sort_values(["bucket", "ts", "event_id"],
+                               kind="mergesort")
+        g = srt.groupby("bucket", as_index=False, sort=False).agg(
+            n_events=("vc", "size"), vmin=("vc", "min"), vmax=("vc", "max"),
+            vfirst=("vc", "first"), vlast=("vc", "last"))
+        return pd.DataFrame({
+            "bucket": g["bucket"],
+            "n_events": g["n_events"].astype(np.int64),
+            "v_min": g["vmin"].to_numpy(np.int64) / 100.0,
+            "v_max": g["vmax"].to_numpy(np.int64) / 100.0,
+            "v_first": g["vfirst"].to_numpy(np.int64) / 100.0,
+            "v_last": g["vlast"].to_numpy(np.int64) / 100.0,
+        })
+
+    return hash_partition_apply(keyed, ["bucket"], sweep,
+                                stamp_batch_size=None)
+
+
+def _round4d_queries():
+    """Fourth-session round-4 additions. Registered AFTER _round4_queries
+    so the existing 50-entry never-sampled prefix is what the round-4
+    driver samples; these get their driver rows in round 5 (ORDER
+    CONTRACT in queries())."""
+    return {
+        "truncation_audit": q_truncation_audit,
+        "user_state_islands": q_user_state_islands,
+        "events_m4": q_events_m4,
+    }
+
+
 def _round4_queries():
     """Round-4 additions, kept in one place so they land inside the
     driver's sampling prefix (see ORDER CONTRACT in queries())."""
@@ -4808,6 +4970,9 @@ def queries():
         # --- round-4 additions (never driver-sampled) are registered
         # here by _ROUND4_QUERIES below ---
         **_round4_queries(),
+        # --- round-4d additions: after the 50-entry never-sampled prefix
+        # above (driver-sampled round 5) ---
+        **_round4d_queries(),
         # --- round-3b additions (driver-sampled round 3) ---
         "tf_cosine_pairs": q_tf_cosine_pairs,
         "part_skyline": q_part_skyline,
@@ -7241,4 +7406,53 @@ kc_e3 AS (SELECT e.u, e.v FROM kc_e2 e
 SELECT 'Q' || CAST(u AS VARCHAR) AS qid, CAST(COUNT(*) AS BIGINT) AS kcore_deg
 FROM kc_e3 GROUP BY u""",
         ),
+        # truncation_audit: suffix window sum over turn_idx DESC is the
+        # last-256-token context window rule
+        "truncation_audit": _with(
+            SQL_TURNS,
+            r"""tr_tok AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok
+  FROM turns),
+tr_rc AS (
+  SELECT conv_id, ntok,
+         SUM(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rcum
+  FROM tr_tok)""",
+            select="""
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS turns_total,
+       CAST(SUM(CASE WHEN rcum <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS turns_kept,
+       CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN rcum <= 256 THEN ntok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM tr_rc GROUP BY conv_id""",
+        ),
+        # user_state_islands: the ROW_NUMBER difference is the classic
+        # gaps-and-islands grouping key
+        "user_state_islands": """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS grp
+  FROM events)
+SELECT user_id, event_type, min(ts) AS valid_from, max(ts) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM o GROUP BY user_id, event_type, grp""",
+        # events_m4: first/last via rank-1 rows in both directions of the
+        # same (ts, event_id) total order the Ray sweep sorts by
+        "events_m4": """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+r AS (
+  SELECT bucket, vc,
+         row_number() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(vc) / 100.0 AS v_min, MAX(vc) / 100.0 AS v_max,
+       MAX(CASE WHEN rn_a = 1 THEN vc END) / 100.0 AS v_first,
+       MAX(CASE WHEN rn_d = 1 THEN vc END) / 100.0 AS v_last
+FROM r GROUP BY bucket""",
     }
