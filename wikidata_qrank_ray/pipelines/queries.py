@@ -4888,6 +4888,59 @@ def q_events_m4(sf_dir: str):
                                 stamp_batch_size=None)
 
 
+def q_entity_clustering(sf_dir: str):
+    """Local clustering structure per entity as EXACT integers: triangle
+    count and wedge count (deg choose 2) on the strong-tie canonical
+    co-occurrence subgraph -> (qid, deg, tri, wedges); the clustering
+    coefficient is the ratio tri/wedges, left to the consumer so the
+    operator stays float-free and value-oracled. Composition: the shared
+    strong-tie edge build, a degree aggregate, and the two-round
+    wedge-generate/close triangle kernel (stages/graph.triangle_counts);
+    triangles join degrees through a node-space-bounded broadcast."""
+    from ..stages.graph import triangle_counts
+    from ..stages.groupby import hash_partition_aggregate
+
+    und = _canon_cooccur_und(sf_dir, strong=True).materialize()
+    deg = hash_partition_aggregate(
+        und, ["u"], {"deg": ("v", "count")}, stamp_batch_size=None)
+    tri_df = _pd(triangle_counts(und.map_batches(
+        lambda df: pd.DataFrame({"a": df["u"], "b": df["v"]}),
+        batch_format="pandas")),
+        {"node": "int64", "triangles": "int64"})
+    tri_map = dict(zip(tri_df["node"], tri_df["triangles"]))
+    tri_ref = ray.put(tri_map)
+
+    def out(df: pd.DataFrame, tri_ref=tri_ref) -> pd.DataFrame:
+        tm = ray.get(tri_ref)
+        d = df["deg"].to_numpy(np.int64)
+        tri = df["u"].map(tm).fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "qid": "Q" + df["u"].astype(np.int64).astype(str),
+            "deg": d, "tri": tri, "wedges": d * (d - 1) // 2})
+
+    return deg.map_batches(out, batch_format="pandas")
+
+
+def q_link_prediction(sf_dir: str):
+    """Link prediction over the strong-tie canonical co-occurrence graph:
+    every NON-adjacent entity pair with >= 1 shared neighbor, scored with
+    the two classic integer signals -> (qid_a, qid_b, cn, pa); cn = common
+    neighbors, pa = deg_a * deg_b (preferential attachment). Kernel in
+    stages/graph.link_prediction_cn (shared-neighbor co-partition pair
+    generation + pair-key anti-join + broadcast degrees)."""
+    from ..stages.graph import link_prediction_cn
+
+    und = _canon_cooccur_und(sf_dir, strong=True).materialize()
+    pairs = link_prediction_cn(und)
+    return pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"qid_a": "Q" + df["a"].astype(np.int64).astype(str),
+             "qid_b": "Q" + df["b"].astype(np.int64).astype(str),
+             "cn": df["cn"].astype(np.int64),
+             "pa": df["pa"].astype(np.int64)}),
+        batch_format="pandas")
+
+
 def _round4d_queries():
     """Fourth-session round-4 additions. Registered AFTER _round4_queries
     so the existing 50-entry never-sampled prefix is what the round-4
@@ -4897,6 +4950,8 @@ def _round4d_queries():
         "truncation_audit": q_truncation_audit,
         "user_state_islands": q_user_state_islands,
         "events_m4": q_events_m4,
+        "entity_clustering": q_entity_clustering,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -7455,4 +7510,63 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
        MAX(CASE WHEN rn_a = 1 THEN vc END) / 100.0 AS v_first,
        MAX(CASE WHEN rn_d = 1 THEN vc END) / 100.0 AS v_last
 FROM r GROUP BY bucket""",
+        # entity_clustering: strong-tie subgraph (same median rule as
+        # entity_two_hop), triangles via the ordered 3-way self-join,
+        # wedges = deg*(deg-1)/2 in BIGINT
+        "entity_clustering": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""cc_all AS (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS u, CAST(substr(obj, 2) AS BIGINT) AS v,
+         CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+cc_med AS (
+  SELECT COALESCE(MIN(CASE WHEN 2 * cum >= tot THEN w END), 0) AS m FROM (
+    SELECT w, SUM(n) OVER (ORDER BY w) AS cum, SUM(n) OVER () AS tot
+    FROM (SELECT w, COUNT(*) AS n FROM cc_all GROUP BY w))),
+cc_e AS (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM cc_all
+         WHERE w > (SELECT m FROM cc_med)),
+cc_und AS (SELECT u, v FROM cc_e UNION ALL SELECT v, u FROM cc_e),
+cc_deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM cc_und GROUP BY u),
+cc_tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+    SELECT unnest([x, y, z]) AS node FROM (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM cc_e e1
+      JOIN cc_e e2 ON e2.u = e1.v
+      JOIN cc_e e3 ON e3.u = e1.u AND e3.v = e2.v))
+  GROUP BY node)""",
+            select="""
+SELECT 'Q' || CAST(d.u AS VARCHAR) AS qid, d.deg,
+       CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+       CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS wedges
+FROM cc_deg d LEFT JOIN cc_tri t ON d.u = t.node""",
+        ),
+        # link_prediction: shared-neighbor pair counts for non-adjacent
+        # pairs + degree product
+        "link_prediction": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""lp_all AS (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS u, CAST(substr(obj, 2) AS BIGINT) AS v,
+         CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+lp_med AS (
+  SELECT COALESCE(MIN(CASE WHEN 2 * cum >= tot THEN w END), 0) AS m FROM (
+    SELECT w, SUM(n) OVER (ORDER BY w) AS cum, SUM(n) OVER () AS tot
+    FROM (SELECT w, COUNT(*) AS n FROM lp_all GROUP BY w))),
+lp_e AS (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM lp_all
+         WHERE w > (SELECT m FROM lp_med)),
+lp_und AS (SELECT u, v FROM lp_e UNION ALL SELECT v, u FROM lp_e),
+lp_deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM lp_und GROUP BY u),
+lp_cand AS (
+  SELECT a.v AS a, b.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM lp_und a JOIN lp_und b ON a.u = b.u AND a.v < b.v
+  GROUP BY a.v, b.v),
+lp_non AS (
+  SELECT c.a, c.b, c.cn FROM lp_cand c
+  WHERE NOT EXISTS (SELECT 1 FROM lp_e d WHERE d.u = c.a AND d.v = c.b))""",
+            select="""
+SELECT 'Q' || CAST(n.a AS VARCHAR) AS qid_a, 'Q' || CAST(n.b AS VARCHAR) AS qid_b,
+       n.cn, da.deg * db.deg AS pa
+FROM lp_non n JOIN lp_deg da ON da.u = n.a JOIN lp_deg db ON db.u = n.b""",
+        ),
     }

@@ -1033,6 +1033,95 @@ def neighborhood_jaccard_pairs(
     return inter.map_batches(_jac, batch_format="pandas")
 
 
+def link_prediction_cn(
+    und: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Common-neighbor link prediction on a MIRRORED DISTINCT edge Dataset
+    (u, v): for every NON-adjacent unordered pair (a < b) with at least one
+    shared neighbor, emit the two classic integer link-prediction scores ->
+    (a, b, cn, pa) with cn = |N(a) ∩ N(b)| and pa = deg(a) * deg(b)
+    (preferential attachment). Shape: candidate pairs co-partition on the
+    SHARED NEIGHBOR (the shingle-join pattern), adjacency is removed with a
+    tag-union anti-join co-partitioned on the pair key (the two_hop_counts
+    pattern), degrees are a node-space-bounded broadcast lookup. Nothing
+    edge- or pair-scaled ever reaches the driver."""
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+
+    deg_df = hash_partition_aggregate(
+        und, ["u"], {"deg": ("v", "count")},
+        num_partitions=num_partitions, stamp_batch_size=None,
+    ).to_pandas()
+    deg_map = dict(zip(deg_df.get("u", pd.Series(dtype=np.int64)).astype(np.int64),
+                       deg_df.get("deg", pd.Series(dtype=np.int64)).astype(np.int64)))
+    deg_ref = ray.put(deg_map)
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        srt = part.sort_values(["u", "v"], kind="mergesort")
+        u = srt["u"].to_numpy(np.int64)
+        v = srt["v"].to_numpy(np.int64)
+        outs = []
+        starts = np.concatenate([[0], np.where(u[1:] != u[:-1])[0] + 1, [len(u)]])
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            g = s1 - s0
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(g, k=1)
+            outs.append(pd.DataFrame({"a": v[s0 + ii], "b": v[s0 + jj]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    shared = hash_partition_apply(
+        und, ["u"], _pairs, num_partitions=num_partitions,
+        stamp_batch_size=None,
+    )
+    inter = hash_partition_aggregate(
+        shared, ["a", "b"], {"cn": ("a", "count")},
+        num_partitions=num_partitions, stamp_batch_size=None,
+    )
+
+    # anti-join against the (a < b)-oriented edge set: tag union
+    # co-partitioned on the pair key, direct edges win
+    direct = und.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": np.minimum(df["u"], df["v"]).astype(np.int64),
+             "b": np.maximum(df["u"], df["v"]).astype(np.int64),
+             "cn": np.zeros(len(df), dtype=np.int64),
+             "tag": np.zeros(len(df), dtype=np.int8)}),
+        batch_format="pandas")
+    cand = inter.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": df["a"].to_numpy(np.int64),
+             "b": df["b"].to_numpy(np.int64),
+             "cn": df["cn"].to_numpy(np.int64),
+             "tag": np.ones(len(df), dtype=np.int8)}),
+        batch_format="pandas")
+
+    def _anti(part: pd.DataFrame, deg_ref=deg_ref) -> pd.DataFrame:
+        d = part[part["tag"] == 0][["a", "b"]].drop_duplicates()
+        t = part[part["tag"] == 1][["a", "b", "cn"]]
+        m = t.merge(d, on=["a", "b"], how="left", indicator=True)
+        m = m[m["_merge"] == "left_only"]
+        if m.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "cn": pd.Series(dtype=np.int64),
+                                 "pa": pd.Series(dtype=np.int64)})
+        dm = ray.get(deg_ref)
+        da = m["a"].map(dm).to_numpy(np.int64)
+        db = m["b"].map(dm).to_numpy(np.int64)
+        return pd.DataFrame({"a": m["a"].to_numpy(np.int64),
+                             "b": m["b"].to_numpy(np.int64),
+                             "cn": m["cn"].to_numpy(np.int64),
+                             "pa": da * db})
+
+    return hash_partition_apply(
+        direct.union(cand), ["a", "b"], _anti,
+        num_partitions=num_partitions, stamp_batch_size=None,
+    )
+
+
 def kcore_peel(
     und: ray.data.Dataset, k: int = 2, rounds: int = 3,
     num_partitions: int = 64,
