@@ -4941,6 +4941,114 @@ def q_link_prediction(sf_dir: str):
         batch_format="pandas")
 
 
+def q_readability(sf_dir: str):
+    """Integer-scaled Flesch-style readability per document ->
+    (doc_id, n_words, n_clauses, n_vowel_groups, score_milli). The corpus
+    has no sentence punctuation, so "sentences" are 15-token clauses
+    (n_clauses = ceil(W / 15), documented heuristic); syllables are
+    approximated by [aeiou]+ vowel groups on the lowercased text. The
+    score stays exact: score_milli = 206835 - (1015*W)//S - (84600*V)//W
+    with floor divisions, so both engines agree bitwise (the Flesch
+    coefficients x1000). Pure per-batch Arrow regex kernels, shuffle-free,
+    elastic tasks."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        txt = pc.fill_null(t["text"], "")
+        w = pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(txt), r"[aeiou]+"), pa.int64()).to_numpy(zero_copy_only=False)
+        s = (w + 14) // 15
+        t1 = np.where(w > 0, (1015 * w) // np.maximum(s, 1), 0)
+        t2 = np.where(w > 0, (84600 * v) // np.maximum(w, 1), 0)
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "n_words": w, "n_clauses": s, "n_vowel_groups": v,
+            "score_milli": 206835 - t1 - t2})
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)
+
+
+def q_source_drift(sf_dir: str):
+    """Distribution-drift audit: per source, the EXACT integer L1 distance
+    between its token distribution and the whole corpus's, cross-multiplied
+    so no float ever enters -- l1 = sum over the vocabulary of
+    |cnt_s * T - cnt_t * S| (absent tokens contribute cnt_t * S, folded in
+    closed form as S * (T - sum of present cnt_t)) -> (source, l1, s_total,
+    corpus_total). Shape: (source, token) counts with map-side partials,
+    token marginals by re-aggregation, then a token-key tag-union
+    co-partition attaches marginals and reduces to source-sized partials;
+    the only driver state is one row per source."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        toks, parent = flat_tokens(t["text"], fill_null=True)
+        src = t["source"].to_numpy(zero_copy_only=False)[parent]
+        d = pd.DataFrame({"source": src, "token": toks.to_numpy(zero_copy_only=False)})
+        return d.groupby(["source", "token"], as_index=False).agg(n=("token", "size"))
+
+    st = hash_partition_aggregate(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["source", "token"], {"n": ("n", "sum")},
+    ).materialize()
+    tt = hash_partition_aggregate(st, ["token"], {"t": ("n", "sum")},
+                                  stamp_batch_size=None)
+    ss = _pd(hash_partition_aggregate(st, ["source"], {"s": ("n", "sum")},
+                                      stamp_batch_size=None),
+             {"source": object, "s": "int64"})
+    s_map = dict(zip(ss["source"], ss["s"].astype(np.int64)))
+    tot = int(ss["s"].sum())
+    s_ref = ray.put(s_map)
+
+    # tag-union co-partition on token: marginal rows carry t, count rows n
+    marg = tt.map_batches(
+        lambda df: pd.DataFrame(
+            {"token": df["token"], "source": "",
+             "n": np.zeros(len(df), dtype=np.int64),
+             "t": df["t"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    cnts = st.map_batches(
+        lambda df: pd.DataFrame(
+            {"token": df["token"], "source": df["source"],
+             "n": df["n"].to_numpy(np.int64),
+             "t": np.zeros(len(df), dtype=np.int64)}),
+        batch_format="pandas")
+
+    def reduce_part(part: pd.DataFrame, s_ref=s_ref, tot=tot) -> pd.DataFrame:
+        sm = ray.get(s_ref)
+        m = part[part["n"] == 0][["token", "t"]]
+        c = part[part["n"] > 0].merge(m, on="token", suffixes=("", "_m"))
+        if c.empty:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "term_sum": pd.Series([], dtype=np.int64),
+                                 "t_sum": pd.Series([], dtype=np.int64)})
+        s = c["source"].map(sm).to_numpy(np.int64)
+        term = np.abs(c["n"].to_numpy(np.int64) * tot
+                      - c["t_m"].to_numpy(np.int64) * s)
+        g = pd.DataFrame({"source": c["source"], "term": term,
+                          "t": c["t_m"].to_numpy(np.int64)}).groupby(
+            "source", as_index=False).agg(term_sum=("term", "sum"),
+                                          t_sum=("t", "sum"))
+        return g.astype({"term_sum": np.int64, "t_sum": np.int64})
+
+    partials = hash_partition_apply(
+        marg.union(cnts), ["token"], reduce_part, stamp_batch_size=None)
+    fin = _pd(hash_partition_aggregate(
+        partials, ["source"],
+        {"term_sum": ("term_sum", "sum"), "t_sum": ("t_sum", "sum")},
+        stamp_batch_size=None),
+        {"source": object, "term_sum": "int64", "t_sum": "int64"})
+    s_arr = fin["source"].map(s_map).to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": fin["source"],
+        "l1": fin["term_sum"].to_numpy(np.int64)
+              + s_arr * (tot - fin["t_sum"].to_numpy(np.int64)),
+        "s_total": s_arr,
+        "corpus_total": np.full(len(fin), tot, dtype=np.int64)})
+
+
 def _round4d_queries():
     """Fourth-session round-4 additions. Registered AFTER _round4_queries
     so the existing 50-entry never-sampled prefix is what the round-4
@@ -4952,6 +5060,8 @@ def _round4d_queries():
         "events_m4": q_events_m4,
         "entity_clustering": q_entity_clustering,
         "link_prediction": q_link_prediction,
+        "readability": q_readability,
+        "source_drift": q_source_drift,
     }
 
 
@@ -7569,4 +7679,36 @@ SELECT 'Q' || CAST(n.a AS VARCHAR) AS qid_a, 'Q' || CAST(n.b AS VARCHAR) AS qid_
        n.cn, da.deg * db.deg AS pa
 FROM lp_non n JOIN lp_deg da ON da.u = n.a JOIN lp_deg db ON db.u = n.b""",
         ),
+        # readability: identical floor-division integer rule on both sides
+        "readability": r"""
+WITH r AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '[aeiou]+')) AS BIGINT) AS v
+  FROM documents)
+SELECT doc_id, w AS n_words,
+       CAST((w + 14) // 15 AS BIGINT) AS n_clauses,
+       v AS n_vowel_groups,
+       CAST(206835
+            - CASE WHEN w > 0 THEN (1015 * w) // ((w + 14) // 15) ELSE 0 END
+            - CASE WHEN w > 0 THEN (84600 * v) // w ELSE 0 END AS BIGINT)
+         AS score_milli
+FROM r""",
+        # source_drift: cross-multiplied integer L1; absent-token mass in
+        # closed form S * (T - sum of present marginals)
+        "source_drift": r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS token
+  FROM documents),
+st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+       FROM tok GROUP BY source, token),
+tt AS (SELECT token, CAST(SUM(n) AS BIGINT) AS t FROM st GROUP BY token),
+ss AS (SELECT source, CAST(SUM(n) AS BIGINT) AS s FROM st GROUP BY source),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM st)
+SELECT st.source,
+       CAST(SUM(abs(st.n * g.tot - tt.t * ss.s))
+            + MAX(ss.s) * (MAX(g.tot) - SUM(tt.t)) AS BIGINT) AS l1,
+       MAX(ss.s) AS s_total, MAX(g.tot) AS corpus_total
+FROM st JOIN tt USING (token) JOIN ss USING (source), g
+GROUP BY st.source""",
     }
