@@ -1,0 +1,137 @@
+"""Round-4e operators: taxonomy closure / hierarchical rollup / triple
+temporal qualifiers -- brute-force single-process twins plus a long-chain
+doubling check the tiny gazetteer forest (depth <= 5) cannot exercise."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _closure_bruteforce(parent: dict[int, int]) -> set[tuple[int, int, int]]:
+    out = set()
+    for c in parent:
+        cur, d = c, 0
+        while cur in parent:
+            cur = parent[cur]
+            d += 1
+            out.add((c, cur, d))
+    return out
+
+
+def test_transitive_closure_matches_bruteforce_forest():
+    from wikidata_qrank_ray.stages.graph import transitive_closure
+
+    # irregular forest: two trees, varying branch factors
+    parent = {2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 6, 8: 7, 9: 7,
+              11: 10, 12: 11, 13: 12}
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "child": list(parent), "anc": [parent[c] for c in parent]}))
+    got = transitive_closure(edges, num_partitions=4)
+    got_set = set(map(tuple, got.to_pandas()[["child", "anc", "depth"]]
+                      .astype(np.int64).itertuples(index=False)))
+    assert got_set == _closure_bruteforce(parent)
+
+
+def test_transitive_closure_long_chain_doubles():
+    """A depth-40 chain closes in ceil(log2 40) = 6 doubling rounds; the
+    closure of a length-n chain has n*(n+1)/2 pairs."""
+    from wikidata_qrank_ray.stages.graph import transitive_closure
+
+    n = 40
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "child": np.arange(1, n + 1, dtype=np.int64),
+        "anc": np.arange(0, n, dtype=np.int64)}))
+    got = transitive_closure(edges, num_partitions=4).to_pandas()
+    assert len(got) == n * (n + 1) // 2
+    # deepest pair: node n reaches root 0 at depth n
+    deep = got[(got["child"] == n) & (got["anc"] == 0)]
+    assert list(deep["depth"]) == [n]
+
+
+def test_taxonomy_closure_query_is_forest_chain():
+    from wikidata_qrank_ray.pipelines.queries import q_taxonomy_closure
+    from wikidata_qrank_ray.sources.gazetteer import build_gazetteer
+
+    n = len(build_gazetteer(SF))
+    got = q_taxonomy_closure(SF).to_pandas()
+    parent = {c: c // 2 for c in range(2, n + 1)}
+    want = _closure_bruteforce(parent)
+    got_set = {(int(r.desc_qid[1:]), int(r.anc_qid[1:]), int(r.depth))
+               for r in got.itertuples(index=False)}
+    assert got_set == want
+
+
+def test_taxonomy_rollup_subtree_sums():
+    from wikidata_qrank_ray.pipelines.queries import (
+        q_entity_rank, q_taxonomy_rollup)
+
+    own = q_entity_rank(SF).to_pandas()
+    own_map = {int(q[1:]): int(c) for q, c in
+               zip(own["qid"], own["mention_count"])}
+    got = q_taxonomy_rollup(SF).to_pandas()
+    assert len(got) == len(own_map)
+    for r in got.itertuples(index=False):
+        node = int(r.qid[1:])
+        # descendants of `node` under parent=n//2: all m whose halving
+        # chain passes through node
+        sub = 0
+        for m, c in own_map.items():
+            cur = m
+            while cur >= 1:
+                if cur == node:
+                    sub += c
+                    break
+                if cur == 1:
+                    break
+                cur //= 2
+        assert int(r.own_count) == own_map[node]
+        assert int(r.subtree_count) == sub
+
+
+def test_triple_qualifiers_bruteforce_twin():
+    from wikidata_qrank_ray.pipelines.queries import q_triple_qualifiers
+    from wikidata_qrank_ray.sources.gazetteer import (
+        build_aliases, build_gazetteer)
+    from wikidata_qrank_ray.sources.transcripts import derive_transcripts
+    from wikidata_qrank_ray.stages.canonicalize import resolve_aliases
+
+    gaz = build_gazetteer(SF)
+    mapping = resolve_aliases(build_aliases(gaz))
+    surf2qid = dict(zip(gaz["surface"], gaz["qid"]))
+    turns = derive_transcripts(SF).to_pandas()
+
+    want: dict[tuple[str, str], list] = {}
+    for r in turns.itertuples(index=False):
+        qs = {mapping.get(surf2qid[t], surf2qid[t])
+              for t in str(r.text).split() if t in surf2qid}
+        sec = int(r.conv_id[1:]) * 8 + int(r.turn_idx)
+        qs = sorted(qs, key=lambda q: int(q[1:]))
+        for i in range(len(qs)):
+            for j in range(i + 1, len(qs)):
+                k = (qs[i], qs[j])
+                if k not in want:
+                    want[k] = [sec, sec, 0]
+                want[k][0] = min(want[k][0], sec)
+                want[k][1] = max(want[k][1], sec)
+                want[k][2] += 1
+
+    got = q_triple_qualifiers(SF).to_pandas()
+    assert len(got) == len(want)
+    base = pd.Timestamp("2024-01-01")
+    for r in got.itertuples(index=False):
+        lo, hi, n = want[(r.subj, r.obj)]
+        assert r.first_seen == base + pd.Timedelta(seconds=lo)
+        assert r.last_seen == base + pd.Timedelta(seconds=hi)
+        assert int(r.n_turns) == n
+
+
+def test_transitive_closure_empty_edges():
+    from wikidata_qrank_ray.stages.graph import transitive_closure
+
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "child": pd.Series(dtype=np.int64),
+        "anc": pd.Series(dtype=np.int64)}))
+    assert transitive_closure(edges, num_partitions=2).count() == 0

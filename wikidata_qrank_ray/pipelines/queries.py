@@ -5049,6 +5049,143 @@ def q_source_drift(sf_dir: str):
         "corpus_total": np.full(len(fin), tot, dtype=np.int64)})
 
 
+# ---------------------------------------------------------------------------
+# round-4e: taxonomy closure / hierarchical rollup, triple temporal
+# qualifiers -- the KG-construction tail (is-a hierarchies, statement
+# metadata) on top of the existing mention/triple/canonicalize stages
+# ---------------------------------------------------------------------------
+
+
+def _taxonomy_edges(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic synthetic is-a forest over the gazetteer: parent of
+    entity Q_n is Q_{n//2} (ranks are dense, Q1 is the root) -- a pure
+    SQL-rebuildable rule, so the closure operators are value-oracled. The
+    closure KERNEL is generic (stages/graph.transitive_closure); only this
+    edge derivation is synthetic."""
+    gaz = build_gazetteer(sf_dir)
+    child = np.arange(2, len(gaz) + 1, dtype=np.int64)
+    return ray.data.from_pandas(
+        pd.DataFrame({"child": child, "anc": child // 2}))
+
+
+def q_taxonomy_closure(sf_dir: str):
+    """Arbitrary-depth taxonomy ancestor closure -> (desc_qid, anc_qid,
+    depth): pointer doubling over the is-a forest, ceil(log2 depth)
+    co-partitioned join+distinct rounds (stages/graph.transitive_closure)
+    -- the distributed generalization of the reference's redirect-chain
+    resolution (titles.go:394-483) to unbounded chain length."""
+    from ..stages.graph import transitive_closure
+
+    cl = transitive_closure(_taxonomy_edges(sf_dir), num_partitions=16)
+    return cl.map_batches(
+        lambda df: pd.DataFrame({
+            "desc_qid": "Q" + df["child"].astype(np.int64).astype(str),
+            "anc_qid": "Q" + df["anc"].astype(np.int64).astype(str),
+            "depth": df["depth"].to_numpy(np.int64)})
+        if len(df) else pd.DataFrame({
+            "desc_qid": pd.Series(dtype=object),
+            "anc_qid": pd.Series(dtype=object),
+            "depth": pd.Series(dtype=np.int64)}),
+        batch_format="pandas")
+
+
+def q_taxonomy_rollup(sf_dir: str):
+    """Hierarchical mention-count rollup: every entity's own mention count
+    plus the total over its taxonomy DESCENDANTS -> (qid, own_count,
+    subtree_count). Composition: entity rank rollup, the pointer-doubling
+    closure, one (descendant -> own-count) co-partitioned join, an
+    ancestor-keyed sum, and a left join back onto the rank table -- the
+    classic KG aggregate-up-the-ontology, all key-partitioned shuffles."""
+    from ..stages.graph import transitive_closure
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    own = q_entity_rank(sf_dir).map_batches(
+        lambda df: pd.DataFrame({
+            "n": df["qid"].str[1:].astype(np.int64),
+            "own": df["mention_count"].to_numpy(np.int64)})
+        if len(df) else pd.DataFrame({
+            "n": pd.Series(dtype=np.int64),
+            "own": pd.Series(dtype=np.int64)}),
+        batch_format="pandas").materialize()
+    cl = transitive_closure(_taxonomy_edges(sf_dir), num_partitions=16)
+    contrib = bucketed_hash_join(
+        cl.map_batches(
+            lambda df: pd.DataFrame({
+                "n": df["child"].to_numpy(np.int64),
+                "anc": df["anc"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        own, "n", "n", num_partitions=16)
+    desc_sum = hash_partition_aggregate(
+        contrib, ["anc"], {"dsum": ("own", "sum")},
+        num_partitions=16, stamp_batch_size=None)
+    joined = bucketed_hash_join(
+        own,
+        desc_sum.map_batches(
+            lambda df: pd.DataFrame({
+                "n": df["anc"].to_numpy(np.int64),
+                "dsum": df["dsum"].to_numpy(np.int64)})
+            if len(df) else pd.DataFrame({
+                "n": pd.Series(dtype=np.int64),
+                "dsum": pd.Series(dtype=np.int64)}),
+            batch_format="pandas"),
+        "n", "n", how="left", num_partitions=16)
+    return joined.map_batches(
+        lambda df: pd.DataFrame({
+            "qid": "Q" + df["n"].astype(np.int64).astype(str),
+            "own_count": df["own"].to_numpy(np.int64),
+            "subtree_count": df["own"].to_numpy(np.int64)
+            + df["dsum"].fillna(0).to_numpy(np.int64)})
+        if len(df) else pd.DataFrame({
+            "qid": pd.Series(dtype=object),
+            "own_count": pd.Series(dtype=np.int64),
+            "subtree_count": pd.Series(dtype=np.int64)}),
+        batch_format="pandas")
+
+
+def q_triple_qualifiers(sf_dir: str):
+    """Temporal statement qualifiers per canonical co-occurrence pair ->
+    (subj, obj, first_seen, last_seen, n_turns): when the KG edge was
+    first/last observed and in how many distinct turns -- the Wikidata
+    qualifier analogue over the transcript stream. Map-side partials from
+    an actor-capable matcher stage (stages/triples.QualifierExtractor),
+    one pair-keyed hash-partitioned (min, max, sum) combine."""
+    from ..stages.triples import triple_qualifiers
+
+    mapping_ref, gaz_ref = _mapping_ref(sf_dir)
+    qual = triple_qualifiers(derive_transcripts(sf_dir), gaz_ref, mapping_ref)
+    base = pd.Timestamp("2024-01-01")
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "subj": pd.Series(dtype=object),
+                "obj": pd.Series(dtype=object),
+                "first_seen": pd.Series(dtype="datetime64[ns]"),
+                "last_seen": pd.Series(dtype="datetime64[ns]"),
+                "n_turns": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            "subj": df["subj"], "obj": df["obj"],
+            "first_seen": base + pd.to_timedelta(
+                df["first_sec"].to_numpy(np.int64), unit="s"),
+            "last_seen": base + pd.to_timedelta(
+                df["last_sec"].to_numpy(np.int64), unit="s"),
+            "n_turns": df["n_turns"].to_numpy(np.int64)})
+
+    return qual.map_batches(fmt, batch_format="pandas")
+
+
+def _round4e_queries():
+    """Fifth-session round-4 additions; ORDER CONTRACT: registered after
+    _round4d_queries, still inside the never-driver-sampled region (these
+    get driver rows in round 4/5 sampling)."""
+    return {
+        "taxonomy_closure": q_taxonomy_closure,
+        "taxonomy_rollup": q_taxonomy_rollup,
+        "triple_qualifiers": q_triple_qualifiers,
+    }
+
+
 def _round4d_queries():
     """Fourth-session round-4 additions. Registered AFTER _round4_queries
     so the existing 50-entry never-sampled prefix is what the round-4
@@ -5138,6 +5275,7 @@ def queries():
         # --- round-4d additions: after the 50-entry never-sampled prefix
         # above (driver-sampled round 5) ---
         **_round4d_queries(),
+        **_round4e_queries(),
         # --- round-3b additions (driver-sampled round 3) ---
         "tf_cosine_pairs": q_tf_cosine_pairs,
         "part_skyline": q_part_skyline,
@@ -7711,4 +7849,64 @@ SELECT st.source,
        MAX(ss.s) AS s_total, MAX(g.tot) AS corpus_total
 FROM st JOIN tt USING (token) JOIN ss USING (source), g
 GROUP BY st.source""",
+        # taxonomy_closure: ancestor chains of the synthetic is-a forest
+        # (parent of Q_n is Q_{n//2}) via recursive CTE -- the pointer-
+        # doubling kernel must reproduce every (desc, anc, depth) triple
+        "taxonomy_closure": f"""WITH RECURSIVE {SQL_GAZ},
+txc AS (
+  SELECT CAST(substr(qid, 2) AS BIGINT) AS child,
+         CAST(substr(qid, 2) AS BIGINT) // 2 AS anc,
+         CAST(1 AS BIGINT) AS depth
+  FROM gaz WHERE CAST(substr(qid, 2) AS BIGINT) >= 2
+  UNION ALL
+  SELECT child, anc // 2, depth + 1 FROM txc WHERE anc >= 2
+)
+SELECT 'Q' || CAST(child AS VARCHAR) AS desc_qid,
+       'Q' || CAST(anc AS VARCHAR) AS anc_qid, depth
+FROM txc""",
+        # taxonomy_rollup: own mention counts + descendant-subtree sums
+        # through the same recursive closure
+        "taxonomy_rollup": f"""WITH RECURSIVE {SQL_TURNS}, {SQL_GAZ}, {SQL_HITS}, {SQL_RANK},
+txc AS (
+  SELECT CAST(substr(qid, 2) AS BIGINT) AS child,
+         CAST(substr(qid, 2) AS BIGINT) // 2 AS anc,
+         CAST(1 AS BIGINT) AS depth
+  FROM gaz WHERE CAST(substr(qid, 2) AS BIGINT) >= 2
+  UNION ALL
+  SELECT child, anc // 2, depth + 1 FROM txc WHERE anc >= 2
+),
+own AS (
+  SELECT CAST(substr(qid, 2) AS BIGINT) AS n, mention_count AS own
+  FROM erank),
+dsm AS (
+  SELECT t.anc, CAST(SUM(o.own) AS BIGINT) AS dsum
+  FROM txc t JOIN own o ON t.child = o.n GROUP BY t.anc)
+SELECT 'Q' || CAST(o.n AS VARCHAR) AS qid, o.own AS own_count,
+       CAST(o.own + COALESCE(d.dsum, 0) AS BIGINT) AS subtree_count
+FROM own o LEFT JOIN dsm d ON o.n = d.anc""",
+        # triple_qualifiers: a canonical pair exists in a turn iff the turn
+        # mentions both canonical entities; qualifiers are min/max turn ts
+        # and the distinct-turn count
+        "triple_qualifiers": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_ALIAS,
+            """tq_m AS (SELECT DISTINCT conv_id, turn_idx, qid FROM hits),
+tq_cm AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, r.canon AS q
+  FROM tq_m m JOIN resolve r ON m.qid = r.qid),
+tq_p AS (
+  SELECT a.q AS subj, b.q AS obj, a.conv_id, a.turn_idx
+  FROM tq_cm a JOIN tq_cm b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND CAST(substr(a.q, 2) AS BIGINT) < CAST(substr(b.q, 2) AS BIGINT)),
+tq_t AS (
+  SELECT subj, obj,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (CAST(substr(conv_id, 2) AS BIGINT) * 8 + turn_idx)
+             * INTERVAL 1 SECOND AS ts
+  FROM tq_p)""",
+            select="""
+SELECT subj, obj, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM tq_t GROUP BY subj, obj""",
+        ),
     }

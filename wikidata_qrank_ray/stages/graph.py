@@ -1291,3 +1291,79 @@ def deterministic_walks(
                              "hop2": df["v"].to_numpy(np.int64)[keep]})
 
     return j.map_batches(_step2, batch_format="pandas")
+
+
+def transitive_closure(
+    edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    max_rounds: int = 20,
+) -> ray.data.Dataset:
+    """Ancestor closure of a FOREST (each node has at most one parent) by
+    pointer doubling: round k composes the closure with itself, so covered
+    path length doubles per round and a depth-D hierarchy closes in
+    ceil(log2 D) shuffle rounds -- the distributed analogue of the
+    reference's redirect-chain resolution (titles.go:394-483), generalized
+    from the fixed two-level alias chain to arbitrary-depth is-a taxonomies.
+
+    ``edges``: Dataset with int64 columns (child, anc) -- the depth-1
+    parent links. Returns (child, anc, depth) for EVERY ancestor pair.
+    In a forest each (child, anc) pair has exactly one path, so the
+    composition step can only regenerate a pair at its unique depth
+    (split as s + (t - s) for every s the doubling has materialized);
+    the per-round distinct collapses those duplicates exactly.
+
+    Scale shape: each round is one co-partitioned hash join plus one
+    distinct aggregate -- closure size is O(V * depth), never driver-held;
+    the convergence probe pulls only the row COUNT."""
+    from .groupby import hash_partition_aggregate
+    from .join import bucketed_hash_join
+
+    def _base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "child": df["child"].to_numpy(np.int64),
+            "anc": df["anc"].to_numpy(np.int64),
+            "depth": np.ones(len(df), dtype=np.int64)})
+
+    closure = edges.map_batches(_base, batch_format="pandas").materialize()
+    n_prev = closure.count()
+    for _ in range(max_rounds):
+        lhs = closure.map_batches(
+            lambda df: pd.DataFrame({"mid": df["anc"].to_numpy(np.int64),
+                                     "child": df["child"].to_numpy(np.int64),
+                                     "d1": df["depth"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        rhs = closure.map_batches(
+            lambda df: pd.DataFrame({"mid": df["child"].to_numpy(np.int64),
+                                     "anc2": df["anc"].to_numpy(np.int64),
+                                     "d2": df["depth"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        composed = bucketed_hash_join(
+            lhs, rhs, "mid", "mid", num_partitions=num_partitions,
+        ).map_batches(
+            lambda df: pd.DataFrame({
+                "child": df["child"].to_numpy(np.int64),
+                "anc": df["anc2"].to_numpy(np.int64),
+                "depth": df["d1"].to_numpy(np.int64)
+                         + df["d2"].to_numpy(np.int64)})
+            if len(df) else pd.DataFrame({
+                "child": pd.Series(dtype=np.int64),
+                "anc": pd.Series(dtype=np.int64),
+                "depth": pd.Series(dtype=np.int64)}),
+            batch_format="pandas")
+        merged = hash_partition_aggregate(
+            closure.union(composed), ["child", "anc", "depth"],
+            {"n": ("depth", "count")}, num_partitions=num_partitions,
+            stamp_batch_size=None,
+        ).map_batches(
+            lambda df: df[["child", "anc", "depth"]].astype(np.int64)
+            if len(df) else pd.DataFrame({
+                "child": pd.Series(dtype=np.int64),
+                "anc": pd.Series(dtype=np.int64),
+                "depth": pd.Series(dtype=np.int64)}),
+            batch_format="pandas").materialize()
+        n_now = merged.count()
+        closure = merged
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return closure

@@ -273,3 +273,106 @@ def extract_triples(
         lambda t: t.rename_columns(["subj", "pred", "obj", "weight"]),
         batch_format="pyarrow",
     )
+
+
+class QualifierExtractor(GazetteerMatcher):
+    """Per-canonical-pair TEMPORAL QUALIFIERS -- the statement-metadata
+    step of a KG build (when was this edge first/last observed, across how
+    many turns). Each batch emits partial (subj, obj, first_sec, last_sec,
+    n_turns) rows over canonical entity ordinals; turns are whole input
+    rows, so per-batch distinct pairs ARE per-turn distinct pairs and the
+    partials compose under (min, max, sum). A canonical pair exists in a
+    turn iff the turn mentions both canonical entities (any surfaces), so
+    folding the alias map into the ordinals BEFORE pair generation is
+    exact here -- unlike co_occurs WEIGHTS, which count raw-pair
+    multiplicity (see GazetteerMatcher note)."""
+
+    def __init__(self, gaz_ref, mapping_ref=None, text_col: str = "text"):
+        super().__init__(gaz_ref, mode="mentions", text_col=text_col)
+        mapping = (
+            ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef)
+            else (mapping_ref or {})
+        )
+        raw = list(self.ent_names)
+        canon = [mapping.get(q, q) for q in raw]
+        canon_names = sorted(set(canon), key=lambda q: int(q[1:]))
+        canon_idx = {q: i for i, q in enumerate(canon_names)}
+        self.canon_of_ord = np.fromiter(
+            (canon_idx[c] for c in canon), dtype=np.int64, count=len(canon)
+        )
+        self.canon_names = np.array(canon_names, dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:  # type: ignore[override]
+        # NOTE: _tokenize_arrow comes from the MODULE-LEVEL import -- an
+        # inline relative import here would execute inside the pickled-by-
+        # value callable and break when the driver runs outside the repo
+        # (see tests/test_e2e.py::test_no_relative_imports_in_worker_closures)
+        empty = pd.DataFrame({
+            "subj": pd.Series(dtype=object), "obj": pd.Series(dtype=object),
+            "first_sec": pd.Series(dtype=np.int64),
+            "last_sec": pd.Series(dtype=np.int64),
+            "n_turns": pd.Series(dtype=np.int64)})
+        flat, parent = _tokenize_arrow(batch[self.text_col])
+        tok = self._lookup_ords(flat)
+        m = tok >= 0
+        parent, tok = parent[m], tok[m]
+        if len(parent) == 0:
+            return empty
+        cord = self.canon_of_ord[tok]
+        mdf = pd.DataFrame({"row": parent, "t": cord}).drop_duplicates()
+        pairs = mdf.merge(mdf, on="row", suffixes=("_a", "_b"))
+        pairs = pairs[pairs["t_a"] < pairs["t_b"]]
+        if len(pairs) == 0:
+            return empty
+        conv = pd.Series(
+            batch["conv_id"].to_numpy(zero_copy_only=False), dtype="object")
+        tix = np.asarray(
+            batch["turn_idx"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sec = conv.str[1:].astype(np.int64).to_numpy() * 8 + tix
+        g = pairs.assign(sec=sec[pairs["row"].to_numpy()]).groupby(
+            ["t_a", "t_b"], as_index=False).agg(
+            first_sec=("sec", "min"), last_sec=("sec", "max"),
+            n_turns=("sec", "count"))
+        return pd.DataFrame({
+            "subj": self.canon_names[g["t_a"].to_numpy(np.int64)],
+            "obj": self.canon_names[g["t_b"].to_numpy(np.int64)],
+            "first_sec": g["first_sec"].to_numpy(np.int64),
+            "last_sec": g["last_sec"].to_numpy(np.int64),
+            "n_turns": g["n_turns"].to_numpy(np.int64)})
+
+
+def triple_qualifiers(
+    turns: ray.data.Dataset,
+    gaz_ref,
+    mapping_ref=None,
+    concurrency: int = 4,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """turns -> (subj, obj, first_sec, last_sec, n_turns) per canonical
+    co-occurrence pair: map-side partials from QualifierExtractor, one
+    pair-keyed hash-partitioned final combine (min/max/sum compose)."""
+    from ..context import pool_size
+    from .groupby import hash_partition_aggregate
+    from .mentions import ELASTIC_MAX_SURFACES
+
+    gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
+    if len(gaz) <= ELASTIC_MAX_SURFACES:
+        mapping = (
+            ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef)
+            else mapping_ref
+        )
+        partial = turns.map_batches(
+            QualifierExtractor(gaz, mapping_ref=mapping),
+            batch_format="pyarrow", batch_size=batch_size)
+    else:
+        partial = turns.map_batches(
+            QualifierExtractor,
+            fn_constructor_kwargs={"gaz_ref": gaz_ref,
+                                   "mapping_ref": mapping_ref},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=pool_size(concurrency))
+    return hash_partition_aggregate(
+        partial, ["subj", "obj"],
+        {"first_sec": ("first_sec", "min"),
+         "last_sec": ("last_sec", "max"),
+         "n_turns": ("n_turns", "sum")})
