@@ -135,3 +135,96 @@ def test_transitive_closure_empty_edges():
         "child": pd.Series(dtype=np.int64),
         "anc": pd.Series(dtype=np.int64)}))
     assert transitive_closure(edges, num_partitions=2).count() == 0
+
+
+def _canon_setup():
+    from wikidata_qrank_ray.sources.gazetteer import (
+        build_aliases, build_gazetteer)
+    from wikidata_qrank_ray.sources.transcripts import derive_transcripts
+    from wikidata_qrank_ray.stages.canonicalize import resolve_aliases
+
+    gaz = build_gazetteer(SF)
+    mapping = resolve_aliases(build_aliases(gaz))
+    surf2qid = dict(zip(gaz["surface"], gaz["qid"]))
+    turns = derive_transcripts(SF).to_pandas()
+    return gaz, mapping, surf2qid, turns
+
+
+def test_entity_typing_bruteforce_twin():
+    from wikidata_qrank_ray.pipelines.queries import q_entity_typing
+
+    gaz, mapping, surf2qid, turns = _canon_setup()
+    own: dict[str, set] = {}
+    for s, q in surf2qid.items():
+        own.setdefault(mapping.get(q, q), set()).add(s)
+    counts: dict[tuple[str, str], int] = {}
+    for r in turns.itertuples(index=False):
+        toks = str(r.text).split()
+        ents = {mapping.get(surf2qid[t], surf2qid[t])
+                for t in toks if t in surf2qid}
+        for e in ents:
+            for t in toks:
+                if t not in own[e]:
+                    counts[(e, t)] = counts.get((e, t), 0) + 1
+    want = {}
+    for (e, t), c in counts.items():
+        cur = want.get(e)
+        if cur is None or c > cur[1] or (c == cur[1] and t < cur[0]):
+            want[e] = (t, c)
+    got = q_entity_typing(SF).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        assert (r.type_token, int(r.cnt)) == want[r.qid]
+
+
+def test_entity_hits_int_bruteforce_twin():
+    from wikidata_qrank_ray.pipelines.queries import (
+        q_canonical_triples, q_entity_hits_int)
+
+    SCALE = 1_000_000
+    ct = q_canonical_triples(SF).to_pandas()
+    e = ct[ct["pred"] == "observed_via_tool"]
+    hub = {int(q[1:]): SCALE for q in e["subj"].unique()}
+    auth = {}
+    edges = [(int(s[1:]), o, int(w))
+             for s, o, w in zip(e["subj"], e["obj"], e["weight"])]
+    for _ in range(2):
+        auth = {}
+        for ei, t, w in edges:
+            auth[t] = auth.get(t, 0) + hub[ei] * w
+        amax = max(auth.values())
+        auth = {t: (a * SCALE) // amax for t, a in auth.items()}
+        hub = {}
+        for ei, t, w in edges:
+            hub[ei] = hub.get(ei, 0) + auth[t] * w
+        hmax = max(hub.values())
+        hub = {k: (h * SCALE) // hmax for k, h in hub.items()}
+    got = q_entity_hits_int(SF).to_pandas()
+    ge = got[got["kind"] == "entity"]
+    gt = got[got["kind"] == "tool"]
+    assert {int(n[1:]): int(s) for n, s in zip(ge["node"], ge["score"])} == hub
+    assert dict(zip(gt["node"], gt["score"].astype(int))) == auth
+
+
+def test_assoc_rules_confidence_and_support():
+    from wikidata_qrank_ray.pipelines.queries import (
+        q_assoc_rules, q_triple_qualifiers)
+
+    gaz, mapping, surf2qid, turns = _canon_setup()
+    ant = {}
+    for r in turns.itertuples(index=False):
+        for e in {mapping.get(surf2qid[t], surf2qid[t])
+                  for t in str(r.text).split() if t in surf2qid}:
+            ant[e] = ant.get(e, 0) + 1
+    qual = q_triple_qualifiers(SF).to_pandas()
+    pc = {(s, o): int(n)
+          for s, o, n in zip(qual["subj"], qual["obj"], qual["n_turns"])}
+    got = q_assoc_rules(SF).to_pandas()
+    n_expected = 2 * sum(1 for v in pc.values() if v >= 2)
+    assert len(got) == n_expected
+    for r in got.itertuples(index=False):
+        k = (r.antecedent, r.consequent)
+        kk = k if k in pc else (r.consequent, r.antecedent)
+        assert int(r.pair_turns) == pc[kk] and pc[kk] >= 2
+        assert int(r.ant_turns) == ant[r.antecedent]
+        assert int(r.conf_ppm) == (1_000_000 * pc[kk]) // ant[r.antecedent]

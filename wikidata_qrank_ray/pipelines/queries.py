@@ -5175,6 +5175,169 @@ def q_triple_qualifiers(sf_dir: str):
     return qual.map_batches(fmt, batch_format="pandas")
 
 
+def q_entity_typing(sf_dir: str):
+    """Ontology typing from context: each canonical entity's dominant
+    context token -> (qid, type_token, cnt). Per-turn partials count every
+    token of a turn (with multiplicity) against every canonical entity the
+    turn mentions, EXCLUDING the entity's own surfaces
+    (stages/triples.ContextTyper); one (entity, token)-keyed aggregate,
+    then the deterministic argmax per entity ((cnt DESC, token ASC), the
+    group_topk total order)."""
+    from ..stages.groupby import group_topk, hash_partition_aggregate
+    from ..stages.triples import ContextTyper, _matcher_partials
+
+    mapping_ref, gaz_ref = _mapping_ref(sf_dir)
+    partial = _matcher_partials(
+        derive_transcripts(sf_dir), ContextTyper, gaz_ref, mapping_ref)
+    ct = hash_partition_aggregate(
+        partial, ["qid", "token"], {"cnt": ("cnt", "sum")})
+    top = group_topk(ct, ["qid"], "cnt", 1, tie_cols=["token"],
+                     num_partitions=16)
+    return top.map_batches(
+        lambda df: pd.DataFrame({
+            "qid": df["qid"], "type_token": df["token"],
+            "cnt": df["cnt"].to_numpy(np.int64)})
+        if len(df) else pd.DataFrame({
+            "qid": pd.Series(dtype=object),
+            "type_token": pd.Series(dtype=object),
+            "cnt": pd.Series(dtype=np.int64)}),
+        batch_format="pandas")
+
+
+def q_entity_hits_int(sf_dir: str):
+    """Fixed-point integer HITS over the entity -> tool bipartite graph
+    (observed_via_tool canonical triples, weights = turn counts): 2
+    synchronous rounds of authority = sum(hub*w) over in-edges and
+    hub = sum(auth*w) over out-edges, each rescaled to [0, 1e6] by the
+    TRUNCATING (x * 1e6) // max -- every cell stays int64, so the SQL
+    twin reproduces the scores bitwise (the HITS analogue of
+    entity_pagerank_int). Rounds are co-partitioned joins + keyed sums;
+    the only driver state per round is the two max scalars ->
+    (node, kind, score)."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    SCALE = 1_000_000
+    ct = _canon_triples_mat(sf_dir)
+    edges = ct.map_batches(
+        lambda df: (lambda e: pd.DataFrame({
+            "e": e["subj"].str[1:].astype(np.int64),
+            "tool": e["obj"],
+            "w": e["weight"].to_numpy(np.int64)}))(
+            df[df["pred"] == "observed_via_tool"])
+        if len(df) else pd.DataFrame({
+            "e": pd.Series(dtype=np.int64),
+            "tool": pd.Series(dtype=object),
+            "w": pd.Series(dtype=np.int64)}),
+        batch_format="pandas").materialize()
+
+    out_empty = pd.DataFrame({
+        "node": pd.Series(dtype=object), "kind": pd.Series(dtype=object),
+        "score": pd.Series(dtype=np.int64)})
+    if edges.count() == 0:
+        return ray.data.from_pandas(out_empty)
+
+    hub = hash_partition_aggregate(
+        edges, ["e"], {"h": ("w", "count")}, num_partitions=16,
+        stamp_batch_size=None,
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "e": df["e"].to_numpy(np.int64),
+            "h": np.full(len(df), SCALE, dtype=np.int64)}),
+        batch_format="pandas")
+
+    def _rescale(ds, col):
+        mx = int(ds.max(col))
+        return ds.map_batches(
+            lambda df, mx=mx: df.assign(
+                **{col: (df[col].to_numpy(np.int64) * SCALE) // mx}),
+            batch_format="pandas")
+
+    auth = None
+    for _ in range(2):
+        a_raw = bucketed_hash_join(
+            edges, hub, "e", "e", num_partitions=16
+        ).map_batches(
+            lambda df: pd.DataFrame({
+                "tool": df["tool"],
+                "c": df["w"].to_numpy(np.int64) * df["h"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        auth = _rescale(hash_partition_aggregate(
+            a_raw, ["tool"], {"a": ("c", "sum")}, num_partitions=16,
+            stamp_batch_size=None), "a").materialize()
+        h_raw = bucketed_hash_join(
+            edges.map_batches(
+                lambda df: df[["tool", "e", "w"]], batch_format="pandas"),
+            auth, "tool", "tool", num_partitions=16,
+        ).map_batches(
+            lambda df: pd.DataFrame({
+                "e": df["e"].to_numpy(np.int64),
+                "c": df["w"].to_numpy(np.int64) * df["a"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        hub = _rescale(hash_partition_aggregate(
+            h_raw, ["e"], {"h": ("c", "sum")}, num_partitions=16,
+            stamp_batch_size=None), "h").materialize()
+
+    ents = hub.map_batches(
+        lambda df: pd.DataFrame({
+            "node": "Q" + df["e"].astype(np.int64).astype(str),
+            "kind": "entity", "score": df["h"].to_numpy(np.int64)})
+        if len(df) else out_empty, batch_format="pandas")
+    tools = auth.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["tool"], "kind": "tool",
+            "score": df["a"].to_numpy(np.int64)})
+        if len(df) else out_empty, batch_format="pandas")
+    return ents.union(tools)
+
+
+def q_assoc_rules(sf_dir: str):
+    """Association rules over per-turn canonical entity sets (the market-
+    basket view of co-mentions): directed rules a -> b with pair support
+    >= 2 distinct turns -> (antecedent, consequent, pair_turns, ant_turns,
+    conf_ppm) where conf_ppm = (1e6 * pair_turns) // ant_turns, all exact
+    integers. Pair supports ride the triple_qualifiers shuffle; antecedent
+    supports are a vocabulary-sized aggregate broadcast into the final
+    vectorized pass."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.triples import (
+        CanonTurnCounter, _matcher_partials, triple_qualifiers)
+
+    SCALE = 1_000_000
+    mapping_ref, gaz_ref = _mapping_ref(sf_dir)
+    turns = derive_transcripts(sf_dir)
+    pairs = triple_qualifiers(turns, gaz_ref, mapping_ref)
+    ac = _pd(hash_partition_aggregate(
+        _matcher_partials(turns, CanonTurnCounter, gaz_ref, mapping_ref),
+        ["qid"], {"n": ("n", "sum")}, num_partitions=16),
+        {"qid": object, "n": "int64"})
+    ant_ref = ray.put(dict(zip(ac["qid"], ac["n"].astype(np.int64))))
+
+    def rules(df: pd.DataFrame, ant_ref=ant_ref) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "antecedent": pd.Series(dtype=object),
+            "consequent": pd.Series(dtype=object),
+            "pair_turns": pd.Series(dtype=np.int64),
+            "ant_turns": pd.Series(dtype=np.int64),
+            "conf_ppm": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        df = df[df["n_turns"].to_numpy(np.int64) >= 2]
+        if len(df) == 0:
+            return empty
+        amap = ray.get(ant_ref)
+        pc = df["n_turns"].to_numpy(np.int64)
+        ant = np.concatenate([df["subj"].to_numpy(), df["obj"].to_numpy()])
+        cons = np.concatenate([df["obj"].to_numpy(), df["subj"].to_numpy()])
+        pc2 = np.concatenate([pc, pc])
+        an = pd.Series(ant).map(amap).to_numpy(np.int64)
+        return pd.DataFrame({
+            "antecedent": ant, "consequent": cons, "pair_turns": pc2,
+            "ant_turns": an, "conf_ppm": (SCALE * pc2) // an})
+
+    return pairs.map_batches(rules, batch_format="pandas")
+
+
 def _round4e_queries():
     """Fifth-session round-4 additions; ORDER CONTRACT: registered after
     _round4d_queries, still inside the never-driver-sampled region (these
@@ -5183,6 +5346,9 @@ def _round4e_queries():
         "taxonomy_closure": q_taxonomy_closure,
         "taxonomy_rollup": q_taxonomy_rollup,
         "triple_qualifiers": q_triple_qualifiers,
+        "entity_typing": q_entity_typing,
+        "entity_hits_int": q_entity_hits_int,
+        "assoc_rules": q_assoc_rules,
     }
 
 
@@ -7908,5 +8074,89 @@ tq_t AS (
 SELECT subj, obj, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
        CAST(COUNT(*) AS BIGINT) AS n_turns
 FROM tq_t GROUP BY subj, obj""",
+        ),
+        # entity_typing: per-entity context-token counts (all turn tokens
+        # with multiplicity, own surfaces anti-joined out), argmax with the
+        # (cnt DESC, token ASC) total order
+        "entity_typing": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_ALIAS,
+            """et_cm AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, r.canon AS q
+  FROM (SELECT DISTINCT conv_id, turn_idx, qid FROM hits) m
+  JOIN resolve r ON m.qid = r.qid),
+et_own AS (
+  SELECT DISTINCT r.canon AS q, g.surface
+  FROM gaz g JOIN resolve r ON g.qid = r.qid),
+et_ct AS (
+  SELECT c.q, t.surface AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM et_cm c
+  JOIN ttoks t ON c.conv_id = t.conv_id AND c.turn_idx = t.turn_idx
+  WHERE NOT EXISTS (SELECT 1 FROM et_own o
+                    WHERE o.q = c.q AND o.surface = t.surface)
+  GROUP BY c.q, t.surface)""",
+            select="""
+SELECT q AS qid, token AS type_token, cnt FROM (
+  SELECT q, token, cnt,
+         row_number() OVER (PARTITION BY q
+                            ORDER BY cnt DESC, token ASC) AS rn
+  FROM et_ct) WHERE rn = 1""",
+        ),
+        # entity_hits_int: 2 integer HITS rounds unrolled; every rescale is
+        # the truncating (x * 1e6) // max, so the chain is bitwise;
+        # MATERIALIZED stops DuckDB re-inlining each round into its own
+        # MAX() subquery
+        "entity_hits_int": f"""WITH {SQL_TURNS}, {SQL_GAZ}, {SQL_HITS}, {SQL_TRIPLES}, {SQL_ALIAS},
+hx_e AS MATERIALIZED (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS e, obj AS tool,
+         CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'observed_via_tool'),
+hx_h0 AS (SELECT DISTINCT e, CAST(1000000 AS BIGINT) AS h FROM hx_e),
+hx_a1r AS MATERIALIZED (
+  SELECT tool, CAST(SUM(h.h * x.w) AS BIGINT) AS a
+  FROM hx_e x JOIN hx_h0 h USING (e) GROUP BY tool),
+hx_a1 AS (SELECT tool, (a * 1000000) // (SELECT MAX(a) FROM hx_a1r) AS a
+          FROM hx_a1r),
+hx_h1r AS MATERIALIZED (
+  SELECT e, CAST(SUM(a.a * x.w) AS BIGINT) AS h
+  FROM hx_e x JOIN hx_a1 a USING (tool) GROUP BY e),
+hx_h1 AS (SELECT e, (h * 1000000) // (SELECT MAX(h) FROM hx_h1r) AS h
+          FROM hx_h1r),
+hx_a2r AS MATERIALIZED (
+  SELECT tool, CAST(SUM(h.h * x.w) AS BIGINT) AS a
+  FROM hx_e x JOIN hx_h1 h USING (e) GROUP BY tool),
+hx_a2 AS (SELECT tool, (a * 1000000) // (SELECT MAX(a) FROM hx_a2r) AS a
+          FROM hx_a2r),
+hx_h2r AS MATERIALIZED (
+  SELECT e, CAST(SUM(a.a * x.w) AS BIGINT) AS h
+  FROM hx_e x JOIN hx_a2 a USING (tool) GROUP BY e),
+hx_h2 AS (SELECT e, (h * 1000000) // (SELECT MAX(h) FROM hx_h2r) AS h
+          FROM hx_h2r)
+SELECT 'Q' || CAST(e AS VARCHAR) AS node, 'entity' AS kind,
+       CAST(h AS BIGINT) AS score FROM hx_h2
+UNION ALL
+SELECT tool AS node, 'tool' AS kind, CAST(a AS BIGINT) AS score FROM hx_a2""",
+        # assoc_rules: distinct-turn pair/antecedent supports, both rule
+        # directions, integer confidence in ppm
+        "assoc_rules": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_ALIAS,
+            """ar_cm AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, r.canon AS q
+  FROM (SELECT DISTINCT conv_id, turn_idx, qid FROM hits) m
+  JOIN resolve r ON m.qid = r.qid),
+ar_pc AS (
+  SELECT a.q AS s, b.q AS o, CAST(COUNT(*) AS BIGINT) AS pc
+  FROM ar_cm a JOIN ar_cm b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND CAST(substr(a.q, 2) AS BIGINT) < CAST(substr(b.q, 2) AS BIGINT)
+  GROUP BY a.q, b.q),
+ar_ac AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM ar_cm GROUP BY q),
+ar_d AS (
+  SELECT s AS antecedent, o AS consequent, pc FROM ar_pc WHERE pc >= 2
+  UNION ALL
+  SELECT o, s, pc FROM ar_pc WHERE pc >= 2)""",
+            select="""
+SELECT d.antecedent, d.consequent, d.pc AS pair_turns, c.n AS ant_turns,
+       CAST((1000000 * d.pc) // c.n AS BIGINT) AS conf_ppm
+FROM ar_d d JOIN ar_ac c ON d.antecedent = c.q""",
         ),
     }

@@ -376,3 +376,96 @@ def triple_qualifiers(
         {"first_sec": ("first_sec", "min"),
          "last_sec": ("last_sec", "max"),
          "n_turns": ("n_turns", "sum")})
+
+
+class ContextTyper(QualifierExtractor):
+    """Per-batch partials for entity TYPE ASSIGNMENT from context: for
+    every canonical entity mentioned in a turn, count every token of that
+    turn (with multiplicity) EXCEPT the entity's own surfaces -> (qid,
+    token, cnt). The downstream argmax per entity ((cnt DESC, token ASC)
+    total order) is the ontology-typing step of a KG build: an entity's
+    type is its dominant context word."""
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:  # type: ignore[override]
+        empty = pd.DataFrame({
+            "qid": pd.Series(dtype=object),
+            "token": pd.Series(dtype=object),
+            "cnt": pd.Series(dtype=np.int64)})
+        flat, parent = _tokenize_arrow(batch[self.text_col])
+        if len(parent) == 0:
+            return empty
+        tok = self._lookup_ords(flat)
+        m = tok >= 0
+        if not m.any():
+            return empty
+        mdf = pd.DataFrame({
+            "row": parent[m],
+            "e": self.canon_of_ord[tok[m]]}).drop_duplicates()
+        # every token of the turn, with its own canonical ordinal (-1 when
+        # the token is not a gazetteer surface) for the own-surface filter
+        tcanon = np.where(m, self.canon_of_ord[np.maximum(tok, 0)], -1)
+        tokdf = pd.DataFrame({
+            "row": parent,
+            "token": flat.to_numpy(zero_copy_only=False),
+            "tc": tcanon})
+        pairs = mdf.merge(tokdf, on="row")
+        pairs = pairs[pairs["e"].to_numpy() != pairs["tc"].to_numpy()]
+        if len(pairs) == 0:
+            return empty
+        g = pairs.groupby(["e", "token"], as_index=False).size()
+        return pd.DataFrame({
+            "qid": self.canon_names[g["e"].to_numpy(np.int64)],
+            "token": g["token"],
+            "cnt": g["size"].to_numpy(np.int64)})
+
+
+class CanonTurnCounter(QualifierExtractor):
+    """Per-batch (qid, n) partials of DISTINCT-TURN mention counts per
+    canonical entity -- the antecedent supports of the association-rule
+    operator. Turns are whole input rows, so per-batch distinct is exact
+    and the partials compose under sum."""
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:  # type: ignore[override]
+        empty = pd.DataFrame({
+            "qid": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64)})
+        flat, parent = _tokenize_arrow(batch[self.text_col])
+        tok = self._lookup_ords(flat)
+        m = tok >= 0
+        if not m.any():
+            return empty
+        mdf = pd.DataFrame({
+            "row": parent[m],
+            "e": self.canon_of_ord[tok[m]]}).drop_duplicates()
+        vc = mdf["e"].value_counts()
+        return pd.DataFrame({
+            "qid": self.canon_names[vc.index.to_numpy(np.int64)],
+            "n": vc.to_numpy(np.int64)})
+
+
+def _matcher_partials(
+    turns: ray.data.Dataset,
+    cls,
+    gaz_ref,
+    mapping_ref=None,
+    concurrency: int = 4,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Shared elastic/actor-pool tier dispatch for the matcher-derived
+    partial stages (same size gate as detect_mentions)."""
+    from ..context import pool_size
+    from .mentions import ELASTIC_MAX_SURFACES
+
+    gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
+    if len(gaz) <= ELASTIC_MAX_SURFACES:
+        mapping = (
+            ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef)
+            else mapping_ref
+        )
+        return turns.map_batches(
+            cls(gaz, mapping_ref=mapping),
+            batch_format="pyarrow", batch_size=batch_size)
+    return turns.map_batches(
+        cls,
+        fn_constructor_kwargs={"gaz_ref": gaz_ref, "mapping_ref": mapping_ref},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool_size(concurrency))
