@@ -228,3 +228,109 @@ def test_assoc_rules_confidence_and_support():
         assert int(r.pair_turns) == pc[kk] and pc[kk] >= 2
         assert int(r.ant_turns) == ant[r.antecedent]
         assert int(r.conf_ppm) == (1_000_000 * pc[kk]) // ant[r.antecedent]
+
+
+def test_winnow_fingerprints_bruteforce_twin():
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.functions.hashing import polyhash64
+    from wikidata_qrank_ray.pipelines.queries import q_winnow_fingerprints
+
+    K, W = 3, 4
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    want = set()
+    for r in docs.itertuples(index=False):
+        toks = ("" if r.text is None else str(r.text)).split()
+        if len(toks) >= K:
+            sh = [" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)]
+        elif toks:
+            sh = [" ".join(toks)]
+        else:
+            continue
+        h = polyhash64(np.array(sh, dtype=object))
+        n = len(h)
+        for ws in range(max(n - W + 1, 1)):
+            win = h[ws:ws + W]
+            mn = win.min()
+            pos = ws + max(np.nonzero(win == mn)[0])
+            want.add((int(r.doc_id), int(pos),
+                      int(mn % np.uint64(2 ** 63))))
+    got = q_winnow_fingerprints(SF).to_pandas()
+    got_set = {(int(a), int(b), int(c)) for a, b, c in
+               zip(got["doc_id"], got["pos"], got["fp"])}
+    assert got_set == want
+
+
+def test_winnow_shared_run_guarantee():
+    """Two docs sharing a token run of length >= w + k - 1 share at least
+    one fingerprint (the winnowing guarantee)."""
+    import ray.data as rd
+
+    from wikidata_qrank_ray.stages.dedup import winnow_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["xx yy " + run + " qq", "aa " + run + " bb cc dd"]}))
+    out = winnow_fingerprints(docs).to_pandas()
+    f1 = set(out[out["doc_id"] == 1]["fp"])
+    f2 = set(out[out["doc_id"] == 2]["fp"])
+    assert f1 & f2
+
+
+def test_bigram_surprisal_bruteforce_twin():
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.pipelines.queries import q_bigram_surprisal
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    cnt: dict[str, int] = {}
+    per_doc: dict[int, list] = {}
+    for r in docs.itertuples(index=False):
+        toks = ("" if r.text is None else str(r.text)).split()
+        bgs = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+        per_doc[int(r.doc_id)] = bgs
+        for b in bgs:
+            cnt[b] = cnt.get(b, 0) + 1
+    got = q_bigram_surprisal(SF).to_pandas()
+    want = {d: (len(bgs),
+                sum(cnt[b].bit_length() - 1 for b in bgs),
+                min(cnt[b] for b in bgs))
+            for d, bgs in per_doc.items() if bgs}
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        assert (int(r.n_bigrams), int(r.surprisal),
+                int(r.min_count)) == want[int(r.doc_id)]
+
+
+def test_mad_outliers_bruteforce_twin():
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.pipelines.queries import q_mad_outliers
+
+    ev = pq.read_table(SF + "/events.parquet",
+                       columns=["event_id", "event_type", "value"]).to_pandas()
+    vc = np.floor(np.abs(ev["value"].to_numpy()) * 100 + 0.5).astype(np.int64) \
+        * np.sign(ev["value"].to_numpy()).astype(np.int64)
+
+    def lower_median(vals):
+        vals = np.sort(np.asarray(vals, dtype=np.int64))
+        cum = np.arange(1, len(vals) + 1)
+        return int(vals[np.nonzero(2 * cum >= len(vals))[0][0]])
+
+    ev = ev.assign(vc=vc)
+    want = set()
+    for t, g in ev.groupby("event_type"):
+        med = lower_median(g["vc"])
+        dev = np.abs(g["vc"].to_numpy(np.int64) - med)
+        mad = lower_median(dev)
+        for eid, v, d in zip(g["event_id"], g["vc"], dev):
+            if d > 3 * mad:
+                want.add((int(eid), t, int(v), int(d), mad))
+    got = q_mad_outliers(SF).to_pandas()
+    got_set = {(int(a), b, int(c), int(d), int(e)) for a, b, c, d, e in
+               zip(got["event_id"], got["event_type"], got["value_cents"],
+                   got["dev"], got["mad"])}
+    assert got_set == want

@@ -20,7 +20,7 @@ import ray
 import ray.data
 
 
-from ..functions.tokenize import flat_tokens
+from ..functions.tokenize import flat_tokens, kgram_join, kgram_starts
 from ..sources.gazetteer import GAZETTEER_TOP_N, build_aliases, build_gazetteer
 from ..sources.tables import read_table
 from ..sources.transcripts import derive_transcripts
@@ -1867,7 +1867,7 @@ def q_doc_oov_rates(sf_dir: str):
     tokenizer-fit signal of a data pipeline. Vocab broadcast once
     (ray.put), membership via sorted-array searchsorted per batch;
     token-less docs report (0, 0)."""
-    from ..functions.tokenize import flat_tokens
+    from ..functions.tokenize import flat_tokens, kgram_join, kgram_starts
 
     gaz = build_gazetteer(sf_dir)
     vocab = np.sort(gaz["surface"].to_numpy(dtype=object))
@@ -3193,7 +3193,7 @@ def q_doc_top_terms(sf_dir: str):
     the df attach is a bucketed join on term and the per-doc cut is the
     group_topk operator -- three shuffles, all key-hashed, nothing
     corpus-scaled on the driver."""
-    from ..functions.tokenize import flat_tokens
+    from ..functions.tokenize import flat_tokens, kgram_join, kgram_starts
     from ..stages.groupby import group_topk, hash_partition_aggregate
     from ..stages.join import bucketed_hash_join
 
@@ -5338,6 +5338,140 @@ def q_assoc_rules(sf_dir: str):
     return pairs.map_batches(rules, batch_format="pandas")
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (Schleimer 2003) -> (doc_id, pos, fp):
+    rightmost-minimum pick from every window of 4 consecutive 3-token
+    shingle hashes, distinct per doc -- the guarantee-bearing local
+    fingerprinting scheme (any shared token run of length >= w+k-1 yields
+    a shared fingerprint). One vectorized sentinel-padded sliding-window
+    pass per batch, shuffle-free (stages/dedup.winnow_fingerprints)."""
+    from ..stages.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_bigram_surprisal(sf_dir: str):
+    """Integer n-gram-LM commonness score per doc -> (doc_id, n_bigrams,
+    surprisal, min_count): surprisal = sum over the doc's adjacent token
+    pairs of floor(log2(corpus bigram count)) (exact via the float64
+    exponent; SQL twin = length(bin(c)) - 1), min_count = the doc's rarest
+    bigram -- the distribution-level quality filter a perplexity model
+    approximates, float-free. Shape: one bigram explode, a bigram-keyed
+    count aggregate, a bigram-keyed co-partition join back, and a doc-keyed
+    final sum -- two shuffles, nothing driver-held."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        flat_a, parent = flat_tokens(t["text"], fill_null=True)
+        flat = np.asarray(flat_a.to_numpy(zero_copy_only=False), dtype=object)
+        base = kgram_starts(parent, 2)
+        if len(base) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=object)})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "doc_id": ids[parent[base]].astype(np.int64),
+            "b": kgram_join(flat, base, 2)})
+
+    bg = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    counts = hash_partition_aggregate(
+        bg, ["b"], {"c": ("b", "count")}, stamp_batch_size=None)
+    joined = bucketed_hash_join(bg, counts, "b", "b", num_partitions=32)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "one": pd.Series(dtype=np.int64),
+                "lg": pd.Series(dtype=np.int64),
+                "c": pd.Series(dtype=np.int64)})
+        c = df["c"].to_numpy(np.int64)
+        lg = (np.frexp(c.astype(np.float64))[1] - 1).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "one": np.ones(len(df), dtype=np.int64), "lg": lg, "c": c})
+
+    return hash_partition_aggregate(
+        joined.map_batches(score, batch_format="pandas"),
+        ["doc_id"],
+        {"n_bigrams": ("one", "sum"), "surprisal": ("lg", "sum"),
+         "min_count": ("c", "min")})
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust MAD anomaly audit per event type, entirely in exact
+    integers: med = per-type lower median of cent values, dev = |vc - med|,
+    mad = per-type lower median of dev, outliers = rows with dev > 3*mad
+    -> (event_id, event_type, value_cents, dev, mad). The complement of
+    value_outliers' IQR rule: two (type, value-domain) histogram medians
+    (grouped_weighted_median), each a domain-sized shuffle; the per-type
+    cutoffs broadcast into one vectorized flag pass."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.stats import grouped_weighted_median
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "vc": _cents(t["value"].to_numpy(zero_copy_only=False))})
+
+    evc = ev.map_batches(cents, batch_format="pyarrow").materialize()
+    h1 = hash_partition_aggregate(
+        evc, ["event_type", "vc"], {"n": ("vc", "count")})
+    med = _pd(grouped_weighted_median(h1, ["event_type"], "vc", "n",
+                                      num_partitions=8),
+              {"event_type": object, "w_median": "int64"})
+    med_ref = ray.put(dict(zip(med["event_type"],
+                               med["w_median"].astype(np.int64))))
+
+    def dev_rows(df: pd.DataFrame, med_ref=med_ref) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "dev": pd.Series(dtype=np.int64)})
+        m = df["event_type"].map(ray.get(med_ref)).to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "dev": np.abs(df["vc"].to_numpy(np.int64) - m)})
+
+    h2 = hash_partition_aggregate(
+        evc.map_batches(dev_rows, batch_format="pandas"),
+        ["event_type", "dev"], {"n": ("dev", "count")})
+    mad = _pd(grouped_weighted_median(h2, ["event_type"], "dev", "n",
+                                      num_partitions=8),
+              {"event_type": object, "w_median": "int64"})
+    mad_ref = ray.put(dict(zip(mad["event_type"],
+                               mad["w_median"].astype(np.int64))))
+
+    def flag(df: pd.DataFrame, med_ref=med_ref, mad_ref=mad_ref) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype=np.int64),
+            "event_type": pd.Series(dtype=object),
+            "value_cents": pd.Series(dtype=np.int64),
+            "dev": pd.Series(dtype=np.int64),
+            "mad": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        m = df["event_type"].map(ray.get(med_ref)).to_numpy(np.int64)
+        md = df["event_type"].map(ray.get(mad_ref)).to_numpy(np.int64)
+        dev = np.abs(df["vc"].to_numpy(np.int64) - m)
+        keep = dev > 3 * md
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "event_type": df["event_type"].to_numpy()[keep],
+            "value_cents": df["vc"].to_numpy(np.int64)[keep],
+            "dev": dev[keep], "mad": md[keep]})
+
+    return evc.map_batches(flag, batch_format="pandas")
+
+
 def _round4e_queries():
     """Fifth-session round-4 additions; ORDER CONTRACT: registered after
     _round4d_queries, still inside the never-driver-sampled region (these
@@ -5349,6 +5483,9 @@ def _round4e_queries():
         "entity_typing": q_entity_typing,
         "entity_hits_int": q_entity_hits_int,
         "assoc_rules": q_assoc_rules,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "bigram_surprisal": q_bigram_surprisal,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -8159,4 +8296,89 @@ SELECT d.antecedent, d.consequent, d.pc AS pair_turns, c.n AS ant_turns,
        CAST((1000000 * d.pc) // c.n AS BIGINT) AS conf_ppm
 FROM ar_d d JOIN ar_ac c ON d.antecedent = c.q""",
         ),
+        # winnow_fingerprints: k=3 shingle polyhash (HUGEINT mod 2^64),
+        # w=4 windows, rightmost-minimum pick, distinct (pos, fp) per doc;
+        # fp reduced mod 2^63 for the BIGINT compare
+        "winnow_fingerprints": r"""
+WITH wtok AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t
+  FROM documents),
+wshl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+                THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS sl
+  FROM wtok),
+wsp AS (
+  SELECT doc_id, unnest(sl) AS s,
+         unnest([x for x in range(0, len(sl))]) AS pos
+  FROM wshl),
+wsh AS (
+  SELECT doc_id, pos,
+         list_reduce([CAST(unicode(c) AS HUGEINT)
+                      FOR c IN string_split_regex(s, '')],
+                     (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) AS h
+  FROM wsp),
+wn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM wsh GROUP BY doc_id),
+wws AS (
+  SELECT s.doc_id, s.pos AS wstart
+  FROM wsh s JOIN wn USING (doc_id)
+  WHERE s.pos <= GREATEST(wn.n - 4, 0)),
+wmn AS (
+  SELECT w.doc_id, w.wstart, MIN(s.h) AS mn
+  FROM wws w JOIN wsh s
+    ON s.doc_id = w.doc_id AND s.pos BETWEEN w.wstart AND w.wstart + 3
+  GROUP BY w.doc_id, w.wstart),
+wsel AS (
+  SELECT m.doc_id, MAX(s.pos) AS pos, m.mn AS h
+  FROM wmn m JOIN wsh s
+    ON s.doc_id = m.doc_id AND s.pos BETWEEN m.wstart AND m.wstart + 3
+   AND s.h = m.mn
+  GROUP BY m.doc_id, m.wstart, m.mn)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(h % 9223372036854775808 AS BIGINT) AS fp
+FROM wsel""",
+        # bigram_surprisal: floor(log2 c) = length(bin(c)) - 1 on BIGINT
+        "bigram_surprisal": r"""
+WITH bs_tok AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t
+  FROM documents),
+bs_bg AS (
+  SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                         FOR i IN range(1, len(t))]) AS b
+  FROM bs_tok),
+bs_c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bs_bg GROUP BY b)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(length(bin(c.c)) - 1) AS BIGINT) AS surprisal,
+       CAST(MIN(c.c) AS BIGINT) AS min_count
+FROM bs_bg g JOIN bs_c c USING (b)
+GROUP BY g.doc_id""",
+        # mad_outliers: two lower-median passes (the 2*cum >= tot rule the
+        # grouped_weighted_median stage implements), 3x-MAD integer flag
+        "mad_outliers": """
+WITH mo_e AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+mo_h1 AS (SELECT event_type, vc, COUNT(*) AS n FROM mo_e GROUP BY 1, 2),
+mo_med AS (
+  SELECT event_type, MIN(CASE WHEN 2 * cum >= tot THEN vc END) AS m FROM (
+    SELECT event_type, vc,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+           SUM(n) OVER (PARTITION BY event_type) AS tot
+    FROM mo_h1) GROUP BY event_type),
+mo_d AS (
+  SELECT e.event_id, e.event_type, e.vc, abs(e.vc - m.m) AS dev
+  FROM mo_e e JOIN mo_med m USING (event_type)),
+mo_h2 AS (SELECT event_type, dev, COUNT(*) AS n FROM mo_d GROUP BY 1, 2),
+mo_mad AS (
+  SELECT event_type, MIN(CASE WHEN 2 * cum >= tot THEN dev END) AS mad FROM (
+    SELECT event_type, dev,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+           SUM(n) OVER (PARTITION BY event_type) AS tot
+    FROM mo_h2) GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.vc AS value_cents,
+       CAST(d.dev AS BIGINT) AS dev, CAST(m.mad AS BIGINT) AS mad
+FROM mo_d d JOIN mo_mad m USING (event_type)
+WHERE d.dev > 3 * m.mad""",
     }

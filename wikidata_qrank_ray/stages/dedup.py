@@ -1815,3 +1815,105 @@ def lsh_eval(
     fn = (n_truth_j + n_empty_truth) - tp
     return pd.DataFrame({"tp": [np.int64(tp)], "fp": [np.int64(fp)],
                          "fn": [np.int64(fn)]})
+
+
+def winnow_fingerprints_batch(
+    batch: pa.Table, k: int = 3, w: int = 4
+) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): k-token shingle hashes, then from every window of ``w``
+    consecutive shingle positions select the RIGHTMOST minimum; the
+    distinct (position, hash) picks are the doc's fingerprints -- the
+    guarantee-bearing variant of sampled fingerprinting (every shared run
+    of length >= w+k-1 tokens yields a shared pick).
+
+    Fully vectorized across the batch: one polyhash pass over all
+    shingles, one sentinel-padded sliding_window_view for ALL docs at once
+    (uint64-max pads separate docs; a pad can win a window only when every
+    real value ties it, and the clip to the doc's last position restores
+    the rightmost REAL minimum, matching the SQL twin). Docs are whole
+    rows, so per-batch output is final -- no shuffle.
+
+    -> (doc_id, pos, fp) with fp = polyhash64(shingle) % 2^63 (BIGINT-safe
+    for the oracle compare; selection uses the full uint64 hash)."""
+    empty = pd.DataFrame({
+        "doc_id": pd.Series(dtype=np.int64),
+        "pos": pd.Series(dtype=np.int64),
+        "fp": pd.Series(dtype=np.int64)})
+    sh, rows = _shingle_arrays(batch, k)
+    if len(sh) == 0:
+        return empty
+    # per-doc shingle positions: full k-grams sit at their token start
+    # index; the short-doc fallback shingle is position 0. _shingle_arrays
+    # emits full k-grams first (ordered by (row, token pos)) then shorts,
+    # so a (row, pos) lexsort restores per-doc order.
+    flat_a, parent = flat_tokens(batch["text"], fill_null=True)
+    nrows = batch.num_rows
+    counts = np.bincount(parent, minlength=nrows)
+    starts = np.zeros(nrows, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    base = kgram_starts(parent, k)
+    pos_full = (base - starts[parent[base]]) if len(base) else np.array([], dtype=np.int64)
+    n_short = len(sh) - len(pos_full)
+    pos = np.concatenate([pos_full, np.zeros(n_short, dtype=np.int64)])
+    order = np.lexsort((pos, rows))
+    sh, rows, pos = sh[order], rows[order], pos[order]
+    h = polyhash64(sh)
+
+    # per-doc shingle counts and padded layout: each doc's hash run is
+    # followed by (w-1) uint64-max sentinels so one sliding window pass
+    # serves every doc
+    nsh = np.bincount(rows, minlength=nrows)
+    docs = np.nonzero(nsh)[0]
+    seg = nsh[docs]
+    pad_len = seg + (w - 1)
+    pad_starts = np.zeros(len(docs), dtype=np.int64)
+    pad_starts[1:] = np.cumsum(pad_len)[:-1]
+    total = int(pad_len.sum())
+    padded = np.full(total, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    # real positions: doc d's shingles land at pad_starts[d] .. +seg[d]-1
+    real_idx = np.repeat(pad_starts, seg) + _grouped_arange(seg)
+    padded[real_idx] = h
+
+    win = np.lib.stride_tricks.sliding_window_view(padded, w)
+    # valid window starts per doc: local offsets 0 .. max(seg-w, 0)
+    nwin = np.maximum(seg - w + 1, 1)
+    wstart = np.repeat(pad_starts, nwin) + _grouped_arange(nwin)
+    wdoc_i = np.repeat(np.arange(len(docs)), nwin)
+    sub = win[wstart]
+    rarg = np.argmin(sub[:, ::-1], axis=1)
+    local = (wstart - pad_starts[wdoc_i]) + (w - 1 - rarg)
+    # clip: only reachable when a sentinel tied an all-max short window
+    local = np.minimum(local, seg[wdoc_i] - 1)
+    sel_global_real = np.repeat(
+        np.concatenate([[0], np.cumsum(seg)[:-1]]), nwin) + local
+    out = pd.DataFrame({
+        "row": docs[wdoc_i],
+        "pos": pos[sel_global_real],
+        "hh": h[sel_global_real]}).drop_duplicates()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pd.DataFrame({
+        "doc_id": doc_ids[out["row"].to_numpy()].astype(np.int64),
+        "pos": out["pos"].to_numpy(np.int64),
+        "fp": (out["hh"].to_numpy()
+               % np.uint64(0x8000000000000000)).astype(np.int64)})
+
+
+def _grouped_arange(sizes: np.ndarray) -> np.ndarray:
+    """[0..sizes[0]-1, 0..sizes[1]-1, ...] without a Python loop."""
+    if len(sizes) == 0 or sizes.sum() == 0:
+        return np.array([], dtype=np.int64)
+    total = int(sizes.sum())
+    idx = np.arange(total, dtype=np.int64)
+    offs = np.repeat(np.concatenate([[0], np.cumsum(sizes)[:-1]]), sizes)
+    return idx - offs
+
+
+def winnow_fingerprints(
+    docs: ray.data.Dataset, k: int = 3, w: int = 4
+) -> ray.data.Dataset:
+    """Dataset wrapper: per-batch winnowing (docs are whole rows, output
+    is final), elastic tasks, Arrow in."""
+    return docs.map_batches(
+        lambda t, k=k, w=w: winnow_fingerprints_batch(t, k=k, w=w),
+        batch_format="pyarrow")
