@@ -334,3 +334,72 @@ def test_mad_outliers_bruteforce_twin():
                zip(got["event_id"], got["event_type"], got["value_cents"],
                    got["dev"], got["mad"])}
     assert got_set == want
+
+
+def test_fps_coreset_bruteforce_twin():
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.pipelines.queries import q_fps_coreset
+    from wikidata_qrank_ray.stages.similarity import _quant_int
+
+    emb = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    want = []
+    for lab, g in emb.groupby("label"):
+        ids = g["vec_id"].to_numpy(np.int64)
+        q = _quant_int(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        order = np.argsort(ids)
+        ids, q = ids[order], q[order]
+        sel = [0]
+        want.append((int(lab), 0, int(ids[0]), 0))
+        for rnd in range(1, 4):
+            if len(sel) >= len(ids):
+                break
+            diff = q[:, None, :] - q[sel][None, :, :]
+            dmin = (diff * diff).sum(axis=2).min(axis=1)
+            cand = [i for i in range(len(ids)) if i not in sel]
+            best = min(cand, key=lambda i: (-dmin[i], ids[i]))
+            sel.append(best)
+            want.append((int(lab), rnd, int(ids[best]), int(dmin[best])))
+    got = q_fps_coreset(SF)
+    got_set = set(map(tuple, got[["label", "rnd", "vec_id", "d2"]]
+                      .astype(np.int64).itertuples(index=False)))
+    assert got_set == set(want)
+
+
+def test_functional_violations_twin():
+    from wikidata_qrank_ray.pipelines.queries import (
+        q_canonical_triples, q_functional_violations)
+
+    ct = q_canonical_triples(SF).to_pandas()
+    e = ct[ct["pred"] == "observed_via_tool"]
+    want = {}
+    for q, g in e.groupby("subj"):
+        if len(g) >= 2:
+            want[q] = (len(g), g["obj"].min(), g["obj"].max())
+    got = q_functional_violations(SF).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        assert (int(r.n_tools), r.first_tool, r.last_tool) == want[r.qid]
+
+
+def test_table_profile_duckdb_twin_semantics():
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.pipelines.queries import q_table_profile
+
+    orders = pq.read_table(SF + "/orders.parquet").to_pandas()
+    got = q_table_profile(SF)
+    got = {r.column_name: r for r in got.itertuples(index=False)}
+    assert set(got) == {"o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_totalprice", "o_orderdate", "o_orderpriority"}
+    ok = got["o_orderkey"]
+    vals = orders["o_orderkey"].astype(np.int64).astype(str)
+    assert int(ok.n_rows) == len(orders) and int(ok.n_null) == 0
+    assert int(ok.n_distinct) == vals.nunique()
+    assert ok.min_val == vals.min() and ok.max_val == vals.max()
+    tp = got["o_totalprice"]
+    cents = np.floor(np.abs(orders["o_totalprice"].to_numpy()) * 100 + 0.5)
+    cents = (np.sign(orders["o_totalprice"].to_numpy()) * cents).astype(np.int64)
+    s = pd.Series(cents).astype(str)
+    assert int(tp.n_distinct) == s.nunique()
+    assert tp.min_val == s.min() and tp.max_val == s.max()

@@ -5472,6 +5472,233 @@ def q_mad_outliers(sf_dir: str):
     return evc.map_batches(flag, batch_format="pandas")
 
 
+def q_fps_coreset(sf_dir: str):
+    """Farthest-point-sampling coreset per label (greedy k-center, the
+    diversity-selection primitive of data curation): seed = lowest vec_id,
+    then 3 rounds of "pick the unselected vector maximizing its min
+    integer-grid L2 distance to the selected set" (ties -> lower vec_id)
+    -> (label, rnd, vec_id, d2). Each round is ONE map pass against the
+    broadcast (<= 4 x labels)-sized selected set with per-batch partial
+    argmax; the driver holds only one candidate row per label per block.
+    Value-exact: distances live on the 1e6 quant grid in int64, unrolled
+    round by round in the SQL twin."""
+    from ..stages.similarity import _quant_int
+
+    K = 4
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"]).materialize()
+
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"label": pd.Series(dtype=np.int64),
+                                 "vec_id": pd.Series(dtype=np.int64)})
+        g = df.groupby("label", as_index=False)["vec_id"].min()
+        return pd.DataFrame({"label": g["label"].to_numpy(np.int64),
+                             "vec_id": g["vec_id"].to_numpy(np.int64)})
+
+    seeds = _pd(emb.map_batches(seed_partial, batch_format="pandas"),
+                {"label": "int64", "vec_id": "int64"})
+    seeds = seeds.groupby("label", as_index=False)["vec_id"].min()
+    seed_ids = set(seeds["vec_id"].astype(np.int64))
+    seed_vecs = _pd(
+        emb.map_batches(
+            lambda df, s=seed_ids: df[df["vec_id"].isin(s)],
+            batch_format="pandas"),
+        {"vec_id": "int64", "embedding": object, "label": "int64"})
+    # selected[label] -> list of (vec_id, quantized vector)
+    selected: dict[int, list] = {
+        int(r.label): [(int(r.vec_id),
+                        _quant_int(np.asarray(r.embedding, dtype=np.float64)))]
+        for r in seed_vecs.itertuples(index=False)}
+    out_rows = [(int(l), 0, vs[0][0], 0) for l, vs in selected.items()]
+
+    for rnd in range(1, K):
+        sel_ref = ray.put(selected)
+
+        def dmin_partial(df: pd.DataFrame, sel_ref=sel_ref) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "label": pd.Series(dtype=np.int64),
+                "vec_id": pd.Series(dtype=np.int64),
+                "dmin": pd.Series(dtype=np.int64)})
+            if len(df) == 0:
+                return empty
+            sel = ray.get(sel_ref)
+            rows = []
+            lab = df["label"].to_numpy(np.int64)
+            vid = df["vec_id"].to_numpy(np.int64)
+            for l in np.unique(lab):
+                cur = sel.get(int(l))
+                if not cur:
+                    continue
+                mask = lab == l
+                ids = vid[mask]
+                q = _quant_int(np.stack(
+                    df["embedding"].to_numpy()[mask]).astype(np.float64))
+                smat = np.stack([v for _, v in cur])
+                diff = q[:, None, :] - smat[None, :, :]
+                dmin = (diff * diff).sum(axis=2).min(axis=1)
+                keep = ~np.isin(ids, [i for i, _ in cur])
+                if not keep.any():
+                    continue
+                ids, dmin = ids[keep], dmin[keep]
+                # per-batch partial winner: (dmin DESC, vec_id ASC)
+                best = np.lexsort((ids, -dmin))[0]
+                rows.append((int(l), int(ids[best]), int(dmin[best])))
+            if not rows:
+                return empty
+            return pd.DataFrame(rows, columns=["label", "vec_id", "dmin"])
+
+        cand = _pd(emb.map_batches(dmin_partial, batch_format="pandas"),
+                   {"label": "int64", "vec_id": "int64", "dmin": "int64"})
+        if len(cand) == 0:
+            break
+        cand = cand.sort_values(["label", "dmin", "vec_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort").groupby(
+            "label", as_index=False).first()
+        win_ids = set(cand["vec_id"].astype(np.int64))
+        win_vecs = _pd(
+            emb.map_batches(
+                lambda df, s=win_ids: df[df["vec_id"].isin(s)],
+                batch_format="pandas"),
+            {"vec_id": "int64", "embedding": object, "label": "int64"})
+        qv = {int(r.vec_id): _quant_int(
+            np.asarray(r.embedding, dtype=np.float64))
+            for r in win_vecs.itertuples(index=False)}
+        for r in cand.itertuples(index=False):
+            selected[int(r.label)].append((int(r.vec_id), qv[int(r.vec_id)]))
+            out_rows.append((int(r.label), rnd, int(r.vec_id), int(r.dmin)))
+
+    return pd.DataFrame(
+        out_rows, columns=["label", "rnd", "vec_id", "d2"]).astype(np.int64)
+
+
+def q_functional_violations(sf_dir: str):
+    """KG quality audit: canonical entities whose observed_via_tool edges
+    name MORE THAN ONE distinct tool (the functional-property-violation
+    check a KG build runs on should-be-single-valued predicates) ->
+    (qid, n_tools, first_tool, last_tool). One keyed aggregate over the
+    shared canonical-triples handle."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    ct = _canon_triples_mat(sf_dir)
+    tools = ct.map_batches(
+        lambda df: df[df["pred"] == "observed_via_tool"][["subj", "obj"]],
+        batch_format="pandas")
+    agg = hash_partition_aggregate(
+        tools, ["subj"],
+        {"n_tools": ("obj", "count"), "first_tool": ("obj", "min"),
+         "last_tool": ("obj", "max")},
+        num_partitions=16, stamp_batch_size=None)
+    return agg.map_batches(
+        lambda df: (lambda k: pd.DataFrame({
+            "qid": k["subj"], "n_tools": k["n_tools"].to_numpy(np.int64),
+            "first_tool": k["first_tool"], "last_tool": k["last_tool"]}))(
+            df[df["n_tools"].to_numpy(np.int64) >= 2])
+        if len(df) else pd.DataFrame({
+            "qid": pd.Series(dtype=object),
+            "n_tools": pd.Series(dtype=np.int64),
+            "first_tool": pd.Series(dtype=object),
+            "last_tool": pd.Series(dtype=object)}),
+        batch_format="pandas")
+
+
+# (column, canonicalizer kind) spec of the orders profile -- the explicit
+# value canon (ints/cents/ISO dates as strings) is what makes min/max and
+# distinct comparable across engines
+_PROFILE_SPEC = (
+    ("o_orderkey", "int"), ("o_custkey", "int"),
+    ("o_orderstatus", "str"), ("o_totalprice", "cents"),
+    ("o_orderdate", "date"), ("o_orderpriority", "str"),
+)
+
+
+def q_table_profile(sf_dir: str):
+    """Dataset profiler over ``orders`` -> one row per column:
+    (column_name, n_rows, n_null, n_distinct, min_val, max_val), values
+    canonicalized to strings (ints verbatim, money as cents, dates ISO) so
+    min/max are the same lexicographic order in both engines. Shape: a
+    per-batch melt to (column, value) rows, one (column, value)-keyed
+    aggregate for the distinct layer, one column-keyed rollup -- the
+    profile never touches the driver until it is columns-sized."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    orders = read_table(sf_dir, "orders",
+                        columns=[c for c, _ in _PROFILE_SPEC])
+    NULL = "\x00null"
+
+    def melt(t: pa.Table) -> pd.DataFrame:
+        frames = []
+        for col, kind in _PROFILE_SPEC:
+            arr = t[col]
+            nulls = np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
+            if kind == "cents":
+                v = _cents(np.nan_to_num(
+                    arr.to_numpy(zero_copy_only=False).astype(np.float64)))
+                s = v.astype(str).astype(object)
+            elif kind == "int":
+                v = np.nan_to_num(
+                    arr.to_numpy(zero_copy_only=False).astype(np.float64)
+                ).astype(np.int64)
+                s = v.astype(str).astype(object)
+            elif kind == "date":
+                s = np.asarray(pc.strftime(
+                    arr.cast(pa.timestamp("us")), format="%Y-%m-%d"
+                ).to_numpy(zero_copy_only=False), dtype=object)
+            else:
+                s = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=object)
+                s = np.where(nulls, "", s)
+            s = np.where(nulls, NULL, s)
+            frames.append(pd.DataFrame({"column_name": col, "val": s}))
+        return pd.concat(frames, ignore_index=True)
+
+    cv = hash_partition_aggregate(
+        orders.map_batches(melt, batch_format="pyarrow"),
+        ["column_name", "val"], {"n": ("val", "count")}, num_partitions=32)
+
+    def rollup_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "column_name": pd.Series(dtype=object),
+                "n_rows": pd.Series(dtype=np.int64),
+                "n_null": pd.Series(dtype=np.int64),
+                "n_distinct": pd.Series(dtype=np.int64),
+                "min_val": pd.Series(dtype=object),
+                "max_val": pd.Series(dtype=object)})
+        isnull = df["val"].to_numpy() == NULL
+        n = df["n"].to_numpy(np.int64)
+        out = []
+        for col, g in df.assign(isnull=isnull).groupby("column_name"):
+            nn = g[g["isnull"]]["n"].sum()
+            real = g[~g["isnull"]]
+            out.append((col, int(g["n"].sum()), int(nn), len(real),
+                        real["val"].min() if len(real) else "",
+                        real["val"].max() if len(real) else ""))
+        return pd.DataFrame(out, columns=[
+            "column_name", "n_rows", "n_null", "n_distinct",
+            "min_val", "max_val"])
+
+    from ..stages.groupby import hash_partition_apply
+    prof = _pd(hash_partition_apply(cv, ["column_name"], rollup_part,
+                                    num_partitions=8),
+               {"column_name": object, "n_rows": "int64",
+                "n_null": "int64", "n_distinct": "int64",
+                "min_val": object, "max_val": object})
+    # empty-input contract: the profile always has one row per column
+    # (n_rows = 0), matching SQL aggregates over an empty table
+    missing = [c for c, _ in _PROFILE_SPEC
+               if c not in set(prof["column_name"])]
+    if missing:
+        prof = pd.concat([prof, pd.DataFrame({
+            "column_name": missing,
+            "n_rows": np.zeros(len(missing), dtype=np.int64),
+            "n_null": np.zeros(len(missing), dtype=np.int64),
+            "n_distinct": np.zeros(len(missing), dtype=np.int64),
+            "min_val": [""] * len(missing),
+            "max_val": [""] * len(missing)})], ignore_index=True)
+    return prof
+
+
 def _round4e_queries():
     """Fifth-session round-4 additions; ORDER CONTRACT: registered after
     _round4d_queries, still inside the never-driver-sampled region (these
@@ -5486,6 +5713,9 @@ def _round4e_queries():
         "winnow_fingerprints": q_winnow_fingerprints,
         "bigram_surprisal": q_bigram_surprisal,
         "mad_outliers": q_mad_outliers,
+        "fps_coreset": q_fps_coreset,
+        "functional_violations": q_functional_violations,
+        "table_profile": q_table_profile,
     }
 
 
@@ -6128,6 +6358,51 @@ SELECT CAST(tp AS BIGINT) AS tp,
        CAST((SELECT COUNT(*) FROM cand) - tp AS BIGINT) AS fp,
        CAST((SELECT COUNT(*) FROM truth) - tp AS BIGINT) AS fn
 FROM hits""")
+
+
+def _fps_coreset_sql(k: int = 4) -> str:
+    """Unrolled greedy k-center twin of q_fps_coreset: round r computes
+    every vector's min distance to the round-(r-1) selected set (already-
+    selected vectors anti-joined out) and picks the (dmin DESC, vec_id
+    ASC) winner per label. MATERIALIZED on the per-round pair-distance
+    CTEs -- each is referenced by both the min and the anti-join."""
+    sql = """WITH fpq AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings),
+fpd AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM fpq), 0) + 1)) AS d),
+fp_sel0 AS MATERIALIZED (
+  SELECT label, MIN(vec_id) AS vec_id, CAST(0 AS BIGINT) AS rnd,
+         CAST(0 AS BIGINT) AS d2
+  FROM fpq GROUP BY label)"""
+    for r in range(1, k):
+        sql += f""",
+fp_pd{r} AS MATERIALIZED (
+  SELECT f.label, f.vec_id, s.vec_id AS sv,
+         CAST(SUM((f.q[dd.d] - g.q[dd.d]) * (f.q[dd.d] - g.q[dd.d]))
+              AS BIGINT) AS d2
+  FROM fpq f
+  JOIN fp_sel{r - 1} s ON s.label = f.label
+  JOIN fpq g ON g.vec_id = s.vec_id
+  CROSS JOIN fpd dd
+  GROUP BY f.label, f.vec_id, s.vec_id),
+fp_dm{r} AS (
+  SELECT p.label, p.vec_id, MIN(p.d2) AS dmin
+  FROM fp_pd{r} p
+  WHERE NOT EXISTS (SELECT 1 FROM fp_sel{r - 1} s
+                    WHERE s.label = p.label AND s.vec_id = p.vec_id)
+  GROUP BY p.label, p.vec_id),
+fp_pick{r} AS (
+  SELECT label, vec_id, CAST({r} AS BIGINT) AS rnd, dmin AS d2 FROM (
+    SELECT label, vec_id, dmin,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY dmin DESC, vec_id ASC) AS rn
+    FROM fp_dm{r}) WHERE rn = 1),
+fp_sel{r} AS MATERIALIZED (
+  SELECT * FROM fp_sel{r - 1} UNION ALL SELECT * FROM fp_pick{r})"""
+    return sql + f"""
+SELECT label, rnd, vec_id, d2 FROM fp_sel{k - 1}"""
 
 
 def oracle_sql():
@@ -8381,4 +8656,35 @@ SELECT d.event_id, d.event_type, d.vc AS value_cents,
        CAST(d.dev AS BIGINT) AS dev, CAST(m.mad AS BIGINT) AS mad
 FROM mo_d d JOIN mo_mad m USING (event_type)
 WHERE d.dev > 3 * m.mad""",
+        # fps_coreset: greedy k-center unrolled round by round on the 1e6
+        # integer quant grid; each round = distances to the selected set,
+        # min per vec, (dmin DESC, vec_id ASC) argmax per label
+        "fps_coreset": _fps_coreset_sql(),
+        # functional_violations: should-be-functional predicate audit
+        "functional_violations": f"""WITH {SQL_TURNS}, {SQL_GAZ}, {SQL_HITS}, {SQL_TRIPLES}, {SQL_ALIAS},
+fv AS (SELECT subj, obj FROM ({canon_triples_select})
+       WHERE pred = 'observed_via_tool')
+SELECT subj AS qid, CAST(COUNT(*) AS BIGINT) AS n_tools,
+       MIN(obj) AS first_tool, MAX(obj) AS last_tool
+FROM fv GROUP BY subj HAVING COUNT(*) >= 2""",
+        # table_profile: one branch per column, values canonicalized to
+        # VARCHAR identically to the Ray melt (ints verbatim, money as
+        # cents, dates ISO); min/max are lexicographic on both sides
+        "table_profile": " UNION ALL ".join(
+            f"""
+SELECT '{col}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       COALESCE(MIN({expr}), '') AS min_val,
+       COALESCE(MAX({expr}), '') AS max_val
+FROM orders"""
+            for col, expr in (
+                ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+                ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+                ("o_orderstatus", "o_orderstatus"),
+                ("o_totalprice",
+                 "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)"),
+                ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d')"),
+                ("o_orderpriority", "o_orderpriority"),
+            )),
     }
