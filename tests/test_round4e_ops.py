@@ -403,3 +403,108 @@ def test_table_profile_duckdb_twin_semantics():
     s = pd.Series(cents).astype(str)
     assert int(tp.n_distinct) == s.nunique()
     assert tp.min_val == s.min() and tp.max_val == s.max()
+
+
+def test_trigram_paths_bruteforce_twin():
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.pipelines.queries import q_trigram_paths
+
+    ev = pq.read_table(SF + "/events.parquet",
+                       columns=["event_id", "user_id", "event_type",
+                                "ts"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    want: dict[tuple, int] = {}
+    for _, g in ev.groupby("user_id"):
+        t = g["event_type"].to_list()
+        for i in range(len(t) - 2):
+            k = (t[i], t[i + 1], t[i + 2])
+            want[k] = want.get(k, 0) + 1
+    got = q_trigram_paths(SF).to_pandas()
+    got_map = {(a, b, c): int(n) for a, b, c, n in
+               zip(got["t1"], got["t2"], got["t3"], got["n"])}
+    assert got_map == want
+
+
+def test_rank_fusion_rrf_values():
+    from wikidata_qrank_ray.pipelines.queries import (
+        q_canonical_rank, q_rank_fusion)
+
+    got = q_rank_fusion(SF)
+    crank = q_canonical_rank(SF).to_pandas()
+    assert set(got["qid"]) == set(crank["qid"])
+    n = len(got)
+    assert sorted(got["r1"]) == list(range(1, n + 1))
+    assert sorted(got["r2"]) == list(range(1, n + 1))
+    for r in got.itertuples(index=False):
+        assert int(r.rrf_micro) == (1_000_000 // (60 + int(r.r1))
+                                    + 1_000_000 // (60 + int(r.r2)))
+    # r1 respects (mention_count DESC, qid ASC)
+    cr = dict(zip(crank["qid"], crank["mention_count"]))
+    byr1 = got.sort_values("r1")
+    keys = [(-int(cr[q]), int(q[1:])) for q in byr1["qid"]]
+    assert keys == sorted(keys)
+
+
+def test_mention_spans_twin():
+    from wikidata_qrank_ray.pipelines.queries import q_mention_spans
+    from wikidata_qrank_ray.sources.gazetteer import build_gazetteer
+    from wikidata_qrank_ray.sources.transcripts import derive_transcripts
+
+    gaz = build_gazetteer(SF)
+    surf2qid = dict(zip(gaz["surface"], gaz["qid"]))
+    turns = derive_transcripts(SF).to_pandas()
+    want = set()
+    for r in turns.itertuples(index=False):
+        for i, t in enumerate(str(r.text).split()):
+            if t in surf2qid:
+                want.add((r.conv_id, int(r.turn_idx), surf2qid[t], i))
+    got = q_mention_spans(SF).to_pandas()
+    got_set = {(c, int(t), q, int(p)) for c, t, q, p in
+               zip(got["conv_id"], got["turn_idx"], got["qid"],
+                   got["token_pos"])}
+    assert got_set == want
+    assert len(got) == len(want)  # occurrences are distinct by position
+
+
+def test_topic_segments_twin():
+    from wikidata_qrank_ray.pipelines.queries import q_topic_segments
+
+    gaz, mapping, surf2qid, turns = _canon_setup()
+    ent = {}
+    for r in turns.itertuples(index=False):
+        ent[(r.conv_id, int(r.turn_idx))] = {
+            mapping.get(surf2qid[t], surf2qid[t])
+            for t in str(r.text).split() if t in surf2qid}
+    want = {}
+    for conv, g in turns.groupby("conv_id"):
+        seg = 0
+        for t in sorted(g["turn_idx"].astype(int)):
+            if t > 0 and not (ent[(conv, t - 1)] & ent[(conv, t)]):
+                seg += 1
+            want[(conv, t)] = seg
+    got = q_topic_segments(SF).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        assert int(r.segment) == want[(r.conv_id, int(r.turn_idx))]
+
+
+def test_centroid_distances_twin():
+    import pyarrow.parquet as pq
+
+    from wikidata_qrank_ray.pipelines.queries import q_centroid_distances
+    from wikidata_qrank_ray.stages.similarity import _int_round_div, _quant_int
+
+    emb = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    cents = {}
+    for lab, g in emb.groupby("label"):
+        q = _quant_int(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        cents[int(lab)] = _int_round_div(
+            q.sum(axis=0), np.full(q.shape[1], len(g), dtype=np.int64))
+    labs = sorted(cents)
+    want = {(a, b): int(((cents[a] - cents[b]) ** 2).sum())
+            for i, a in enumerate(labs) for b in labs[i + 1:]}
+    got = q_centroid_distances(SF)
+    got_map = {(int(a), int(b)): int(d) for a, b, d in
+               zip(got["label_a"], got["label_b"], got["d2"])}
+    assert got_map == want

@@ -5699,6 +5699,191 @@ def q_table_profile(sf_dir: str):
     return prof
 
 
+def q_trigram_paths(sf_dir: str):
+    """Length-3 sequential pattern mining per user stream (the
+    agent-trajectory extension of event_transitions' bigrams): counts of
+    consecutive event-type TRIPLES ordered by (ts, event_id) ->
+    (t1, t2, t3, n). One user-hashed shuffle, a sorted double-shift sweep
+    per partition, then a |types|^3-bounded final aggregate."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "t1": pd.Series(dtype=object), "t2": pd.Series(dtype=object),
+                "t3": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64)})
+        srt = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = srt["user_id"].to_numpy()
+        t = srt["event_type"].to_numpy()
+        same2 = u[:-2] == u[2:] if len(u) >= 3 else np.array([], dtype=bool)
+        if not same2.any():
+            return pd.DataFrame({
+                "t1": pd.Series(dtype=object), "t2": pd.Series(dtype=object),
+                "t3": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64)})
+        i = np.nonzero(same2)[0]
+        g = pd.DataFrame({"t1": t[i], "t2": t[i + 1], "t3": t[i + 2]})
+        g = g.groupby(["t1", "t2", "t3"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    partial = hash_partition_apply(ev, ["user_id"], sweep, num_partitions=32)
+    return hash_partition_aggregate(
+        partial, ["t1", "t2", "t3"], {"n": ("n", "sum")},
+        num_partitions=8, stamp_batch_size=None)
+
+
+def q_rank_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two entity rankings (the multi-signal
+    ranking combiner): r1 = canonical mention rank (count DESC, qid ASC),
+    r2 = co-occurrence total-edge-weight rank (weight_sum DESC, qid ASC,
+    absent entities weight 0), rrf_micro = 1e6 // (60 + r1) +
+    1e6 // (60 + r2) -- all integer, value-exact -> (qid, r1, r2,
+    rrf_micro). Rank tables are canonical-entity-sized: the same
+    materialize-the-small-table pattern as qrank_order
+    (reference qrank.go:45-53)."""
+    from ..functions.qid import qid_num
+    from ..stages.groupby import hash_partition_aggregate
+
+    crank = _pd(q_canonical_rank(sf_dir),
+                {"qid": object, "mention_count": "int64"})
+    ct = _canon_triples_mat(sf_dir)
+    deg = _pd(hash_partition_aggregate(
+        ct.map_batches(
+            lambda df: (lambda co: pd.concat([
+                co[["subj", "weight"]].rename(columns={"subj": "qid"}),
+                co[["obj", "weight"]].rename(columns={"obj": "qid"})],
+                ignore_index=True))(df[df["pred"] == "co_occurs"]),
+            batch_format="pandas"),
+        ["qid"], {"wsum": ("weight", "sum")}, num_partitions=16,
+        stamp_batch_size=None),
+        {"qid": object, "wsum": "int64"})
+    df = crank.merge(deg, on="qid", how="left")
+    df["wsum"] = df["wsum"].fillna(0).astype(np.int64)
+    qn = qid_num(df["qid"])
+    o1 = np.lexsort((qn, -df["mention_count"].to_numpy(np.int64)))
+    r1 = np.empty(len(df), dtype=np.int64)
+    r1[o1] = np.arange(1, len(df) + 1)
+    o2 = np.lexsort((qn, -df["wsum"].to_numpy(np.int64)))
+    r2 = np.empty(len(df), dtype=np.int64)
+    r2[o2] = np.arange(1, len(df) + 1)
+    return pd.DataFrame({
+        "qid": df["qid"], "r1": r1, "r2": r2,
+        "rrf_micro": 1_000_000 // (60 + r1) + 1_000_000 // (60 + r2)})
+
+
+def q_mention_spans(sf_dir: str):
+    """Entity-linking provenance: one row per linked token occurrence with
+    its 0-based token position in the turn -> (conv_id, turn_idx, qid,
+    token_pos) -- the span anchor stored beside each KG statement
+    (stages/mentions.SpanMatcher, shuffle-free)."""
+    from ..stages.mentions import ELASTIC_MAX_SURFACES, SpanMatcher
+    from ..context import pool_size
+
+    gaz = build_gazetteer(sf_dir)
+    ds = derive_transcripts(sf_dir)
+    if len(gaz) <= ELASTIC_MAX_SURFACES:
+        return ds.map_batches(SpanMatcher(gaz), batch_format="pyarrow",
+                              batch_size=8192)
+    return ds.map_batches(
+        SpanMatcher, fn_constructor_kwargs={"gaz_ref": _gaz_ref(sf_dir)},
+        batch_format="pyarrow", batch_size=8192, concurrency=pool_size(4))
+
+
+def q_topic_segments(sf_dir: str):
+    """Dialog topic segmentation by canonical-entity continuity: a new
+    segment starts at every turn sharing NO canonical entity with its
+    predecessor -> (conv_id, turn_idx, segment) for EVERY turn
+    (segment = running count of breaks, turn 0 = segment 0). Shape:
+    per-turn canonical mention sets (stages/triples.CanonMentions), an
+    adjacent-turn overlap self-join and the turn roster co-partitioned by
+    conversation, one sorted cumsum sweep per partition."""
+    from ..stages.groupby import hash_partition_apply
+    from ..stages.triples import CanonMentions, _matcher_partials
+
+    mapping_ref, gaz_ref = _mapping_ref(sf_dir)
+    turns = derive_transcripts(sf_dir)
+    cm = _matcher_partials(turns, CanonMentions, gaz_ref, mapping_ref)
+    # overlap rows: (conv_id, t) where turn t shares >= 1 canonical entity
+    # with turn t-1; computed inside the conv partition sweep below
+    roster = turns.map_batches(
+        lambda t: pd.DataFrame({
+            "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
+            "turn_idx": np.asarray(
+                t["turn_idx"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            "q": "", "tag": np.int64(0)}),
+        batch_format="pyarrow")
+    ments = cm.map_batches(
+        lambda df: df.assign(tag=np.int64(1),
+                             turn_idx=df["turn_idx"].astype(np.int64))
+        if len(df) else pd.DataFrame({
+            "conv_id": pd.Series(dtype=object),
+            "turn_idx": pd.Series(dtype=np.int64),
+            "q": pd.Series(dtype=object),
+            "tag": pd.Series(dtype=np.int64)}),
+        batch_format="pandas")
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "conv_id": pd.Series(dtype=object),
+                "turn_idx": pd.Series(dtype=np.int64),
+                "segment": pd.Series(dtype=np.int64)})
+        m = part[part["tag"] == 1]
+        shifted = m.assign(turn_idx=m["turn_idx"].to_numpy(np.int64) + 1)
+        ov = shifted.merge(m, on=["conv_id", "turn_idx", "q"])[
+            ["conv_id", "turn_idx"]].drop_duplicates()
+        ov["ovl"] = True
+        r = part[part["tag"] == 0][["conv_id", "turn_idx"]]
+        r = r.merge(ov, on=["conv_id", "turn_idx"], how="left")
+        r = r.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        brk = ((r["turn_idx"].to_numpy(np.int64) > 0)
+               & ~r["ovl"].fillna(False).to_numpy(bool)).astype(np.int64)
+        seg = pd.DataFrame({
+            "conv_id": r["conv_id"].to_numpy(),
+            "turn_idx": r["turn_idx"].to_numpy(np.int64),
+            "brk": brk})
+        seg["segment"] = seg.groupby("conv_id", sort=False)["brk"].cumsum()
+        return seg[["conv_id", "turn_idx", "segment"]].astype(
+            {"segment": np.int64})
+
+    return hash_partition_apply(roster.union(ments), ["conv_id"], sweep,
+                                num_partitions=32, stamp_batch_size=None)
+
+
+def q_centroid_distances(sf_dir: str):
+    """Embedding-space class geometry: exact integer L2 distance between
+    every pair of label centroids (centroid = rounded rational mean on the
+    1e6 quant grid, the Lloyd-update rule) -> (label_a, label_b, d2),
+    label_a < label_b. Sums ride the label_centroids aggregate; the
+    pairwise step is labels^2-sized."""
+    from ..stages.similarity import _int_round_div
+
+    cent = _pd(q_label_centroids(sf_dir),
+               {"label": "int64", "d": "int64", "s_q": "int64", "n": "int64"})
+    if len(cent) == 0:
+        return pd.DataFrame({
+            "label_a": pd.Series(dtype=np.int64),
+            "label_b": pd.Series(dtype=np.int64),
+            "d2": pd.Series(dtype=np.int64)})
+    cent = cent.sort_values(["label", "d"], kind="mergesort")
+    labs = np.unique(cent["label"].to_numpy(np.int64))
+    dims = cent["d"].max()
+    c = _int_round_div(cent["s_q"].to_numpy(np.int64),
+                       cent["n"].to_numpy(np.int64)).reshape(len(labs), dims)
+    out = []
+    for i in range(len(labs)):
+        for j in range(i + 1, len(labs)):
+            diff = c[i] - c[j]
+            out.append((int(labs[i]), int(labs[j]), int((diff * diff).sum())))
+    return pd.DataFrame(out, columns=["label_a", "label_b", "d2"]).astype(
+        np.int64) if out else pd.DataFrame({
+            "label_a": pd.Series(dtype=np.int64),
+            "label_b": pd.Series(dtype=np.int64),
+            "d2": pd.Series(dtype=np.int64)})
+
+
 def _round4e_queries():
     """Fifth-session round-4 additions; ORDER CONTRACT: registered after
     _round4d_queries, still inside the never-driver-sampled region (these
@@ -5716,6 +5901,11 @@ def _round4e_queries():
         "fps_coreset": q_fps_coreset,
         "functional_violations": q_functional_violations,
         "table_profile": q_table_profile,
+        "trigram_paths": q_trigram_paths,
+        "rank_fusion": q_rank_fusion,
+        "mention_spans": q_mention_spans,
+        "topic_segments": q_topic_segments,
+        "centroid_distances": q_centroid_distances,
     }
 
 
@@ -8660,6 +8850,100 @@ WHERE d.dev > 3 * m.mad""",
         # integer quant grid; each round = distances to the selected set,
         # min per vec, (dmin DESC, vec_id ASC) argmax per label
         "fps_coreset": _fps_coreset_sql(),
+        # trigram_paths: two leads over the per-user (ts, event_id) order
+        "trigram_paths": """
+WITH tp_o AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM tp_o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY t1, t2, t3""",
+        # rank_fusion: both row_number orders share the numeric-qid tie
+        # break; missing co-occurrence weight is 0
+        "rank_fusion": f"""WITH {SQL_TURNS}, {SQL_GAZ}, {SQL_HITS}, {SQL_RANK}, {SQL_TRIPLES}, {SQL_ALIAS}, {crank_cte},
+rf_co AS MATERIALIZED (
+  SELECT subj, obj, weight FROM ({canon_triples_select})
+  WHERE pred = 'co_occurs'),
+rf_deg AS (
+  SELECT qid, CAST(SUM(weight) AS BIGINT) AS wsum FROM (
+    SELECT subj AS qid, weight FROM rf_co
+    UNION ALL SELECT obj, weight FROM rf_co) GROUP BY qid),
+rf AS (
+  SELECT c.qid, c.mention_count, COALESCE(d.wsum, 0) AS wsum
+  FROM crank c LEFT JOIN rf_deg d USING (qid)),
+rf_r AS (
+  SELECT qid,
+         row_number() OVER (ORDER BY mention_count DESC,
+                            CAST(substr(qid, 2) AS BIGINT) ASC) AS r1,
+         row_number() OVER (ORDER BY wsum DESC,
+                            CAST(substr(qid, 2) AS BIGINT) ASC) AS r2
+  FROM rf)
+SELECT qid, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+       CAST(1000000 // (60 + r1) + 1000000 // (60 + r2) AS BIGINT)
+         AS rrf_micro
+FROM rf_r""",
+        # mention_spans: parallel unnest gives the 0-based token position
+        "mention_spans": _with(
+            SQL_TURNS, SQL_GAZ,
+            r"""ms_t AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(text, '\S+') AS t
+  FROM turns),
+ms_p AS (
+  SELECT conv_id, turn_idx, unnest(t) AS surface,
+         unnest([x for x in range(0, len(t))]) AS token_pos
+  FROM ms_t)""",
+            select="""
+SELECT p.conv_id, p.turn_idx, g.qid, CAST(p.token_pos AS BIGINT) AS token_pos
+FROM ms_p p JOIN gaz g USING (surface)""",
+        ),
+        # topic_segments: adjacent-turn canonical-entity overlap, break
+        # where none, running sum per conversation
+        "topic_segments": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_ALIAS,
+            """ts_cm AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, r.canon AS q
+  FROM (SELECT DISTINCT conv_id, turn_idx, qid FROM hits) m
+  JOIN resolve r ON m.qid = r.qid),
+ts_ov AS (
+  SELECT DISTINCT a.conv_id, b.turn_idx AS t
+  FROM ts_cm a JOIN ts_cm b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1 AND a.q = b.q),
+ts_b AS (
+  SELECT t.conv_id, t.turn_idx,
+         CASE WHEN t.turn_idx = 0 THEN 0
+              WHEN o.t IS NULL THEN 1 ELSE 0 END AS brk
+  FROM turns t LEFT JOIN ts_ov o
+    ON o.conv_id = t.conv_id AND o.t = t.turn_idx)""",
+            select="""
+SELECT conv_id, turn_idx,
+       CAST(SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS BIGINT) AS segment
+FROM ts_b""",
+        ),
+        # centroid_distances: rounded rational integer centroids (the
+        # Lloyd-update rule shared with embedding_outliers), pairwise L2
+        "centroid_distances": """
+WITH cdq AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings),
+cdd AS (SELECT UNNEST(range(1, COALESCE((SELECT MAX(len(q)) FROM cdq), 0) + 1)) AS d),
+cds AS (
+  SELECT label, dd.d AS d, CAST(SUM(q[dd.d]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cdq CROSS JOIN cdd dd GROUP BY label, dd.d),
+cdc AS (
+  SELECT label, d,
+         CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+              ELSE -((-2*s + n) // (2*n)) END AS c
+  FROM cds)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+FROM cdc a JOIN cdc b ON a.label < b.label AND a.d = b.d
+GROUP BY a.label, b.label""",
         # functional_violations: should-be-functional predicate audit
         "functional_violations": f"""WITH {SQL_TURNS}, {SQL_GAZ}, {SQL_HITS}, {SQL_TRIPLES}, {SQL_ALIAS},
 fv AS (SELECT subj, obj FROM ({canon_triples_select})

@@ -286,3 +286,33 @@ def detect_mentions(
         batch_size=batch_size,
         concurrency=pool_size(concurrency),
     )
+
+
+class SpanMatcher(GazetteerMatcher):
+    """Mention SPAN anchoring: one row per linked token occurrence with its
+    0-based token position inside the turn -> (conv_id, turn_idx, qid,
+    token_pos) -- the provenance anchor an entity-linking pipeline stores
+    next to each KG statement. Positions come from the same flat-token
+    layout the matcher already walks (parent indices are nondecreasing),
+    so the stage stays one vectorized pass, shuffle-free."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        flat, parent = _tokenize_arrow(batch[self.text_col])
+        tok = self._lookup_ords(flat)
+        n = batch.num_rows
+        counts = np.bincount(parent, minlength=n) if len(parent) else np.zeros(n, dtype=np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        pos_all = (np.arange(len(parent), dtype=np.int64) - starts[parent]
+                   if len(parent) else np.array([], dtype=np.int64))
+        sel = np.nonzero(tok >= 0)[0]
+        parent_h, tok_h, pos_h = parent[sel], tok[sel], pos_all[sel]
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        tix = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "conv_id": pa.array(conv[parent_h], type=pa.string()),
+            "turn_idx": pa.array(
+                np.asarray(tix, dtype=np.int32)[parent_h], type=pa.int32()),
+            "qid": pa.array(self.ent_names[tok_h], type=pa.string()),
+            "token_pos": pa.array(pos_h, type=pa.int64()),
+        })

@@ -469,3 +469,32 @@ def _matcher_partials(
         fn_constructor_kwargs={"gaz_ref": gaz_ref, "mapping_ref": mapping_ref},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=pool_size(concurrency))
+
+
+class CanonMentions(QualifierExtractor):
+    """Distinct (conv_id, turn_idx, canonical qid) rows per turn -- the
+    per-turn canonical entity SETS downstream dialog analytics consume
+    (topic segmentation, entity density). Turns are whole input rows, so
+    per-batch distinct is exact; no shuffle here."""
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:  # type: ignore[override]
+        empty = pd.DataFrame({
+            "conv_id": pd.Series(dtype=object),
+            "turn_idx": pd.Series(dtype=np.int64),
+            "q": pd.Series(dtype=object)})
+        flat, parent = _tokenize_arrow(batch[self.text_col])
+        tok = self._lookup_ords(flat)
+        m = tok >= 0
+        if not m.any():
+            return empty
+        mdf = pd.DataFrame({
+            "row": parent[m],
+            "e": self.canon_of_ord[tok[m]]}).drop_duplicates()
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        tix = np.asarray(batch["turn_idx"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        r = mdf["row"].to_numpy()
+        return pd.DataFrame({
+            "conv_id": conv[r],
+            "turn_idx": tix[r],
+            "q": self.canon_names[mdf["e"].to_numpy(np.int64)]})
