@@ -5884,6 +5884,183 @@ def q_centroid_distances(sf_dir: str):
             "d2": pd.Series(dtype=np.int64)})
 
 
+def q_cusum_changepoint(sf_dir: str):
+    """Changepoint detection per event-type hourly series: over the
+    gap-filled counts x_1..x_n, the split index k (1 <= k < n) maximizing
+    the integer CUSUM statistic |n * S_k - k * S_n| (S_k = prefix sum;
+    cross-multiplied mean-shift test, no float ever) -> (event_type,
+    n_hours, split_k, split_hour, stat); ties break to the smallest k,
+    single-bucket types are excluded. One (type, hour) map-side partial,
+    one type-keyed partition sweep (dense grid + prefix sums vectorized);
+    output is type-sized."""
+    from ..stages.groupby import hash_partition_apply
+
+    HOUR_US = 3_600_000_000
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": batch["event_type"],
+            "hour_us": batch["ts"].dt.floor("h")
+            .astype("datetime64[us]").astype("int64")})
+        return out.groupby(["event_type", "hour_us"], as_index=False).agg(
+            n=("hour_us", "size"))
+
+    partial = ev.map_batches(bucket, batch_format="pandas", batch_size=65536)
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            fin = g.groupby("hour_us")["n"].sum()
+            grid = np.arange(fin.index.min(), fin.index.max() + 1, HOUR_US)
+            x = fin.reindex(grid, fill_value=0).to_numpy(np.int64)
+            n = len(x)
+            if n < 2:
+                continue
+            pk = np.cumsum(x)
+            k = np.arange(1, n, dtype=np.int64)
+            stat = np.abs(n * pk[:-1] - k * pk[-1])
+            best = int(np.argmax(stat))  # first max = smallest k
+            outs.append((et, n, int(k[best]), int(grid[best]),
+                         int(stat[best])))
+        df = pd.DataFrame(outs, columns=[
+            "event_type", "n_hours", "split_k", "split_hour_us", "stat"])
+        if not outs:
+            df = pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "n_hours": pd.Series(dtype=np.int64),
+                "split_k": pd.Series(dtype=np.int64),
+                "split_hour_us": pd.Series(dtype=np.int64),
+                "stat": pd.Series(dtype=np.int64)})
+        return df
+
+    df = _pd(hash_partition_apply(partial, ["event_type"], sweep,
+                                  stamp_batch_size=None),
+             {"event_type": object, "n_hours": "int64", "split_k": "int64",
+              "split_hour_us": "int64", "stat": "int64"})
+    df["split_hour"] = pd.to_datetime(df.pop("split_hour_us"), unit="us")
+    return df[["event_type", "n_hours", "split_k", "split_hour", "stat"]]
+
+
+def q_lag_autocov(sf_dir: str):
+    """Lag-1 autocovariance per event-type hourly series, as EXACT integer
+    sufficient statistics over the gap-filled counts: m = n-1 adjacent
+    pairs, sxy = sum x_t*x_{t+1}, sx = sum of the first m values, sy = sum
+    of the last m, cov_num = m*sxy - sx*sy (the covariance numerator
+    cross-multiplied so no division happens) -> (event_type, m, sxy, sx,
+    sy, cov_num). Same one-shuffle gapfill shape as cusum_changepoint."""
+    from ..stages.groupby import hash_partition_apply
+
+    HOUR_US = 3_600_000_000
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": batch["event_type"],
+            "hour_us": batch["ts"].dt.floor("h")
+            .astype("datetime64[us]").astype("int64")})
+        return out.groupby(["event_type", "hour_us"], as_index=False).agg(
+            n=("hour_us", "size"))
+
+    partial = ev.map_batches(bucket, batch_format="pandas", batch_size=65536)
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            fin = g.groupby("hour_us")["n"].sum()
+            grid = np.arange(fin.index.min(), fin.index.max() + 1, HOUR_US)
+            x = fin.reindex(grid, fill_value=0).to_numpy(np.int64)
+            if len(x) < 2:
+                continue
+            m = len(x) - 1
+            sxy = int((x[:-1] * x[1:]).sum())
+            sx = int(x[:-1].sum())
+            sy = int(x[1:].sum())
+            outs.append((et, m, sxy, sx, sy, m * sxy - sx * sy))
+        if not outs:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "m": pd.Series(dtype=np.int64),
+                "sxy": pd.Series(dtype=np.int64),
+                "sx": pd.Series(dtype=np.int64),
+                "sy": pd.Series(dtype=np.int64),
+                "cov_num": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(outs, columns=[
+            "event_type", "m", "sxy", "sx", "sy", "cov_num"])
+
+    return hash_partition_apply(partial, ["event_type"], sweep,
+                                stamp_batch_size=None)
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Peak session concurrency: the maximum number of simultaneously
+    active user sessions (the 30-min-gap sessionize windows, inclusive
+    [start, end]) and the earliest instant it is reached -> one row
+    (peak, at_ts). Sweep-line over boundary events (+1 at start, -1 at
+    end + 1us, ends before starts at equal timestamps); the global ordered
+    prefix sum uses the bucket-offset idiom (watermark_hourly's): per-hour
+    delta totals are an hour-domain-sized aggregate, the driver's
+    exclusive prefix over sorted hours broadcasts once, each hour-hashed
+    partition finishes with one local sort + cumsum, and only per-partition
+    (peak, first-ts) candidates reach the driver."""
+    from ..stages.groupby import hash_partition_aggregate, hash_partition_apply
+
+    HOUR_US = 3_600_000_000
+    sess = q_sessionize(sf_dir)
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["session_start"].astype("datetime64[us]").astype("int64").to_numpy()
+        e = df["session_end"].astype("datetime64[us]").astype("int64").to_numpy() + 1
+        t = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), dtype=np.int64),
+                            -np.ones(len(e), dtype=np.int64)])
+        return pd.DataFrame({"t_us": t, "d": d, "bucket": t // HOUR_US})
+
+    b = sess.map_batches(bounds, batch_format="pandas").materialize()
+    per_bucket = _pd(
+        hash_partition_aggregate(b, ["bucket"], {"tot": ("d", "sum")},
+                                 stamp_batch_size=None),
+        {"bucket": np.int64, "tot": np.int64}).sort_values("bucket")
+    keys = per_bucket["bucket"].to_numpy(np.int64)
+    offs = (np.concatenate([[np.int64(0)],
+                            np.cumsum(per_bucket["tot"].to_numpy(np.int64))[:-1]])
+            if len(per_bucket) else np.array([], dtype=np.int64))
+    off_ref = ray.put((keys, offs))
+
+    def _scan(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"peak": pd.Series(dtype=np.int64),
+                              "at_us": pd.Series(dtype=np.int64)})
+        if len(part) == 0:
+            return empty
+        keys, offs = ray.get(off_ref)
+        srt = part.sort_values(["bucket", "t_us", "d"], kind="mergesort")
+        d = srt["d"].to_numpy(np.int64)
+        bk = srt["bucket"].to_numpy(np.int64)
+        cs = np.cumsum(d)
+        first = np.empty(len(d), dtype=bool)
+        first[:1] = True
+        first[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(first)
+        base = cs - d  # exclusive
+        within = cs - np.repeat(base[starts],
+                                np.diff(np.append(starts, len(d))))
+        c = within + offs[np.searchsorted(keys, bk)]
+        peak = int(c.max())
+        at = int(srt["t_us"].to_numpy(np.int64)[c == peak].min())
+        return pd.DataFrame({"peak": [peak], "at_us": [at]})
+
+    cand = _pd(hash_partition_apply(b, ["bucket"], _scan,
+                                    stamp_batch_size=None),
+               {"peak": np.int64, "at_us": np.int64})
+    if len(cand) == 0:
+        return pd.DataFrame({"peak": pd.Series(dtype=np.int64),
+                             "at_ts": pd.Series(dtype="datetime64[us]")})
+    peak = int(cand["peak"].max())
+    at = int(cand[cand["peak"] == peak]["at_us"].min())
+    return pd.DataFrame({"peak": np.array([peak], dtype=np.int64),
+                         "at_ts": pd.to_datetime([at], unit="us")})
+
+
 def _round4e_queries():
     """Fifth-session round-4 additions; ORDER CONTRACT: registered after
     _round4d_queries, still inside the never-driver-sampled region (these
@@ -5906,6 +6083,16 @@ def _round4e_queries():
         "mention_spans": q_mention_spans,
         "topic_segments": q_topic_segments,
         "centroid_distances": q_centroid_distances,
+    }
+
+
+def _round4f_queries():
+    """Sixth-session round-4 additions; ORDER CONTRACT: registered after
+    _round4e_queries, still inside the never-driver-sampled region."""
+    return {
+        "cusum_changepoint": q_cusum_changepoint,
+        "lag_autocov": q_lag_autocov,
+        "peak_concurrency": q_peak_concurrency,
     }
 
 
@@ -5999,6 +6186,7 @@ def queries():
         # above (driver-sampled round 5) ---
         **_round4d_queries(),
         **_round4e_queries(),
+        **_round4f_queries(),
         # --- round-3b additions (driver-sampled round 3) ---
         "tf_cosine_pairs": q_tf_cosine_pairs,
         "part_skyline": q_part_skyline,
@@ -8971,4 +9159,89 @@ FROM orders"""
                 ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d')"),
                 ("o_orderpriority", "o_orderpriority"),
             )),
+        # cusum_changepoint: gap-filled hourly grid, |n*S_k - k*S_n| argmax
+        # with the smallest-k tie break
+        "cusum_changepoint": """
+WITH cp_c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+cp_span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+            FROM cp_c GROUP BY 1),
+cp_grid AS (
+  SELECT s.event_type,
+         unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour
+  FROM cp_span s),
+cp_x AS (
+  SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS x
+  FROM cp_grid g LEFT JOIN cp_c c
+    ON c.event_type = g.event_type AND c.hour = g.hour),
+cp_s AS (
+  SELECT event_type, hour, x,
+         SUM(x) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS UNBOUNDED PRECEDING) AS pk,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS k,
+         COUNT(*) OVER (PARTITION BY event_type) AS nh,
+         SUM(x) OVER (PARTITION BY event_type) AS tot
+  FROM cp_x),
+cp_r AS (
+  SELECT event_type, nh, k, hour, abs(nh * pk - k * tot) AS stat,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(nh * pk - k * tot) DESC, k ASC) AS rn
+  FROM cp_s WHERE k < nh)
+SELECT event_type, CAST(nh AS BIGINT) AS n_hours, CAST(k AS BIGINT) AS split_k,
+       hour AS split_hour, CAST(stat AS BIGINT) AS stat
+FROM cp_r WHERE rn = 1""",
+        # lag_autocov: one lead over the same gap-filled grid
+        "lag_autocov": """
+WITH la_c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+la_span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+            FROM la_c GROUP BY 1),
+la_grid AS (
+  SELECT s.event_type,
+         unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour
+  FROM la_span s),
+la_x AS (
+  SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS x
+  FROM la_grid g LEFT JOIN la_c c
+    ON c.event_type = g.event_type AND c.hour = g.hour),
+la_p AS (
+  SELECT event_type, x,
+         lead(x) OVER (PARTITION BY event_type ORDER BY hour) AS y
+  FROM la_x)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(SUM(x) AS BIGINT) AS sx,
+       CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num
+FROM la_p WHERE y IS NOT NULL GROUP BY event_type""",
+        # peak_concurrency: sweep-line running sum over session boundaries,
+        # -1 (end + 1us) before +1 at equal instants
+        "peak_concurrency": """
+WITH pc_flag AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+pc_num AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM pc_flag),
+pc_sess AS (
+  SELECT MIN(ts) AS s, MAX(ts) AS e FROM pc_num GROUP BY user_id, sid),
+pc_b AS (
+  SELECT s AS t, 1 AS d FROM pc_sess
+  UNION ALL
+  SELECT e + INTERVAL 1 MICROSECOND, -1 FROM pc_sess),
+pc_r AS (
+  SELECT t, SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+  FROM pc_b)
+SELECT CAST(c AS BIGINT) AS peak, MIN(t) AS at_ts
+FROM pc_r WHERE c = (SELECT MAX(c) FROM pc_r) GROUP BY c""",
     }
