@@ -117,3 +117,150 @@ def test_peak_concurrency_synthetic_overlap():
         got = Q.q_peak_concurrency(td)
     assert int(got["peak"].iloc[0]) == 2
     assert got["at_ts"].iloc[0] == base + pd.Timedelta(minutes=5)
+
+
+def test_user_type_gini_bruteforce_twin():
+    from wikidata_qrank_ray.pipelines.queries import q_user_type_gini
+
+    ev = pq.read_table(SF + "/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        c = g["event_type"].value_counts()
+        n = int(c.sum())
+        want[int(uid)] = (n, len(c), n * n - int((c ** 2).sum()))
+    got = q_user_type_gini(SF).to_pandas()
+    got_map = {int(r.user_id): (int(r.n), int(r.k), int(r.gini_num))
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+    # impurity numerator bounds: 0 <= gini_num < n^2
+    for n, k, gn in got_map.values():
+        assert 0 <= gn < n * n or (k == 1 and gn == 0)
+
+
+def test_activation_lag_bruteforce_twin():
+    from wikidata_qrank_ray.pipelines.queries import q_activation_lag
+
+    ev = pq.read_table(SF + "/events.parquet",
+                       columns=["user_id", "event_id", "ts"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        f = g["ts"].iloc[0].value // 1000
+        s = g["ts"].iloc[1].value // 1000
+        want[int(uid)] = (f, s, s - f)
+    got = q_activation_lag(SF).to_pandas()
+    got_map = {int(r.user_id): (r.first_ts.value // 1000,
+                                r.second_ts.value // 1000, int(r.lag_us))
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+
+
+def test_supplier_share_bruteforce_twin():
+    from wikidata_qrank_ray.pipelines.queries import q_supplier_share
+
+    li = pq.read_table(SF + "/lineitem.parquet",
+                       columns=["l_suppkey", "l_extendedprice",
+                                "l_discount"]).to_pandas()
+    sup = pq.read_table(SF + "/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(SF + "/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    pc_ = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    dc = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    li = li.assign(rev=pc_ * (100 - dc))
+    rev = li.groupby("l_suppkey")["rev"].sum()
+    sup = sup.set_index("s_suppkey")
+    names = nat.set_index("n_nationkey")["n_name"]
+    tot: dict[int, int] = {}
+    for sk, r in rev.items():
+        if sk in sup.index:
+            nk = int(sup.loc[sk, "s_nationkey"])
+            tot[nk] = tot.get(nk, 0) + int(r)
+    want = {}
+    for sk, r in rev.items():
+        if sk not in sup.index:
+            continue
+        nk = int(sup.loc[sk, "s_nationkey"])
+        share = int(r) * 1_000_000 // tot[nk] if tot[nk] else 0
+        want[int(sk)] = (names.loc[nk], int(r), share)
+    got = q_supplier_share(SF).to_pandas()
+    got_map = {int(r.s_suppkey): (r.n_name, int(r.rev_c4), int(r.share_ppm))
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+    # per-nation floor shares sum to within n_suppliers of exactly 1e6
+    bynat = got.groupby("n_name")["share_ppm"].agg(["sum", "size"])
+    for _, row in bynat.iterrows():
+        assert 1_000_000 - row["size"] < row["sum"] <= 1_000_000
+
+
+def test_supplier_share_overflow_safe():
+    """rev_c4 * 1e6 exceeding int64 must flow through the arbitrary-
+    precision path, not wrap: 20 suppliers x 5e14 rev_c4 -> nation total
+    1e16, numerators 5e20."""
+    import os
+    import tempfile
+
+    from wikidata_qrank_ray.pipelines.queries import q_supplier_share
+
+    n = 20
+    li = pd.DataFrame({
+        "l_suppkey": np.arange(n, dtype=np.int64),
+        "l_extendedprice": np.full(n, 5e10),
+        "l_discount": np.zeros(n)})
+    sup = pd.DataFrame({
+        "s_suppkey": np.arange(n, dtype=np.int64),
+        "s_nationkey": np.zeros(n, dtype=np.int32)})
+    nat = pd.DataFrame({"n_nationkey": np.array([0], dtype=np.int32),
+                        "n_name": ["ZED"]})
+    with tempfile.TemporaryDirectory() as td:
+        li.to_parquet(os.path.join(td, "lineitem.parquet"))
+        sup.to_parquet(os.path.join(td, "supplier.parquet"))
+        nat.to_parquet(os.path.join(td, "nation.parquet"))
+        got = q_supplier_share(td).to_pandas()
+    assert len(got) == n
+    assert (got["rev_c4"] == 5 * 10**14).all()
+    assert (got["share_ppm"] == 1_000_000 // n).all()
+
+
+def test_quality_quantile_norm_bruteforce_twin():
+    from wikidata_qrank_ray.pipelines.queries import q_quality_quantile_norm
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "source", "text"]).to_pandas()
+    docs["n_tokens"] = docs["text"].fillna("").str.count(r"\S+").astype(int)
+    want = {}
+    for src, g in docs.groupby("source"):
+        g = g.sort_values(["n_tokens", "doc_id"], kind="mergesort")
+        ns = len(g)
+        for i, r in enumerate(g.itertuples(index=False), start=1):
+            q = (i - 1) * 1_000_000 // (ns - 1) if ns > 1 else 0
+            want[int(r.doc_id)] = (src, int(r.n_tokens), i, q)
+    got = q_quality_quantile_norm(SF).to_pandas()
+    got_map = {int(r.doc_id): (r.source, int(r.n_tokens), int(r.src_rank),
+                               int(r.qnorm_ppm))
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+    # the normalized grid is [0, 1e6] with both ends hit per multi-doc source
+    for src, g in got.groupby("source"):
+        if len(g) > 1:
+            assert g["qnorm_ppm"].min() == 0
+            assert g["qnorm_ppm"].max() == 1_000_000
+
+
+def test_lang_confusion_bruteforce_twin():
+    from wikidata_qrank_ray.pipelines.queries import q_lang_confusion
+    from wikidata_qrank_ray.stages.textstats import LangId
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "lang", "text"]).to_pandas()
+    pred = LangId()(docs)["pred_lang"]
+    want = (pd.DataFrame({"lang": docs["lang"].fillna(""), "pred": pred})
+            .groupby(["lang", "pred"]).size().to_dict())
+    got = q_lang_confusion(SF).to_pandas()
+    got_map = {(r.lang, r.pred_lang): int(r.n_docs)
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+    assert sum(got_map.values()) == len(docs)

@@ -6061,6 +6061,218 @@ def q_peak_concurrency(sf_dir: str):
                          "at_ts": pd.to_datetime([at], unit="us")})
 
 
+def q_user_type_gini(sf_dir: str):
+    """Behavioral-mix impurity per user as EXACT integers: n = event count,
+    k = distinct event types, gini_num = n^2 - sum(c_t^2) (the Gini
+    impurity numerator over the user's type distribution; impurity =
+    gini_num / n^2 is left to the consumer so the operator stays
+    float-free) -> (user_id, n, k, gini_num). Map-side (user, type)
+    partials, one user-hashed sweep."""
+    from ..stages.groupby import hash_partition_apply
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False).agg(
+            c=("event_type", "size"))
+
+    p = ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64),
+                "k": pd.Series(dtype=np.int64),
+                "gini_num": pd.Series(dtype=np.int64)})
+        g = part.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        g["c2"] = g["c"].to_numpy(np.int64) ** 2
+        u = g.groupby("user_id", as_index=False).agg(
+            n=("c", "sum"), k=("c", "size"), c2=("c2", "sum"))
+        n = u["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": u["user_id"].to_numpy(np.int64), "n": n,
+            "k": u["k"].to_numpy(np.int64),
+            "gini_num": n * n - u["c2"].to_numpy(np.int64)})
+
+    return hash_partition_apply(p, ["user_id"], sweep,
+                                stamp_batch_size=None)
+
+
+def q_activation_lag(sf_dir: str):
+    """User activation lag: for every user with >= 2 events, the first and
+    second event instants in (ts, event_id) order and the exact gap in
+    microseconds -> (user_id, first_ts, second_ts, lag_us) -- the
+    time-to-second-action funnel signal. One user-hashed partition sweep;
+    nothing event-scaled leaves it (two rows per user reduce to one)."""
+    from ..stages.groupby import hash_partition_apply
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype=np.int64),
+            "first_ts": pd.Series(dtype="datetime64[us]"),
+            "second_ts": pd.Series(dtype="datetime64[us]"),
+            "lag_us": pd.Series(dtype=np.int64)})
+        if len(part) == 0:
+            return empty
+        srt = part.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        top2 = srt.groupby("user_id", sort=False).head(2)
+        sizes = top2.groupby("user_id", sort=False).size()
+        keep = sizes[sizes == 2].index
+        t2 = top2[top2["user_id"].isin(keep)]
+        if len(t2) == 0:
+            return empty
+        first = t2.groupby("user_id", sort=False).nth(0)
+        second = t2.groupby("user_id", sort=False).nth(1)
+        f = first["ts"].astype("datetime64[us]").to_numpy()
+        s = second["ts"].astype("datetime64[us]").to_numpy()
+        return pd.DataFrame({
+            "user_id": first["user_id"].to_numpy(np.int64),
+            "first_ts": f, "second_ts": s,
+            "lag_us": s.astype("int64") - f.astype("int64")})
+
+    return hash_partition_apply(ev, ["user_id"], sweep,
+                                stamp_batch_size=None)
+
+
+def q_supplier_share(sf_dir: str):
+    """Supplier revenue share within their nation, exact to the ppm:
+    rev_c4 = sum of price_cents * (100 - discount_cents) per supplier
+    (the pricing_summary money rule), share_ppm = rev_c4 * 1e6 //
+    nation_total (arbitrary-precision on both sides: Python ints here,
+    HUGEINT in the twin) -> (s_suppkey, n_name, rev_c4, share_ppm),
+    suppliers with sales only. Lineitem collapses to a supplier-keyed
+    aggregate before any join; nation totals are a 25-row broadcast."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "rev_c4": pc.multiply(price_c, pc.subtract(
+                pa.scalar(100, type=pa.int64()), disc_c))})
+
+    sr = hash_partition_aggregate(
+        li.map_batches(to_cents, batch_format="pyarrow"),
+        ["l_suppkey"], {"rev_c4": ("rev_c4", "sum")}, stamp_batch_size=None)
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j = bucketed_hash_join(sr, sup, "l_suppkey", "s_suppkey", how="inner")
+
+    nat = _pd(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]),
+        {"n_nationkey": "int64", "n_name": object})
+    name_map = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    tot = _pd(hash_partition_aggregate(
+        j.map_batches(
+            lambda df: pd.DataFrame(
+                {"nk": df["s_nationkey"].to_numpy(np.int64),
+                 "tot": df["rev_c4"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["nk"], {"tot": ("tot", "sum")}, num_partitions=4,
+        stamp_batch_size=None), {"nk": "int64", "tot": "int64"})
+    tot_map = {int(k): int(v) for k, v in zip(tot["nk"], tot["tot"])}
+    refs = ray.put((name_map, tot_map))
+
+    def finalize(df: pd.DataFrame, refs=refs) -> pd.DataFrame:
+        names, tots = ray.get(refs)
+        nk = df["s_nationkey"].to_numpy(np.int64)
+        rev = df["rev_c4"].to_numpy(np.int64)
+        # ppm share in arbitrary precision: rev * 1e6 overflows int64 at
+        # scale, so the few dim-table-sized rows go through Python ints
+        share = np.fromiter(
+            ((int(r) * 1_000_000 // tots[int(k)]) if tots.get(int(k)) else 0
+             for r, k in zip(rev, nk)),
+            dtype=np.int64, count=len(df))
+        return pd.DataFrame({
+            "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "n_name": pd.Series(nk).map(names),
+            "rev_c4": rev, "share_ppm": share})
+
+    return j.map_batches(finalize, batch_format="pandas")
+
+
+def q_quality_quantile_norm(sf_dir: str):
+    """Per-source quantile normalization of the document length signal:
+    within each source, docs ranked by (n_tokens ASC, doc_id ASC);
+    qnorm_ppm = (rank - 1) * 1e6 // (n_src - 1) (0 for singleton sources)
+    puts every source's length distribution on the same [0, 1e6] grid --
+    the cross-source comparability step before mixture weighting ->
+    (doc_id, source, n_tokens, src_rank, qnorm_ppm). Token counts are a
+    vectorized Arrow kernel; the rank is one source-hashed partition
+    sweep."""
+    from ..stages.groupby import hash_partition_apply
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        n = pc.cast(pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), r"\S+"), pa.int64())
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n_tokens": n.to_numpy(zero_copy_only=False)})
+
+    tok = docs.map_batches(counts, batch_format="pyarrow")
+
+    def rank(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "source": pd.Series(dtype=object),
+                "n_tokens": pd.Series(dtype=np.int64),
+                "src_rank": pd.Series(dtype=np.int64),
+                "qnorm_ppm": pd.Series(dtype=np.int64)})
+        srt = part.sort_values(["source", "n_tokens", "doc_id"],
+                               kind="mergesort")
+        r = srt.groupby("source", sort=False).cumcount().to_numpy() + 1
+        ns = srt.groupby("source", sort=False)["doc_id"].transform(
+            "size").to_numpy(np.int64)
+        q = np.where(ns > 1, (r - 1) * 1_000_000 // np.maximum(ns - 1, 1), 0)
+        return pd.DataFrame({
+            "doc_id": srt["doc_id"].to_numpy(np.int64),
+            "source": srt["source"].to_numpy(),
+            "n_tokens": srt["n_tokens"].to_numpy(np.int64),
+            "src_rank": r.astype(np.int64), "qnorm_ppm": q.astype(np.int64)})
+
+    return hash_partition_apply(tok, ["source"], rank,
+                                stamp_batch_size=None)
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID audit: confusion matrix of the declared lang column vs
+    the trigram-profile prediction (stages/textstats.LangId, the already-
+    oracled heuristic) -> (lang, pred_lang, n_docs); null declared langs
+    fold to ''. Map-side partial counts, one (|langs| x |preds|)-sized
+    final aggregate."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.textstats import LangId
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    li = LangId()
+
+    def partial(df: pd.DataFrame, li=li) -> pd.DataFrame:
+        pred = li(df)["pred_lang"]
+        out = pd.DataFrame({"lang": df["lang"].fillna(""),
+                            "pred_lang": pred})
+        return out.groupby(["lang", "pred_lang"], as_index=False).agg(
+            n_docs=("pred_lang", "size"))
+
+    p = docs.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return hash_partition_aggregate(
+        p, ["lang", "pred_lang"], {"n_docs": ("n_docs", "sum")},
+        num_partitions=4, stamp_batch_size=None)
+
+
 def _round4e_queries():
     """Fifth-session round-4 additions; ORDER CONTRACT: registered after
     _round4d_queries, still inside the never-driver-sampled region (these
@@ -6093,6 +6305,11 @@ def _round4f_queries():
         "cusum_changepoint": q_cusum_changepoint,
         "lag_autocov": q_lag_autocov,
         "peak_concurrency": q_peak_concurrency,
+        "user_type_gini": q_user_type_gini,
+        "activation_lag": q_activation_lag,
+        "supplier_share": q_supplier_share,
+        "quality_quantile_norm": q_quality_quantile_norm,
+        "lang_confusion": q_lang_confusion,
     }
 
 
@@ -9244,4 +9461,71 @@ pc_r AS (
   FROM pc_b)
 SELECT CAST(c AS BIGINT) AS peak, MIN(t) AS at_ts
 FROM pc_r WHERE c = (SELECT MAX(c) FROM pc_r) GROUP BY c""",
+        # user_type_gini: impurity numerator n^2 - sum(c^2), all BIGINT
+        "user_type_gini": """
+WITH ug AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT) AS gini_num
+FROM ug GROUP BY user_id""",
+        # activation_lag: rows 1 and 2 of the per-user (ts, event_id) order
+        "activation_lag": """
+WITH al_r AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT a.user_id, a.ts AS first_ts, b.ts AS second_ts,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+FROM al_r a JOIN al_r b ON a.user_id = b.user_id
+WHERE a.rn = 1 AND b.rn = 2""",
+        # supplier_share: the pricing_summary money rule per supplier;
+        # ppm share through HUGEINT so rev * 1e6 cannot overflow
+        "supplier_share": """
+WITH ss_r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_c4
+  FROM lineitem GROUP BY l_suppkey),
+ss_j AS (
+  SELECT s.s_suppkey, n.n_name, r.rev_c4, s.s_nationkey
+  FROM ss_r r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+ss_t AS (
+  SELECT s_nationkey, CAST(SUM(rev_c4) AS BIGINT) AS tot
+  FROM ss_j GROUP BY s_nationkey)
+SELECT j.s_suppkey, j.n_name, j.rev_c4,
+       CAST(CASE WHEN t.tot > 0
+                 THEN CAST(j.rev_c4 AS HUGEINT) * 1000000 // t.tot
+                 ELSE 0 END AS BIGINT) AS share_ppm
+FROM ss_j j JOIN ss_t t ON j.s_nationkey = t.s_nationkey""",
+        # quality_quantile_norm: per-source row_number on the same
+        # (n_tokens, doc_id) order
+        "quality_quantile_norm": r"""
+WITH qn_t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+qn_r AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM qn_t)
+SELECT doc_id, source, n_tokens, CAST(r AS BIGINT) AS src_rank,
+       CAST(CASE WHEN ns > 1 THEN (r - 1) * 1000000 // (ns - 1)
+                 ELSE 0 END AS BIGINT) AS qnorm_ppm
+FROM qn_r""",
+        # lang_confusion: declared lang (nulls fold to '') x the lang_id
+        # twin's prediction
+        "lang_confusion": f"""
+WITH lc_p AS ({_lang_id_sql()})
+SELECT COALESCE(d.lang, '') AS lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN lc_p p ON d.doc_id = p.doc_id
+GROUP BY 1, 2""",
     }
