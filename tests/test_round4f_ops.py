@@ -264,3 +264,73 @@ def test_lang_confusion_bruteforce_twin():
                for r in got.itertuples(index=False)}
     assert got_map == want
     assert sum(got_map.values()) == len(docs)
+
+
+def test_resource_allocation_bruteforce_and_cn_consistency():
+    from wikidata_qrank_ray.pipelines.queries import (
+        q_link_prediction, q_resource_allocation)
+
+    got = q_resource_allocation(SF).to_pandas()
+    lp = q_link_prediction(SF).to_pandas()
+    # identical candidate set and common-neighbor counts as link_prediction
+    key = lambda df: {(a, b): int(c) for a, b, c in
+                      zip(df["qid_a"], df["qid_b"], df["cn"])}
+    assert key(got) == key(lp)
+    # brute-force RA twin from the adjacency implied by the pairs:
+    # rebuild the strong-tie graph exactly as _canon_cooccur_und does
+    from wikidata_qrank_ray.pipelines.queries import _canon_cooccur_und
+
+    und = _canon_cooccur_und(SF, strong=True).to_pandas()
+    adj: dict[int, set[int]] = {}
+    for u, v in zip(und["u"].astype(int), und["v"].astype(int)):
+        adj.setdefault(u, set()).add(v)
+    want = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in adj[a]:
+                continue
+            shared = adj[a] & adj[b]
+            if not shared:
+                continue
+            want[(f"Q{a}", f"Q{b}")] = (
+                len(shared),
+                sum(1_000_000 // len(adj[z]) for z in shared))
+    got_map = {(a, b): (int(c), int(r)) for a, b, c, r in
+               zip(got["qid_a"], got["qid_b"], got["cn"], got["ra_micro"])}
+    assert got_map == want
+    # every wedge middle has deg >= 2, so ra_micro <= cn * 500_000
+    for cn, ra in got_map.values():
+        assert 0 < ra <= cn * 500_000
+
+
+def test_audio_frames_real_decode_twin():
+    from wikidata_qrank_ray.pipelines.queries import (
+        q_audio_features, q_audio_frames)
+    from wikidata_qrank_ray.stages.multimodal import AUDIO_FRAME_WIN
+
+    got = q_audio_frames(SF).to_pandas()
+    # brute-force twin straight from the synth formula
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    want = {}
+    for mid in docs["doc_id"].dropna().astype(int):
+        n = 100 + mid % 50
+        k = np.arange(n, dtype=np.int64)
+        s = ((mid * 1000003 + k * 37) % 65536) - 32768
+        for w0 in range(0, n, AUDIO_FRAME_WIN):
+            seg = s[w0:w0 + AUDIO_FRAME_WIN]
+            want[(mid, w0 // AUDIO_FRAME_WIN)] = (
+                len(seg), int((seg * seg).sum()), int(np.abs(seg).max()))
+    got_map = {(int(r.media_id), int(r.win)):
+               (int(r.n_samples), int(r.sumsq), int(r.peak))
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+    # window features roll up exactly to the per-clip audio_features
+    feats = q_audio_features(SF).to_pandas().set_index("media_id")
+    roll = got.groupby("media_id").agg(
+        n=("n_samples", "sum"), ss=("sumsq", "sum"), pk=("peak", "max"))
+    for mid, r in roll.iterrows():
+        assert int(r["n"]) == int(feats.loc[mid, "n_frames"])
+        assert int(r["ss"]) == int(feats.loc[mid, "sumsq"])
+        assert int(r["pk"]) == int(feats.loc[mid, "peak"])

@@ -6273,6 +6273,53 @@ def q_lang_confusion(sf_dir: str):
         num_partitions=4, stamp_batch_size=None)
 
 
+def q_resource_allocation(sf_dir: str):
+    """Resource-allocation link prediction over the strong-tie canonical
+    co-occurrence graph: every NON-adjacent entity pair with >= 1 shared
+    neighbor, scored ra_micro = sum over shared neighbors z of
+    1e6 // deg(z) (the integer-exact inverse-degree index; Adamic-Adar's
+    1/log deg cannot be oracled bitwise, 1/deg can) -> (qid_a, qid_b, cn,
+    ra_micro). Kernel in stages/graph.link_prediction_ra (middle-node
+    co-partition with broadcast degree weights + pair-key anti-join)."""
+    from ..stages.graph import link_prediction_ra
+
+    und = _canon_cooccur_und(sf_dir, strong=True).materialize()
+    pairs = link_prediction_ra(und)
+    return pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"qid_a": "Q" + df["a"].astype(np.int64).astype(str),
+             "qid_b": "Q" + df["b"].astype(np.int64).astype(str),
+             "cn": df["cn"].astype(np.int64),
+             "ra_micro": df["ra_micro"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def q_audio_frames(sf_dir: str):
+    """Windowed multimodal decode: the same REAL WAV payloads as
+    audio_features, split into 32-sample analysis windows with
+    integer-exact per-window energy (n_samples, sumsq, peak) ->
+    (media_id, win, n_samples, sumsq, peak) -- the frame-level feature
+    table a downstream audio model consumes. The actor-pool stage
+    genuinely parses RIFF/PCM (stages/multimodal.AudioFrameExtractor);
+    the sample formula is SQL-replayable so the windowing is
+    value-oracled."""
+    from ..stages.multimodal import extract_audio_frames, synth_wav_payload
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _synth(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["doc_id"]))
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array([synth_wav_payload(i) for i in ids],
+                                pa.binary()),
+        })
+
+    media = docs.map_batches(_synth, batch_format="pyarrow", batch_size=64)
+    return extract_audio_frames(media)
+
+
 def _round4e_queries():
     """Fifth-session round-4 additions; ORDER CONTRACT: registered after
     _round4d_queries, still inside the never-driver-sampled region (these
@@ -6310,6 +6357,8 @@ def _round4f_queries():
         "supplier_share": q_supplier_share,
         "quality_quantile_norm": q_quality_quantile_norm,
         "lang_confusion": q_lang_confusion,
+        "resource_allocation": q_resource_allocation,
+        "audio_frames": q_audio_frames,
     }
 
 
@@ -9528,4 +9577,48 @@ SELECT COALESCE(d.lang, '') AS lang, p.pred_lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents d JOIN lc_p p ON d.doc_id = p.doc_id
 GROUP BY 1, 2""",
+        # resource_allocation: the link_prediction chain with each wedge
+        # weighted by its middle node's 1e6 // deg
+        "resource_allocation": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""ra_all AS (
+  SELECT CAST(substr(subj, 2) AS BIGINT) AS u, CAST(substr(obj, 2) AS BIGINT) AS v,
+         CAST(weight AS BIGINT) AS w
+  FROM ({canon_triples_select}) WHERE pred = 'co_occurs'),
+ra_med AS (
+  SELECT COALESCE(MIN(CASE WHEN 2 * cum >= tot THEN w END), 0) AS m FROM (
+    SELECT w, SUM(n) OVER (ORDER BY w) AS cum, SUM(n) OVER () AS tot
+    FROM (SELECT w, COUNT(*) AS n FROM ra_all GROUP BY w))),
+ra_e AS (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM ra_all
+         WHERE w > (SELECT m FROM ra_med)),
+ra_und AS (SELECT u, v FROM ra_e UNION ALL SELECT v, u FROM ra_e),
+ra_deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM ra_und GROUP BY u),
+ra_cand AS (
+  SELECT a.v AS a, b.v AS b, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_micro
+  FROM ra_und a JOIN ra_und b ON a.u = b.u AND a.v < b.v
+  JOIN ra_deg d ON d.u = a.u
+  GROUP BY a.v, b.v),
+ra_non AS (
+  SELECT c.a, c.b, c.cn, c.ra_micro FROM ra_cand c
+  WHERE NOT EXISTS (SELECT 1 FROM ra_e d WHERE d.u = c.a AND d.v = c.b))""",
+            select="""
+SELECT 'Q' || CAST(a AS VARCHAR) AS qid_a, 'Q' || CAST(b AS VARCHAR) AS qid_b,
+       cn, ra_micro
+FROM ra_non""",
+        ),
+        # audio_frames: the synth sample formula replayed per 32-sample
+        # window (the audio_features twin, one level finer)
+        "audio_frames": """
+WITH afr AS (SELECT doc_id AS media_id, 100 + doc_id % 50 AS n
+             FROM documents WHERE doc_id IS NOT NULL),
+afr_k AS (SELECT media_id, UNNEST(range(0, n)) AS k FROM afr),
+afr_s AS (SELECT media_id, k // 32 AS win,
+                 ((media_id * 1000003 + k * 37) % 65536) - 32768 AS s
+          FROM afr_k)
+SELECT media_id, CAST(win AS BIGINT) AS win,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(s * s) AS BIGINT) AS sumsq,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak
+FROM afr_s GROUP BY media_id, win""",
     }

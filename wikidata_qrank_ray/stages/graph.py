@@ -1122,6 +1122,97 @@ def link_prediction_cn(
     )
 
 
+def link_prediction_ra(
+    und: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Resource-allocation link prediction (Zhou/Lu/Zhang 2009, the
+    integer-exact cousin of Adamic-Adar: 1/deg instead of 1/log deg) on a
+    MIRRORED DISTINCT edge Dataset (u, v): for every NON-adjacent unordered
+    pair (a < b) with >= 1 shared neighbor -> (a, b, cn, ra_micro) with
+    ra_micro = sum over shared neighbors z of 1e6 // deg(z) -- each wedge
+    is weighted by its MIDDLE node's inverse degree at generation time
+    (the middle node is the partition key, so the weight is one broadcast
+    lookup), then summed per pair. Same co-partition + pair-key anti-join
+    shape as link_prediction_cn."""
+    from .groupby import hash_partition_aggregate, hash_partition_apply
+
+    deg_df = hash_partition_aggregate(
+        und, ["u"], {"deg": ("v", "count")},
+        num_partitions=num_partitions, stamp_batch_size=None,
+    ).to_pandas()
+    deg_map = dict(zip(deg_df.get("u", pd.Series(dtype=np.int64)).astype(np.int64),
+                       deg_df.get("deg", pd.Series(dtype=np.int64)).astype(np.int64)))
+    deg_ref = ray.put(deg_map)
+
+    def _pairs(part: pd.DataFrame, deg_ref=deg_ref) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64),
+                              "w": pd.Series(dtype=np.int64)})
+        if len(part) == 0:
+            return empty
+        dm = ray.get(deg_ref)
+        srt = part.sort_values(["u", "v"], kind="mergesort")
+        u = srt["u"].to_numpy(np.int64)
+        v = srt["v"].to_numpy(np.int64)
+        w_mid = 1_000_000 // srt["u"].map(dm).to_numpy(np.int64)
+        outs = []
+        starts = np.concatenate([[0], np.where(u[1:] != u[:-1])[0] + 1,
+                                 [len(u)]])
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            g = s1 - s0
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(g, k=1)
+            outs.append(pd.DataFrame({
+                "a": v[s0 + ii], "b": v[s0 + jj],
+                "w": np.full(len(ii), w_mid[s0], dtype=np.int64)}))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    shared = hash_partition_apply(
+        und, ["u"], _pairs, num_partitions=num_partitions,
+        stamp_batch_size=None,
+    )
+    inter = hash_partition_aggregate(
+        shared, ["a", "b"],
+        {"cn": ("w", "count"), "ra_micro": ("w", "sum")},
+        num_partitions=num_partitions, stamp_batch_size=None,
+    )
+
+    direct = und.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": np.minimum(df["u"], df["v"]).astype(np.int64),
+             "b": np.maximum(df["u"], df["v"]).astype(np.int64),
+             "cn": np.zeros(len(df), dtype=np.int64),
+             "ra_micro": np.zeros(len(df), dtype=np.int64),
+             "tag": np.zeros(len(df), dtype=np.int8)}),
+        batch_format="pandas")
+    cand = inter.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": df["a"].to_numpy(np.int64),
+             "b": df["b"].to_numpy(np.int64),
+             "cn": df["cn"].to_numpy(np.int64),
+             "ra_micro": df["ra_micro"].to_numpy(np.int64),
+             "tag": np.ones(len(df), dtype=np.int8)}),
+        batch_format="pandas")
+
+    def _anti(part: pd.DataFrame) -> pd.DataFrame:
+        d = part[part["tag"] == 0][["a", "b"]].drop_duplicates()
+        t = part[part["tag"] == 1][["a", "b", "cn", "ra_micro"]]
+        m = t.merge(d, on=["a", "b"], how="left", indicator=True)
+        m = m[m["_merge"] == "left_only"]
+        return pd.DataFrame({"a": m["a"].to_numpy(np.int64),
+                             "b": m["b"].to_numpy(np.int64),
+                             "cn": m["cn"].to_numpy(np.int64),
+                             "ra_micro": m["ra_micro"].to_numpy(np.int64)})
+
+    return hash_partition_apply(
+        direct.union(cand), ["a", "b"], _anti,
+        num_partitions=num_partitions, stamp_batch_size=None,
+    )
+
+
 def kcore_peel(
     und: ray.data.Dataset, k: int = 2, rounds: int = 3,
     num_partitions: int = 64,

@@ -302,3 +302,50 @@ def extract_audio_features(media: ray.data.Dataset, concurrency: int = 2) -> ray
         batch_size=64,  # large binary rows: keep batches small
         concurrency=concurrency,
     )
+
+
+AUDIO_FRAME_WIN = 32  # samples per analysis window
+
+
+class AudioFrameExtractor:
+    """Windowed audio analysis over REALLY decoded WAV payloads: the PCM
+    stream splits into fixed AUDIO_FRAME_WIN-sample windows (short last
+    window kept) and each window reduces to integer-exact energy features
+    -> (media_id, win, n_samples, sumsq, peak). The per-payload loop is
+    unavoidable (each row is an independent container); the per-window
+    reduction is vectorized via np.add/maximum.reduceat."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, wins, ns, sumsq, peak = [], [], [], [], []
+        for mid, buf in zip(batch["media_id"].to_pylist(),
+                            batch["payload"].to_pylist()):
+            with wave.open(io.BytesIO(buf), "rb") as w:
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                n = w.getnframes()
+                pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+            if n == 0:
+                continue
+            starts = np.arange(0, n, AUDIO_FRAME_WIN)
+            nw = len(starts)
+            ids.extend([mid] * nw)
+            wins.extend(range(nw))
+            ends = np.minimum(starts + AUDIO_FRAME_WIN, n)
+            ns.extend((ends - starts).tolist())
+            sumsq.extend(np.add.reduceat(pcm * pcm, starts).tolist())
+            peak.extend(np.maximum.reduceat(np.abs(pcm), starts).tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "win": pa.array(wins, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sumsq": pa.array(sumsq, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+        })
+
+
+def extract_audio_frames(media: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
+    return media.map_batches(
+        AudioFrameExtractor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
