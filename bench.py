@@ -133,6 +133,42 @@ QUERY_NAMES = [
     "pair_lifespan",
     "dedup_eval",
     "stratified_kfold",
+    # round-4d/e additions
+    "truncation_audit",
+    "user_state_islands",
+    "events_m4",
+    "entity_clustering",
+    "link_prediction",
+    "readability",
+    "source_drift",
+    "taxonomy_closure",
+    "taxonomy_rollup",
+    "triple_qualifiers",
+    "entity_typing",
+    "entity_hits_int",
+    "assoc_rules",
+    "winnow_fingerprints",
+    "bigram_surprisal",
+    "mad_outliers",
+    "fps_coreset",
+    "functional_violations",
+    "table_profile",
+    "trigram_paths",
+    "rank_fusion",
+    "mention_spans",
+    "topic_segments",
+    "centroid_distances",
+    # round-4f additions
+    "cusum_changepoint",
+    "lag_autocov",
+    "peak_concurrency",
+    "user_type_gini",
+    "activation_lag",
+    "supplier_share",
+    "quality_quantile_norm",
+    "lang_confusion",
+    "resource_allocation",
+    "audio_frames",
 ]
 
 

@@ -6162,11 +6162,16 @@ def q_supplier_share(sf_dir: str):
             "rev_c4": pc.multiply(price_c, pc.subtract(
                 pa.scalar(100, type=pa.int64()), disc_c))})
 
+    # materialize the supplier-sized intermediates: the lazy chain would
+    # otherwise replay the lineitem aggregate for the schema probe, the
+    # nation-total pull AND the final consumption (3x the heavy scan)
     sr = hash_partition_aggregate(
         li.map_batches(to_cents, batch_format="pyarrow"),
-        ["l_suppkey"], {"rev_c4": ("rev_c4", "sum")}, stamp_batch_size=None)
+        ["l_suppkey"], {"rev_c4": ("rev_c4", "sum")},
+        stamp_batch_size=None).materialize()
     sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    j = bucketed_hash_join(sr, sup, "l_suppkey", "s_suppkey", how="inner")
+    j = bucketed_hash_join(sr, sup, "l_suppkey", "s_suppkey",
+                           how="inner", num_partitions=16).materialize()
 
     nat = _pd(ray.data.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]),
