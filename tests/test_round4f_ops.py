@@ -334,3 +334,54 @@ def test_audio_frames_real_decode_twin():
         assert int(r["n"]) == int(feats.loc[mid, "n_frames"])
         assert int(r["ss"]) == int(feats.loc[mid, "sumsq"])
         assert int(r["pk"]) == int(feats.loc[mid, "peak"])
+
+
+def _brute_canon_triples(turns: pd.DataFrame, surf2qid: dict,
+                         mapping: dict) -> dict:
+    """Raw per-turn DISTINCT qid pairs -> canonical rewrite -> re-aggregate
+    (the reference chain's order: pairs are generated on RAW ids, so two
+    raw aliases of one canon in a turn contribute weight 2 to their
+    cross pairs and 0 to the collapsed self pair)."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for r in turns.itertuples(index=False):
+        raw = sorted({surf2qid[t] for t in str(r.text).split()
+                      if t in surf2qid}, key=lambda q: int(q[1:]))
+        for i in range(len(raw)):
+            for j in range(i + 1, len(raw)):
+                a = mapping.get(raw[i], raw[i])
+                b = mapping.get(raw[j], raw[j])
+                if a == b:
+                    continue
+                if int(a[1:]) > int(b[1:]):
+                    a, b = b, a
+                cnt[(a, "co_occurs", b)] += 1
+        if r.tool:
+            for q in raw:
+                cnt[(mapping.get(q, q), "observed_via_tool", r.tool)] += 1
+    return dict(cnt)
+
+
+def test_triples_delta_bruteforce_twin():
+    from test_round4e_ops import _canon_setup
+
+    from wikidata_qrank_ray.pipelines.queries import q_triples_delta
+
+    gaz, mapping, surf2qid, turns = _canon_setup()
+    even = turns[turns["conv_id"].str[1:].astype(int) % 2 == 0]
+    old = _brute_canon_triples(even, surf2qid, mapping)
+    new = _brute_canon_triples(turns, surf2qid, mapping)
+    want = {}
+    for k in set(old) | set(new):
+        wo, wn = old.get(k, 0), new.get(k, 0)
+        if wo != wn:
+            status = ("added" if wo == 0 else "removed" if wn == 0
+                      else "grown" if wn > wo else "shrunk")
+            want[k] = (wo, wn, status)
+    got = q_triples_delta(SF).to_pandas()
+    got_map = {(r.subj, r.pred, r.obj): (int(r.w_old), int(r.w_new), r.status)
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+    # old is a subset of new, so only added/grown can occur
+    assert set(got["status"]) <= {"added", "grown"}

@@ -6325,6 +6325,71 @@ def q_audio_frames(sf_dir: str):
     return extract_audio_frames(media)
 
 
+def q_triples_delta(sf_dir: str):
+    """Incremental KG rebuild audit: the canonical-triple DELTA between an
+    OLD snapshot (even-index conversations only) and the CURRENT corpus,
+    under the current gazetteer and alias mapping -> (subj, pred, obj,
+    w_old, w_new, status) for every triple whose weight changed
+    (status: added | grown | shrunk | removed; with old being a subset,
+    only added/grown occur -- the general diff is kept so a true
+    two-snapshot feed works unchanged). Shape: the triple chain runs once
+    per snapshot sharing ONE broadcast gazetteer/mapping, then a tag-union
+    co-partition on the triple key -- the user_snapshot_diff pattern lifted
+    to KG edges (reference analogue: the incremental rebuild seam,
+    itemsignals.go:140-152)."""
+    from ..stages.groupby import hash_partition_apply
+
+    mapping_ref, gaz_ref = _mapping_ref(sf_dir)
+    turns = derive_transcripts(sf_dir)
+
+    def keep_old(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 1), pa.int64())
+        return t.filter(pc.equal(pc.bit_wise_and(num, 1), 0))
+
+    old = canonicalize_triples(
+        extract_triples(turns.map_batches(keep_old, batch_format="pyarrow"),
+                        gaz_ref), mapping_ref)
+    new = _canon_triples_mat(sf_dir)
+
+    def tag(side: str):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            w = df["weight"].to_numpy(np.int64)
+            z = np.zeros(len(df), dtype=np.int64)
+            return pd.DataFrame({
+                "subj": df["subj"], "pred": df["pred"], "obj": df["obj"],
+                "w_old": w if side == "old" else z,
+                "w_new": w if side == "new" else z})
+        return _t
+
+    both = old.map_batches(tag("old"), batch_format="pandas").union(
+        new.map_batches(tag("new"), batch_format="pandas"))
+
+    def diff(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "subj": pd.Series(dtype=object), "pred": pd.Series(dtype=object),
+            "obj": pd.Series(dtype=object),
+            "w_old": pd.Series(dtype=np.int64),
+            "w_new": pd.Series(dtype=np.int64),
+            "status": pd.Series(dtype=object)})
+        if len(part) == 0:
+            return empty
+        g = part.groupby(["subj", "pred", "obj"], as_index=False).agg(
+            w_old=("w_old", "sum"), w_new=("w_new", "sum"))
+        g = g[g["w_old"] != g["w_new"]]
+        if len(g) == 0:
+            return empty
+        wo = g["w_old"].to_numpy(np.int64)
+        wn = g["w_new"].to_numpy(np.int64)
+        g["status"] = np.where(wo == 0, "added",
+                               np.where(wn == 0, "removed",
+                                        np.where(wn > wo, "grown",
+                                                 "shrunk")))
+        return g.astype({"w_old": np.int64, "w_new": np.int64})
+
+    return hash_partition_apply(both, ["subj", "pred", "obj"], diff,
+                                stamp_batch_size=None)
+
+
 def _round4e_queries():
     """Fifth-session round-4 additions; ORDER CONTRACT: registered after
     _round4d_queries, still inside the never-driver-sampled region (these
@@ -6364,6 +6429,7 @@ def _round4f_queries():
         "lang_confusion": q_lang_confusion,
         "resource_allocation": q_resource_allocation,
         "audio_frames": q_audio_frames,
+        "triples_delta": q_triples_delta,
     }
 
 
@@ -9626,4 +9692,46 @@ SELECT media_id, CAST(win AS BIGINT) AS win,
        CAST(SUM(s * s) AS BIGINT) AS sumsq,
        CAST(MAX(ABS(s)) AS BIGINT) AS peak
 FROM afr_s GROUP BY media_id, win""",
+        # triples_delta: the canonical-triple chain replayed over the
+        # even-conversation snapshot (same gazetteer/alias mapping), full
+        # outer diff on the triple key
+        "triples_delta": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
+            f"""td_new AS MATERIALIZED ({canon_triples_select}),
+td_ttoks_old AS (
+  SELECT conv_id, turn_idx, tool,
+         unnest(regexp_extract_all(text, '\\S+')) AS surface
+  FROM turns WHERE CAST(substr(conv_id, 2) AS BIGINT) % 2 = 0),
+td_hits_old AS (
+  SELECT t.conv_id, t.turn_idx, t.tool, g.qid
+  FROM td_ttoks_old t JOIN gaz g USING (surface)),
+td_m_old AS (SELECT DISTINCT conv_id, turn_idx, qid FROM td_hits_old),
+td_co_old AS (
+  SELECT a.qid AS subj, 'co_occurs' AS pred, b.qid AS obj,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM td_m_old a JOIN td_m_old b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND CAST(substr(a.qid, 2) AS BIGINT) < CAST(substr(b.qid, 2) AS BIGINT)
+  GROUP BY a.qid, b.qid),
+td_tool_old AS (
+  SELECT qid AS subj, 'observed_via_tool' AS pred, tool AS obj,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM (SELECT DISTINCT conv_id, turn_idx, qid, tool FROM td_hits_old
+        WHERE tool <> '')
+  GROUP BY qid, tool),
+td_triples_old AS (SELECT * FROM td_co_old UNION ALL SELECT * FROM td_tool_old),
+td_old AS MATERIALIZED ({canon_triples_select.replace("FROM triples t", "FROM td_triples_old t")}),
+td_d AS (
+  SELECT COALESCE(n.subj, o.subj) AS subj, COALESCE(n.pred, o.pred) AS pred,
+         COALESCE(n.obj, o.obj) AS obj,
+         COALESCE(o.weight, 0) AS w_old, COALESCE(n.weight, 0) AS w_new
+  FROM td_new n FULL JOIN td_old o
+    ON n.subj = o.subj AND n.pred = o.pred AND n.obj = o.obj)""",
+            select="""
+SELECT subj, pred, obj, CAST(w_old AS BIGINT) AS w_old,
+       CAST(w_new AS BIGINT) AS w_new,
+       CASE WHEN w_old = 0 THEN 'added' WHEN w_new = 0 THEN 'removed'
+            WHEN w_new > w_old THEN 'grown' ELSE 'shrunk' END AS status
+FROM td_d WHERE w_old <> w_new""",
+        ),
     }
