@@ -4127,11 +4127,13 @@ def q_conversation_entity_density(sf_dir: str):
 
     turns = derive_transcripts(sf_dir)
     m = detect_mentions(turns, _gaz_ref(sf_dir), mode="mentions")
+    # materialize the conv-sized aggregates: the join's schema probe would
+    # otherwise execute each shuffle once more (the supplier_share lesson)
     nm = hash_partition_aggregate(
         m.map_batches(lambda df: df[["conv_id"]], batch_format="pandas"),
         ["conv_id"], {"n_mentions": ("conv_id", "count")},
         stamp_batch_size=None,
-    )
+    ).materialize()
 
     def _tok(t: pa.Table) -> pa.Table:
         _, parent = flat_tokens(t["text"], fill_null=True)
@@ -4141,7 +4143,7 @@ def q_conversation_entity_density(sf_dir: str):
     nt = hash_partition_aggregate(
         turns.map_batches(_tok, batch_format="pyarrow"),
         ["conv_id"], {"n_tokens": ("n", "sum")}, stamp_batch_size=None,
-    )
+    ).materialize()
     j = bucketed_hash_join(nt, nm, "conv_id", "conv_id", how="left")
     return j.map_batches(
         lambda df: pd.DataFrame(
@@ -5108,7 +5110,11 @@ def q_taxonomy_rollup(sf_dir: str):
             "n": pd.Series(dtype=np.int64),
             "own": pd.Series(dtype=np.int64)}),
         batch_format="pandas").materialize()
-    cl = transitive_closure(_taxonomy_edges(sf_dir), num_partitions=16)
+    # closure and rollup are taxonomy-sized: materialize so the two join
+    # schema probes replay neither the pointer-doubling rounds nor the
+    # contrib chain (the supplier_share lesson)
+    cl = transitive_closure(_taxonomy_edges(sf_dir),
+                            num_partitions=16).materialize()
     contrib = bucketed_hash_join(
         cl.map_batches(
             lambda df: pd.DataFrame({
@@ -5118,7 +5124,7 @@ def q_taxonomy_rollup(sf_dir: str):
         own, "n", "n", num_partitions=16)
     desc_sum = hash_partition_aggregate(
         contrib, ["anc"], {"dsum": ("own", "sum")},
-        num_partitions=16, stamp_batch_size=None)
+        num_partitions=16, stamp_batch_size=None).materialize()
     joined = bucketed_hash_join(
         own,
         desc_sum.map_batches(
@@ -5244,9 +5250,12 @@ def q_entity_hits_int(sf_dir: str):
         lambda df: pd.DataFrame({
             "e": df["e"].to_numpy(np.int64),
             "h": np.full(len(df), SCALE, dtype=np.int64)}),
-        batch_format="pandas")
+        batch_format="pandas").materialize()
 
     def _rescale(ds, col):
+        # ds arrives MATERIALIZED: the max pull and the rescale map then
+        # each read pinned blocks instead of re-running the round's
+        # aggregate (the supplier_share lesson)
         mx = int(ds.max(col))
         return ds.map_batches(
             lambda df, mx=mx: df.assign(
@@ -5264,7 +5273,7 @@ def q_entity_hits_int(sf_dir: str):
             batch_format="pandas")
         auth = _rescale(hash_partition_aggregate(
             a_raw, ["tool"], {"a": ("c", "sum")}, num_partitions=16,
-            stamp_batch_size=None), "a").materialize()
+            stamp_batch_size=None).materialize(), "a").materialize()
         h_raw = bucketed_hash_join(
             edges.map_batches(
                 lambda df: df[["tool", "e", "w"]], batch_format="pandas"),
@@ -5276,7 +5285,7 @@ def q_entity_hits_int(sf_dir: str):
             batch_format="pandas")
         hub = _rescale(hash_partition_aggregate(
             h_raw, ["e"], {"h": ("c", "sum")}, num_partitions=16,
-            stamp_batch_size=None), "h").materialize()
+            stamp_batch_size=None).materialize(), "h").materialize()
 
     ents = hub.map_batches(
         lambda df: pd.DataFrame({
