@@ -532,7 +532,7 @@ def q_cooccurrence_pmi(sf_dir: str):
     )
     marg = hash_partition_aggregate(
         ends, ["qid"], {"w_marg": ("weight", "sum")}, stamp_batch_size=None
-    )
+    ).materialize()  # qid-sized; joined twice below (targeted probe rule)
     total_w = int(edges.sum("weight") or 0)
     j1 = bucketed_hash_join(
         edges,
@@ -1838,10 +1838,11 @@ def q_doc_novelty(sf_dir: str):
 
     rows = shingle_rows(
         read_table(sf_dir, "documents", columns=["doc_id", "text"]), 3
-    ).map_batches(lambda df: df[["doc_id", "s"]], batch_format="pandas")
+    ).map_batches(lambda df: df[["doc_id", "s"]],
+                  batch_format="pandas").materialize()  # two consumers
     first = hash_partition_aggregate(
         rows, ["s"], {"first_doc": ("doc_id", "min")}
-    )
+    ).materialize()  # shingle-vocab-sized join input (targeted probe rule)
     j = bucketed_hash_join(rows, first, "s", "s")
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2112,11 +2113,11 @@ def q_user_snapshot_diff(sf_dir: str):
     old = hash_partition_aggregate(
         ev.map_batches(lambda b: _half(b, True), batch_format="pandas"),
         ["user_id"], {"old_c": ("vc", "sum")},
-    )
+    ).materialize()  # user-sized join inputs (targeted probe rule)
     new = hash_partition_aggregate(
         ev.map_batches(lambda b: _half(b, False), batch_format="pandas"),
         ["user_id"], {"new_c": ("vc", "sum")},
-    )
+    ).materialize()
     j = bucketed_hash_join(old, new, "user_id", "user_id", how="outer",
                            num_partitions=8)
 
@@ -3210,7 +3211,7 @@ def q_doc_top_terms(sf_dir: str):
     tf = docs.map_batches(tf_rows, batch_format="pyarrow", batch_size=4096).materialize()
     df_counts = hash_partition_aggregate(
         tf, ["term"], {"df": ("doc_id", "count")}, stamp_batch_size=None
-    )
+    ).materialize()  # term-sized join input (targeted probe rule)
     joined = bucketed_hash_join(tf, df_counts, "term", "term")
     top = group_topk(
         joined, keys=["doc_id"], order_col="tf", k=3,
@@ -3448,7 +3449,7 @@ def q_split_contamination(sf_dir: str, window: int = 8):
         ["s"], {"n": ("doc_id", "count")}, stamp_batch_size=None,
     ).map_batches(
         lambda d: d[["s"]].rename(columns={"s": "s_t"}), batch_format="pandas"
-    )
+    ).materialize()  # shingle-vocab-sized join input (targeted probe rule)
     test_w = tagged.map_batches(
         lambda d: d[d["split"] == "test"][["doc_id", "s"]], batch_format="pandas"
     )
@@ -5387,8 +5388,11 @@ def q_bigram_surprisal(sf_dir: str):
             "b": kgram_join(flat, base, 2)})
 
     bg = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    # vocab-sized aggregate feeding a join: materialize so the join's
+    # schema probe reads pinned blocks instead of replaying the count
+    # shuffle (the targeted supplier_share rule, not the blanket one)
     counts = hash_partition_aggregate(
-        bg, ["b"], {"c": ("b", "count")}, stamp_batch_size=None)
+        bg, ["b"], {"c": ("b", "count")}, stamp_batch_size=None).materialize()
     joined = bucketed_hash_join(bg, counts, "b", "b", num_partitions=32)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
