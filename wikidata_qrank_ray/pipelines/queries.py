@@ -532,7 +532,7 @@ def q_cooccurrence_pmi(sf_dir: str):
     )
     marg = hash_partition_aggregate(
         ends, ["qid"], {"w_marg": ("weight", "sum")}, stamp_batch_size=None
-    ).materialize()  # qid-sized; joined twice below (targeted probe rule)
+    )
     total_w = int(edges.sum("weight") or 0)
     j1 = bucketed_hash_join(
         edges,
@@ -3211,7 +3211,7 @@ def q_doc_top_terms(sf_dir: str):
     tf = docs.map_batches(tf_rows, batch_format="pyarrow", batch_size=4096).materialize()
     df_counts = hash_partition_aggregate(
         tf, ["term"], {"df": ("doc_id", "count")}, stamp_batch_size=None
-    ).materialize()  # term-sized join input (targeted probe rule)
+    )
     joined = bucketed_hash_join(tf, df_counts, "term", "term")
     top = group_topk(
         joined, keys=["doc_id"], order_col="tf", k=3,
@@ -3449,7 +3449,7 @@ def q_split_contamination(sf_dir: str, window: int = 8):
         ["s"], {"n": ("doc_id", "count")}, stamp_batch_size=None,
     ).map_batches(
         lambda d: d[["s"]].rename(columns={"s": "s_t"}), batch_format="pandas"
-    ).materialize()  # shingle-vocab-sized join input (targeted probe rule)
+    )
     test_w = tagged.map_batches(
         lambda d: d[d["split"] == "test"][["doc_id", "s"]], batch_format="pandas"
     )
