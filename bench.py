@@ -169,6 +169,73 @@ QUERY_NAMES = [
     "lang_confusion",
     "resource_allocation",
     "audio_frames",
+    "triples_delta",
+    # remaining registry coverage: bench now times EVERY queries() entry
+    "bigram_counts",
+    "token_length_histogram",
+    "doc_splits",
+    "doc_weighted_sample",
+    "events_stratified_sample",
+    "embedding_class",
+    "media_features",
+    "doc_quality_filter",
+    "cooccurrence_pmi",
+    "gazetteer_ngrams",
+    "mentions_phrases_k4",
+    "split_contamination",
+    "repeated_passages",
+    "users_per_type",
+    "user_top_type",
+    "entity_window_comentions",
+    "edge_negatives",
+    "entity_bfs",
+    "entity_min_cost_path",
+    "nearest_train_doc",
+    "cms_token_counts",
+    "doc_chunks",
+    "inverted_index",
+    "sequence_pack",
+    "top_docs_per_source",
+    "doc_systematic_sample",
+    "fingerprints",
+    "bpe_token_counts",
+    "lang_id",
+    "simhash",
+    "ann_lsh",
+    "transcripts_ingest",
+    "normalize_turns",
+    "conversation_stats",
+    "conversation_texts",
+    "tool_turns",
+    "gazetteer",
+    "aliases",
+    "gazetteer_phrases",
+    "phrase_rank",
+    "entity_rank",
+    "qrank",
+    "canonical_rank",
+    "triples",
+    "rank_stats",
+    "entity_degree",
+    "graph_pagerank",
+    "customers_without_orders",
+    "nation_revenue_3way",
+    "purchases_within_week",
+    "customer_cumulative_spend",
+    "names_union",
+    "event_props_k",
+    "event_props_dynamic",
+    "embedding_near_dups_lsh",
+    "brand_revenue",
+    "region_customers",
+    "events_hopping",
+    "top_tokens",
+    "value_percentiles",
+    "events_grouped_percentiles",
+    "event_type_counts",
+    "distinct_langs",
+    "distinct_user_count",
+    "approx_distinct_users",
 ]
 
 

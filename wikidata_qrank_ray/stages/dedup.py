@@ -1303,53 +1303,47 @@ def repeated_passages(
     the intended boilerplate signal, and the SQL oracle encodes the same
     fallback. Docs with zero tokens report (0, 0).
 
-    Plumbing is the shingle machinery with k=window: distinct passage rows,
-    a distributed passage document-frequency count, a bucketed join of the
-    rows against their frequency, and one per-doc aggregate -- nothing
-    corpus-scaled on the driver."""
-    from .groupby import hash_partition_aggregate
-    from .join import bucketed_hash_join
+    Plumbing: TWO shuffles total (was four -- df-count shuffle, join-back
+    shuffle, per-doc shuffle, zero-doc left-join shuffle). Passage rows
+    are distinct (doc, s), so once a passage's rows co-locate, its
+    document frequency is just the group size -- the repeated flag and the
+    map-side per-doc reduction happen in the SAME s-keyed partition, and
+    zero-window docs ride the final doc-keyed aggregate as literal zero
+    rows instead of a left join. Nothing corpus-scaled on the driver."""
+    from .groupby import hash_partition_aggregate, hash_partition_apply
 
-    # two consumers (the df aggregate and the join left side): materialize
-    # once or the tokenize+shingle explode re-executes per consumer
     rows = shingle_rows(docs, window).map_batches(
         lambda d: d[["doc_id", "s"]], batch_format="pandas"
-    ).materialize()
-    freq = hash_partition_aggregate(
-        rows, ["s"], {"df": ("doc_id", "count")}, num_partitions,
-        stamp_batch_size=None,
     )
-    joined = bucketed_hash_join(rows, freq, "s", "s", num_partitions=num_partitions)
 
-    def _flags(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
-                "one": np.ones(len(df), dtype=np.int64),
-                "rep": (df["df"].to_numpy(dtype=np.int64) > 1).astype(np.int64),
-            }
-        )
+    def _flag_partial(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "n_windows": pd.Series(dtype=np.int64),
+                "n_repeated": pd.Series(dtype=np.int64)})
+        df_s = part.groupby("s", sort=False)["doc_id"].transform("size")
+        g = pd.DataFrame({
+            "doc_id": part["doc_id"].to_numpy(np.int64),
+            "n_windows": np.ones(len(part), dtype=np.int64),
+            "n_repeated": (df_s.to_numpy(np.int64) > 1).astype(np.int64)})
+        return g.groupby("doc_id", as_index=False).agg(
+            n_windows=("n_windows", "sum"), n_repeated=("n_repeated", "sum"))
 
-    per_doc = hash_partition_aggregate(
-        joined.map_batches(_flags, batch_format="pandas"),
-        ["doc_id"],
-        {"n_windows": ("one", "sum"), "n_repeated": ("rep", "sum")},
-        num_partitions,
-        stamp_batch_size=None,
-    )
-    # re-attach docs with no windows (shorter than any tokenized content)
-    ids = docs.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
-    out = bucketed_hash_join(ids, per_doc, "doc_id", "doc_id", how="left")
-    return out.map_batches(
-        lambda d: pd.DataFrame(
-            {
-                "doc_id": d["doc_id"].to_numpy(np.int64),
-                "n_windows": d["n_windows"].fillna(0).to_numpy(np.int64),
-                "n_repeated": d["n_repeated"].fillna(0).to_numpy(np.int64),
-            }
-        ),
-        batch_format="pandas",
-    )
+    partials = hash_partition_apply(
+        rows, ["s"], _flag_partial, num_partitions, stamp_batch_size=None)
+    # docs with no windows (zero tokens) contribute literal zero rows
+    zeros = docs.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": np.asarray(
+                b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            "n_windows": np.zeros(b.num_rows, dtype=np.int64),
+            "n_repeated": np.zeros(b.num_rows, dtype=np.int64)}),
+        batch_format="pyarrow")
+    return hash_partition_aggregate(
+        partials.union(zeros), ["doc_id"],
+        {"n_windows": ("n_windows", "sum"), "n_repeated": ("n_repeated", "sum")},
+        num_partitions, stamp_batch_size=None)
 
 
 def survivor_selection(
