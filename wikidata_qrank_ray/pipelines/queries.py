@@ -2284,17 +2284,29 @@ def q_entity_window_comentions(sf_dir: str):
     )
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # per-dt SHIFTED equi-merge on (conv, turn): the intermediate is
+        # exactly the qualifying cross-turn pairs -- the previous
+        # conv-only self-join materialized every same-conversation row
+        # pair (per-conv m^2) before filtering the 1..2-turn window
         empty = pd.DataFrame(
             {"qid_a": pd.Series(dtype=object), "qid_b": pd.Series(dtype=object),
              "w": pd.Series(dtype="int64")}
         )
         if len(g) == 0:
             return empty
-        j = g.merge(g, on="conv_id")
-        dt = j["turn_idx_y"].to_numpy() - j["turn_idx_x"].to_numpy()
-        j = j[(dt >= 1) & (dt <= 2) & (j["qid_x"] != j["qid_y"])]
-        if len(j) == 0:
+        g = g.rename(columns={"qid": "qid_x"})
+        later = g.rename(columns={"qid_x": "qid_y"})
+        outs = []
+        for dt in (1, 2):
+            sh = g.assign(
+                turn_idx=g["turn_idx"].to_numpy(dtype=np.int64) + dt)
+            j = sh.merge(later, on=["conv_id", "turn_idx"])
+            j = j[j["qid_x"] != j["qid_y"]]
+            if len(j):
+                outs.append(j[["qid_x", "qid_y"]])
+        if not outs:
             return empty
+        j = pd.concat(outs, ignore_index=True)
         qa = np.minimum(j["qid_x"].to_numpy(object), j["qid_y"].to_numpy(object))
         qb = np.maximum(j["qid_x"].to_numpy(object), j["qid_y"].to_numpy(object))
         out = pd.DataFrame({"qid_a": qa, "qid_b": qb})
