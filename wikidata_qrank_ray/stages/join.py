@@ -259,6 +259,16 @@ def bucketed_range_join(
     if left.schema() is None or right.schema() is None:
         return left if left.schema() is None else right
 
+    def _as_arrow(ds):
+        # pandas-block inputs report a PandasBlockSchema; force Arrow so
+        # the typed-null padding has a real pyarrow schema (same coercion
+        # as _pad_union's)
+        if isinstance(ds.schema().base_schema, pa.Schema):
+            return ds
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    left, right = _as_arrow(left), _as_arrow(right)
+
     lsel = left.map_batches(
         lambda t: t.rename_columns(["__by__" if c == by_left else c for c in t.schema.names]),
         batch_format="pyarrow",
