@@ -1195,7 +1195,11 @@ def q_nation_revenue_3way(sf_dir: str):
     li_c = li.map_batches(to_cents, batch_format="pyarrow")
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    j1 = bucketed_hash_join(li_c, orders, "l_orderkey", "o_orderkey", how="inner")
+    # materialize the first join: the second join's schema probe would
+    # otherwise replay the whole lineitem-sized join chain (expensive,
+    # un-pinned -- the targeted probe rule)
+    j1 = bucketed_hash_join(li_c, orders, "l_orderkey", "o_orderkey",
+                            how="inner").materialize()
     j2 = bucketed_hash_join(j1, cust, "o_custkey", "c_custkey", how="inner")
     partial = j2.map_batches(
         lambda df: df.groupby("c_nationkey", as_index=False)["revenue_c4"].sum(),
