@@ -542,7 +542,7 @@ def q_cooccurrence_pmi(sf_dir: str):
         ),
         "subj",
         "subj",
-    )
+    ).materialize()  # second join's probe would replay this whole chain
     j2 = bucketed_hash_join(
         j1,
         marg.map_batches(
