@@ -170,6 +170,8 @@ QUERY_NAMES = [
     "resource_allocation",
     "audio_frames",
     "triples_delta",
+    "alias_mentions",
+    "entity_salience",
     # remaining registry coverage: bench now times EVERY queries() entry
     "bigram_counts",
     "token_length_histogram",

@@ -385,3 +385,48 @@ def test_triples_delta_bruteforce_twin():
     assert got_map == want
     # old is a subset of new, so only added/grown can occur
     assert set(got["status"]) <= {"added", "grown"}
+
+
+def test_alias_mentions_bruteforce_twin():
+    from test_round4e_ops import _canon_setup
+
+    from wikidata_qrank_ray.pipelines.queries import q_alias_mentions
+
+    gaz, mapping, surf2qid, turns = _canon_setup()
+    want: dict[tuple, int] = {}
+    for r in turns.itertuples(index=False):
+        for t in str(r.text).split():
+            q = surf2qid.get(t)
+            if q is not None and mapping.get(q, q) != q:
+                k = (t, q, mapping[q])
+                want[k] = want.get(k, 0) + 1
+    got = q_alias_mentions(SF).to_pandas()
+    got_map = {(r.surface, r.qid, r.canon): int(r.n_mentions)
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+    # every reported row really is a redirect
+    assert (got["qid"] != got["canon"]).all()
+
+
+def test_entity_salience_bruteforce_twin():
+    from test_round4e_ops import _canon_setup
+
+    from wikidata_qrank_ray.pipelines.queries import q_entity_salience
+
+    gaz, mapping, surf2qid, turns = _canon_setup()
+    conv_n = turns.groupby("conv_id")["turn_idx"].size()
+    seen: dict[tuple, set] = {}
+    for r in turns.itertuples(index=False):
+        for t in str(r.text).split():
+            q = surf2qid.get(t)
+            if q is not None:
+                seen.setdefault((r.conv_id, mapping.get(q, q)),
+                                set()).add(int(r.turn_idx))
+    want = {k: (len(v), min(v), 1_000_000 * len(v) // int(conv_n[k[0]]))
+            for k, v in seen.items()}
+    got = q_entity_salience(SF).to_pandas()
+    got_map = {(r.conv_id, r.qid): (int(r.n_turns_mentioned),
+                                    int(r.first_turn), int(r.salience_ppm))
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+    assert (got["salience_ppm"] <= 1_000_000).all()

@@ -6419,6 +6419,99 @@ def q_triples_delta(sf_dir: str):
                                 stamp_batch_size=None)
 
 
+def q_alias_mentions(sf_dir: str):
+    """Entity-linking provenance audit: every mention occurrence whose raw
+    gazetteer entity is an ALIAS (redirected by the canonicalization
+    chain) -> (surface, qid, canon, n_mentions) -- the how-often-did-each-
+    redirect-fire report next to buildRedirects (reference
+    titles.go:394-483). Occurrence counts ride the matcher's map-side
+    partial-counts mode (no shuffle until the vocabulary-sized final);
+    the alias mapping and surfaces are one broadcast lookup."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    mapping_ref, _ = _mapping_ref(sf_dir)
+    mapping = ray.get(mapping_ref)
+    gaz = build_gazetteer(sf_dir)
+    surf_of = dict(zip(gaz["qid"], gaz["surface"]))
+    ds = derive_transcripts(sf_dir)
+    partial = detect_mentions(ds, _gaz_ref(sf_dir), mode="partial_counts")
+    agg = hash_partition_aggregate(
+        partial, ["qid"], {"n_mentions": ("cnt", "sum")},
+        num_partitions=8, stamp_batch_size=None)
+    refs = ray.put((mapping, surf_of))
+
+    def finalize(df: pd.DataFrame, refs=refs) -> pd.DataFrame:
+        mapping, surf_of = ray.get(refs)
+        m = df["qid"].map(mapping)
+        keep = m.notna() & (m != df["qid"])
+        d = df[keep]
+        return pd.DataFrame({
+            "surface": d["qid"].map(surf_of).to_numpy(),
+            "qid": d["qid"].to_numpy(),
+            "canon": m[keep].to_numpy(),
+            "n_mentions": d["n_mentions"].to_numpy(np.int64)})
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def q_entity_salience(sf_dir: str):
+    """Per-conversation entity salience: for every (conversation,
+    canonical entity) pair, the count of DISTINCT turns mentioning it, the
+    first such turn, and salience_ppm = 1e6 * n_turns_mentioned //
+    n_turns -- the which-entities-is-this-dialog-about ranking signal ->
+    (conv_id, qid, n_turns_mentioned, first_turn, salience_ppm). One
+    conv-keyed tag-union co-partition (turn roster + canonical mention
+    sets), everything reduced inside the partition sweep."""
+    from ..stages.groupby import hash_partition_apply
+    from ..stages.triples import CanonMentions, _matcher_partials
+
+    mapping_ref, gaz_ref = _mapping_ref(sf_dir)
+    turns = derive_transcripts(sf_dir)
+    cm = _matcher_partials(turns, CanonMentions, gaz_ref, mapping_ref)
+    roster = turns.map_batches(
+        lambda t: pd.DataFrame({
+            "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
+            "turn_idx": np.asarray(
+                t["turn_idx"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            "q": "", "tag": np.int64(0)}),
+        batch_format="pyarrow")
+    ments = cm.map_batches(
+        lambda df: df.assign(tag=np.int64(1),
+                             turn_idx=df["turn_idx"].astype(np.int64))
+        if len(df) else pd.DataFrame({
+            "conv_id": pd.Series(dtype=object),
+            "turn_idx": pd.Series(dtype=np.int64),
+            "q": pd.Series(dtype=object),
+            "tag": pd.Series(dtype=np.int64)}),
+        batch_format="pandas")
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "conv_id": pd.Series(dtype=object),
+            "qid": pd.Series(dtype=object),
+            "n_turns_mentioned": pd.Series(dtype=np.int64),
+            "first_turn": pd.Series(dtype=np.int64),
+            "salience_ppm": pd.Series(dtype=np.int64)})
+        m = part[part["tag"] == 1]
+        if len(m) == 0:
+            return empty
+        conv_n = part[part["tag"] == 0].groupby("conv_id")["turn_idx"].size()
+        g = m.groupby(["conv_id", "q"], as_index=False).agg(
+            n_turns_mentioned=("turn_idx", "size"),
+            first_turn=("turn_idx", "min"))
+        nt = g["conv_id"].map(conv_n).to_numpy(np.int64)
+        return pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy(),
+            "qid": g["q"].to_numpy(),
+            "n_turns_mentioned": g["n_turns_mentioned"].to_numpy(np.int64),
+            "first_turn": g["first_turn"].to_numpy(np.int64),
+            "salience_ppm": 1_000_000 * g["n_turns_mentioned"]
+            .to_numpy(np.int64) // np.maximum(nt, 1)})
+
+    return hash_partition_apply(roster.union(ments), ["conv_id"], sweep,
+                                num_partitions=32, stamp_batch_size=None)
+
+
 def _round4e_queries():
     """Fifth-session round-4 additions; ORDER CONTRACT: registered after
     _round4d_queries, still inside the never-driver-sampled region (these
@@ -6459,6 +6552,8 @@ def _round4f_queries():
         "resource_allocation": q_resource_allocation,
         "audio_frames": q_audio_frames,
         "triples_delta": q_triples_delta,
+        "alias_mentions": q_alias_mentions,
+        "entity_salience": q_entity_salience,
     }
 
 
@@ -9762,5 +9857,31 @@ SELECT subj, pred, obj, CAST(w_old AS BIGINT) AS w_old,
        CASE WHEN w_old = 0 THEN 'added' WHEN w_new = 0 THEN 'removed'
             WHEN w_new > w_old THEN 'grown' ELSE 'shrunk' END AS status
 FROM td_d WHERE w_old <> w_new""",
+        ),
+        # alias_mentions: occurrence counts of redirected raw entities
+        "alias_mentions": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_ALIAS,
+            select="""
+SELECT h.surface, h.qid, r.canon, CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM hits h JOIN resolve r ON h.qid = r.qid AND r.canon <> h.qid
+GROUP BY 1, 2, 3""",
+        ),
+        # entity_salience: distinct-turn mention counts over the canonical
+        # mention sets, ppm of the conversation's turn count
+        "entity_salience": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_ALIAS,
+            """es_cm AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, r.canon AS q
+  FROM (SELECT DISTINCT conv_id, turn_idx, qid FROM hits) m
+  JOIN resolve r ON m.qid = r.qid),
+es_n AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+         FROM turns GROUP BY conv_id)""",
+            select="""
+SELECT c.conv_id, c.q AS qid,
+       CAST(COUNT(*) AS BIGINT) AS n_turns_mentioned,
+       CAST(MIN(c.turn_idx) AS BIGINT) AS first_turn,
+       CAST(1000000 * COUNT(*) // n.n_turns AS BIGINT) AS salience_ppm
+FROM es_cm c JOIN es_n n USING (conv_id)
+GROUP BY c.conv_id, c.q, n.n_turns""",
         ),
     }
