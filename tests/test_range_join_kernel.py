@@ -71,6 +71,28 @@ def test_range_join_float_values():
     assert _run(left, right) == _brute(left, right, "v", "lo", "hi")
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    lrows=st.lists(st.tuples(st.sampled_from("abcd"),
+                             st.integers(0, 30)), min_size=0, max_size=40),
+    rrows=st.lists(st.tuples(st.sampled_from("abcde"),
+                             st.integers(0, 30), st.integers(0, 8)),
+                   min_size=1, max_size=20),
+)
+def test_range_join_property(lrows, rrows):
+    left = pd.DataFrame(lrows or [("a", -99)], columns=["k", "v"]).astype(
+        {"v": np.int64})
+    right = pd.DataFrame(
+        [(k, lo, lo + w, i) for i, (k, lo, w) in enumerate(rrows)],
+        columns=["k", "lo", "hi", "rid"]).astype(
+        {"lo": np.int64, "hi": np.int64, "rid": np.int64})
+    assert _run(left, right) == _brute(left, right, "v", "lo", "hi")
+
+
 def test_range_join_no_matches_and_disjoint_keys():
     left = pd.DataFrame({"k": ["a", "b"], "v": np.array([1, 2], dtype=np.int64)})
     right = pd.DataFrame({"k": ["c"], "lo": np.array([0], dtype=np.int64),
