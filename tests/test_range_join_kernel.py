@@ -93,6 +93,18 @@ def test_range_join_property(lrows, rrows):
     assert _run(left, right) == _brute(left, right, "v", "lo", "hi")
 
 
+def test_range_join_null_keys_never_match():
+    """SQL join semantics: a NULL by-key matches nothing, on either side
+    (pd.factorize's shared -1 sentinel must not pair them up)."""
+    left = pd.DataFrame({"k": pd.Series(["a", None, None], dtype=object),
+                         "v": np.array([5, 5, 7], dtype=np.int64)})
+    right = pd.DataFrame({"k": pd.Series([None, "a"], dtype=object),
+                          "lo": np.array([0, 0], dtype=np.int64),
+                          "hi": np.array([100, 100], dtype=np.int64),
+                          "rid": np.array([0, 1], dtype=np.int64)})
+    assert _run(left, right) == [("a", 5, 1)]
+
+
 def test_range_join_no_matches_and_disjoint_keys():
     left = pd.DataFrame({"k": ["a", "b"], "v": np.array([1, 2], dtype=np.int64)})
     right = pd.DataFrame({"k": ["c"], "lo": np.array([0], dtype=np.int64),

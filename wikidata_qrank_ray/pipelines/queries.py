@@ -5816,26 +5816,20 @@ def q_mention_spans(sf_dir: str):
         return ds.map_batches(SpanMatcher(gaz), batch_format="pyarrow",
                               batch_size=8192)
     return ds.map_batches(
-        SpanMatcher, fn_constructor_kwargs={"gaz_ref": _gaz_ref(sf_dir)},
+        SpanMatcher, fn_constructor_kwargs={"gaz_ref": ray.put(gaz)},
         batch_format="pyarrow", batch_size=8192, concurrency=pool_size(4))
 
 
-def q_topic_segments(sf_dir: str):
-    """Dialog topic segmentation by canonical-entity continuity: a new
-    segment starts at every turn sharing NO canonical entity with its
-    predecessor -> (conv_id, turn_idx, segment) for EVERY turn
-    (segment = running count of breaks, turn 0 = segment 0). Shape:
-    per-turn canonical mention sets (stages/triples.CanonMentions), an
-    adjacent-turn overlap self-join and the turn roster co-partitioned by
-    conversation, one sorted cumsum sweep per partition."""
-    from ..stages.groupby import hash_partition_apply
+def _conv_tag_union(sf_dir: str):
+    """Conv-keyed tag union shared by the dialog analytics (topic_segments,
+    entity_salience): turn roster rows (tag 0) + per-turn canonical
+    mention rows from CanonMentions (tag 1), ready for one conversation-
+    hashed partition sweep."""
     from ..stages.triples import CanonMentions, _matcher_partials
 
     mapping_ref, gaz_ref = _mapping_ref(sf_dir)
     turns = derive_transcripts(sf_dir)
     cm = _matcher_partials(turns, CanonMentions, gaz_ref, mapping_ref)
-    # overlap rows: (conv_id, t) where turn t shares >= 1 canonical entity
-    # with turn t-1; computed inside the conv partition sweep below
     roster = turns.map_batches(
         lambda t: pd.DataFrame({
             "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
@@ -5852,6 +5846,22 @@ def q_topic_segments(sf_dir: str):
             "q": pd.Series(dtype=object),
             "tag": pd.Series(dtype=np.int64)}),
         batch_format="pandas")
+    return roster.union(ments)
+
+
+def q_topic_segments(sf_dir: str):
+    """Dialog topic segmentation by canonical-entity continuity: a new
+    segment starts at every turn sharing NO canonical entity with its
+    predecessor -> (conv_id, turn_idx, segment) for EVERY turn
+    (segment = running count of breaks, turn 0 = segment 0). Shape:
+    per-turn canonical mention sets (stages/triples.CanonMentions), an
+    adjacent-turn overlap self-join and the turn roster co-partitioned by
+    conversation, one sorted cumsum sweep per partition."""
+    from ..stages.groupby import hash_partition_apply
+
+    # overlap rows: (conv_id, t) where turn t shares >= 1 canonical entity
+    # with turn t-1; computed inside the conv partition sweep below
+    both = _conv_tag_union(sf_dir)
 
     def sweep(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
@@ -5877,7 +5887,7 @@ def q_topic_segments(sf_dir: str):
         return seg[["conv_id", "turn_idx", "segment"]].astype(
             {"segment": np.int64})
 
-    return hash_partition_apply(roster.union(ments), ["conv_id"], sweep,
+    return hash_partition_apply(both, ["conv_id"], sweep,
                                 num_partitions=32, stamp_batch_size=None)
 
 
@@ -5913,15 +5923,12 @@ def q_centroid_distances(sf_dir: str):
             "d2": pd.Series(dtype=np.int64)})
 
 
-def q_cusum_changepoint(sf_dir: str):
-    """Changepoint detection per event-type hourly series: over the
-    gap-filled counts x_1..x_n, the split index k (1 <= k < n) maximizing
-    the integer CUSUM statistic |n * S_k - k * S_n| (S_k = prefix sum;
-    cross-multiplied mean-shift test, no float ever) -> (event_type,
-    n_hours, split_k, split_hour, stat); ties break to the smallest k,
-    single-bucket types are excluded. One (type, hour) map-side partial,
-    one type-keyed partition sweep (dense grid + prefix sums vectorized);
-    output is type-sized."""
+def _hourly_series_apply(sf_dir: str, per_series, empty_cols: dict):
+    """Shared gap-filled hourly-series runner for the per-type time-series
+    operators (cusum_changepoint, lag_autocov): one (type, hour) map-side
+    partial, one type-keyed partition sweep that densifies each type's
+    grid (the events_gapfill rule) and hands the int64 count series to
+    ``per_series(event_type, grid_us, x) -> row tuple | None``."""
     from ..stages.groupby import hash_partition_apply
 
     HOUR_US = 3_600_000_000
@@ -5942,31 +5949,43 @@ def q_cusum_changepoint(sf_dir: str):
         for et, g in part.groupby("event_type", sort=False):
             fin = g.groupby("hour_us")["n"].sum()
             grid = np.arange(fin.index.min(), fin.index.max() + 1, HOUR_US)
-            x = fin.reindex(grid, fill_value=0).to_numpy(np.int64)
-            n = len(x)
-            if n < 2:
-                continue
-            pk = np.cumsum(x)
-            k = np.arange(1, n, dtype=np.int64)
-            stat = np.abs(n * pk[:-1] - k * pk[-1])
-            best = int(np.argmax(stat))  # first max = smallest k
-            outs.append((et, n, int(k[best]), int(grid[best]),
-                         int(stat[best])))
-        df = pd.DataFrame(outs, columns=[
-            "event_type", "n_hours", "split_k", "split_hour_us", "stat"])
+            row = per_series(et, grid, fin.reindex(grid, fill_value=0)
+                             .to_numpy(np.int64))
+            if row is not None:
+                outs.append(row)
         if not outs:
-            df = pd.DataFrame({
-                "event_type": pd.Series(dtype=object),
-                "n_hours": pd.Series(dtype=np.int64),
-                "split_k": pd.Series(dtype=np.int64),
-                "split_hour_us": pd.Series(dtype=np.int64),
-                "stat": pd.Series(dtype=np.int64)})
-        return df
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in empty_cols.items()})
+        return pd.DataFrame(outs, columns=list(empty_cols))
 
-    df = _pd(hash_partition_apply(partial, ["event_type"], sweep,
-                                  stamp_batch_size=None),
-             {"event_type": object, "n_hours": "int64", "split_k": "int64",
-              "split_hour_us": "int64", "stat": "int64"})
+    return hash_partition_apply(partial, ["event_type"], sweep,
+                                stamp_batch_size=None)
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """Changepoint detection per event-type hourly series: over the
+    gap-filled counts x_1..x_n, the split index k (1 <= k < n) maximizing
+    the integer CUSUM statistic |n * S_k - k * S_n| (S_k = prefix sum;
+    cross-multiplied mean-shift test, no float ever) -> (event_type,
+    n_hours, split_k, split_hour, stat); ties break to the smallest k,
+    single-bucket types are excluded. Shape: _hourly_series_apply (one
+    shuffle, type-sized output)."""
+
+    def per_series(et, grid, x):
+        n = len(x)
+        if n < 2:
+            return None
+        pk = np.cumsum(x)
+        k = np.arange(1, n, dtype=np.int64)
+        stat = np.abs(n * pk[:-1] - k * pk[-1])
+        best = int(np.argmax(stat))  # first max = smallest k
+        return (et, n, int(k[best]), int(grid[best]), int(stat[best]))
+
+    df = _pd(_hourly_series_apply(sf_dir, per_series, {
+        "event_type": object, "n_hours": np.int64, "split_k": np.int64,
+        "split_hour_us": np.int64, "stat": np.int64}),
+        {"event_type": object, "n_hours": "int64", "split_k": "int64",
+         "split_hour_us": "int64", "stat": "int64"})
     df["split_hour"] = pd.to_datetime(df.pop("split_hour_us"), unit="us")
     return df[["event_type", "n_hours", "split_k", "split_hour", "stat"]]
 
@@ -5977,48 +5996,21 @@ def q_lag_autocov(sf_dir: str):
     pairs, sxy = sum x_t*x_{t+1}, sx = sum of the first m values, sy = sum
     of the last m, cov_num = m*sxy - sx*sy (the covariance numerator
     cross-multiplied so no division happens) -> (event_type, m, sxy, sx,
-    sy, cov_num). Same one-shuffle gapfill shape as cusum_changepoint."""
-    from ..stages.groupby import hash_partition_apply
+    sy, cov_num). Shape: _hourly_series_apply (shared with
+    cusum_changepoint)."""
 
-    HOUR_US = 3_600_000_000
-    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    def per_series(et, grid, x):
+        if len(x) < 2:
+            return None
+        m = len(x) - 1
+        sxy = int((x[:-1] * x[1:]).sum())
+        sx = int(x[:-1].sum())
+        sy = int(x[1:].sum())
+        return (et, m, sxy, sx, sy, m * sxy - sx * sy)
 
-    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "event_type": batch["event_type"],
-            "hour_us": batch["ts"].dt.floor("h")
-            .astype("datetime64[us]").astype("int64")})
-        return out.groupby(["event_type", "hour_us"], as_index=False).agg(
-            n=("hour_us", "size"))
-
-    partial = ev.map_batches(bucket, batch_format="pandas", batch_size=65536)
-
-    def sweep(part: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for et, g in part.groupby("event_type", sort=False):
-            fin = g.groupby("hour_us")["n"].sum()
-            grid = np.arange(fin.index.min(), fin.index.max() + 1, HOUR_US)
-            x = fin.reindex(grid, fill_value=0).to_numpy(np.int64)
-            if len(x) < 2:
-                continue
-            m = len(x) - 1
-            sxy = int((x[:-1] * x[1:]).sum())
-            sx = int(x[:-1].sum())
-            sy = int(x[1:].sum())
-            outs.append((et, m, sxy, sx, sy, m * sxy - sx * sy))
-        if not outs:
-            return pd.DataFrame({
-                "event_type": pd.Series(dtype=object),
-                "m": pd.Series(dtype=np.int64),
-                "sxy": pd.Series(dtype=np.int64),
-                "sx": pd.Series(dtype=np.int64),
-                "sy": pd.Series(dtype=np.int64),
-                "cov_num": pd.Series(dtype=np.int64)})
-        return pd.DataFrame(outs, columns=[
-            "event_type", "m", "sxy", "sx", "sy", "cov_num"])
-
-    return hash_partition_apply(partial, ["event_type"], sweep,
-                                stamp_batch_size=None)
+    return _hourly_series_apply(sf_dir, per_series, {
+        "event_type": object, "m": np.int64, "sxy": np.int64,
+        "sx": np.int64, "sy": np.int64, "cov_num": np.int64})
 
 
 def q_peak_concurrency(sf_dir: str):
@@ -6429,12 +6421,14 @@ def q_alias_mentions(sf_dir: str):
     the alias mapping and surfaces are one broadcast lookup."""
     from ..stages.groupby import hash_partition_aggregate
 
-    mapping_ref, _ = _mapping_ref(sf_dir)
+    # ONE gazetteer build feeds the mapping, the surface lookup AND the
+    # matcher (the _mapping_ref gaz_ref is reused, never rebuilt)
+    mapping_ref, gaz_ref = _mapping_ref(sf_dir)
     mapping = ray.get(mapping_ref)
-    gaz = build_gazetteer(sf_dir)
+    gaz = ray.get(gaz_ref)
     surf_of = dict(zip(gaz["qid"], gaz["surface"]))
     ds = derive_transcripts(sf_dir)
-    partial = detect_mentions(ds, _gaz_ref(sf_dir), mode="partial_counts")
+    partial = detect_mentions(ds, gaz_ref, mode="partial_counts")
     agg = hash_partition_aggregate(
         partial, ["qid"], {"n_mentions": ("cnt", "sum")},
         num_partitions=8, stamp_batch_size=None)
@@ -6463,27 +6457,8 @@ def q_entity_salience(sf_dir: str):
     conv-keyed tag-union co-partition (turn roster + canonical mention
     sets), everything reduced inside the partition sweep."""
     from ..stages.groupby import hash_partition_apply
-    from ..stages.triples import CanonMentions, _matcher_partials
 
-    mapping_ref, gaz_ref = _mapping_ref(sf_dir)
-    turns = derive_transcripts(sf_dir)
-    cm = _matcher_partials(turns, CanonMentions, gaz_ref, mapping_ref)
-    roster = turns.map_batches(
-        lambda t: pd.DataFrame({
-            "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
-            "turn_idx": np.asarray(
-                t["turn_idx"].to_numpy(zero_copy_only=False), dtype=np.int64),
-            "q": "", "tag": np.int64(0)}),
-        batch_format="pyarrow")
-    ments = cm.map_batches(
-        lambda df: df.assign(tag=np.int64(1),
-                             turn_idx=df["turn_idx"].astype(np.int64))
-        if len(df) else pd.DataFrame({
-            "conv_id": pd.Series(dtype=object),
-            "turn_idx": pd.Series(dtype=np.int64),
-            "q": pd.Series(dtype=object),
-            "tag": pd.Series(dtype=np.int64)}),
-        batch_format="pandas")
+    both = _conv_tag_union(sf_dir)
 
     def sweep(part: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
@@ -6508,7 +6483,7 @@ def q_entity_salience(sf_dir: str):
             "salience_ppm": 1_000_000 * g["n_turns_mentioned"]
             .to_numpy(np.int64) // np.maximum(nt, 1)})
 
-    return hash_partition_apply(roster.union(ments), ["conv_id"], sweep,
+    return hash_partition_apply(both, ["conv_id"], sweep,
                                 num_partitions=32, stamp_batch_size=None)
 
 

@@ -1033,107 +1033,23 @@ def neighborhood_jaccard_pairs(
     return inter.map_batches(_jac, batch_format="pandas")
 
 
-def link_prediction_cn(
+def _link_prediction_kernel(
     und: ray.data.Dataset, num_partitions: int = 64
 ) -> ray.data.Dataset:
-    """Common-neighbor link prediction on a MIRRORED DISTINCT edge Dataset
-    (u, v): for every NON-adjacent unordered pair (a < b) with at least one
-    shared neighbor, emit the two classic integer link-prediction scores ->
-    (a, b, cn, pa) with cn = |N(a) ∩ N(b)| and pa = deg(a) * deg(b)
-    (preferential attachment). Shape: candidate pairs co-partition on the
-    SHARED NEIGHBOR (the shingle-join pattern), adjacency is removed with a
-    tag-union anti-join co-partitioned on the pair key (the two_hop_counts
-    pattern), degrees are a node-space-bounded broadcast lookup. Nothing
-    edge- or pair-scaled ever reaches the driver."""
-    from .groupby import hash_partition_aggregate, hash_partition_apply
-
-    deg_df = hash_partition_aggregate(
-        und, ["u"], {"deg": ("v", "count")},
-        num_partitions=num_partitions, stamp_batch_size=None,
-    ).to_pandas()
-    deg_map = dict(zip(deg_df.get("u", pd.Series(dtype=np.int64)).astype(np.int64),
-                       deg_df.get("deg", pd.Series(dtype=np.int64)).astype(np.int64)))
-    deg_ref = ray.put(deg_map)
-
-    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
-        srt = part.sort_values(["u", "v"], kind="mergesort")
-        u = srt["u"].to_numpy(np.int64)
-        v = srt["v"].to_numpy(np.int64)
-        outs = []
-        starts = np.concatenate([[0], np.where(u[1:] != u[:-1])[0] + 1, [len(u)]])
-        for s0, s1 in zip(starts[:-1], starts[1:]):
-            g = s1 - s0
-            if g < 2:
-                continue
-            ii, jj = np.triu_indices(g, k=1)
-            outs.append(pd.DataFrame({"a": v[s0 + ii], "b": v[s0 + jj]}))
-        if not outs:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64)})
-        return pd.concat(outs, ignore_index=True)
-
-    shared = hash_partition_apply(
-        und, ["u"], _pairs, num_partitions=num_partitions,
-        stamp_batch_size=None,
-    )
-    inter = hash_partition_aggregate(
-        shared, ["a", "b"], {"cn": ("a", "count")},
-        num_partitions=num_partitions, stamp_batch_size=None,
-    )
-
-    # anti-join against the (a < b)-oriented edge set: tag union
-    # co-partitioned on the pair key, direct edges win
-    direct = und.map_batches(
-        lambda df: pd.DataFrame(
-            {"a": np.minimum(df["u"], df["v"]).astype(np.int64),
-             "b": np.maximum(df["u"], df["v"]).astype(np.int64),
-             "cn": np.zeros(len(df), dtype=np.int64),
-             "tag": np.zeros(len(df), dtype=np.int8)}),
-        batch_format="pandas")
-    cand = inter.map_batches(
-        lambda df: pd.DataFrame(
-            {"a": df["a"].to_numpy(np.int64),
-             "b": df["b"].to_numpy(np.int64),
-             "cn": df["cn"].to_numpy(np.int64),
-             "tag": np.ones(len(df), dtype=np.int8)}),
-        batch_format="pandas")
-
-    def _anti(part: pd.DataFrame, deg_ref=deg_ref) -> pd.DataFrame:
-        d = part[part["tag"] == 0][["a", "b"]].drop_duplicates()
-        t = part[part["tag"] == 1][["a", "b", "cn"]]
-        m = t.merge(d, on=["a", "b"], how="left", indicator=True)
-        m = m[m["_merge"] == "left_only"]
-        if m.empty:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 "cn": pd.Series(dtype=np.int64),
-                                 "pa": pd.Series(dtype=np.int64)})
-        dm = ray.get(deg_ref)
-        da = m["a"].map(dm).to_numpy(np.int64)
-        db = m["b"].map(dm).to_numpy(np.int64)
-        return pd.DataFrame({"a": m["a"].to_numpy(np.int64),
-                             "b": m["b"].to_numpy(np.int64),
-                             "cn": m["cn"].to_numpy(np.int64),
-                             "pa": da * db})
-
-    return hash_partition_apply(
-        direct.union(cand), ["a", "b"], _anti,
-        num_partitions=num_partitions, stamp_batch_size=None,
-    )
-
-
-def link_prediction_ra(
-    und: ray.data.Dataset, num_partitions: int = 64
-) -> ray.data.Dataset:
-    """Resource-allocation link prediction (Zhou/Lu/Zhang 2009, the
-    integer-exact cousin of Adamic-Adar: 1/deg instead of 1/log deg) on a
-    MIRRORED DISTINCT edge Dataset (u, v): for every NON-adjacent unordered
-    pair (a < b) with >= 1 shared neighbor -> (a, b, cn, ra_micro) with
-    ra_micro = sum over shared neighbors z of 1e6 // deg(z) -- each wedge
-    is weighted by its MIDDLE node's inverse degree at generation time
-    (the middle node is the partition key, so the weight is one broadcast
-    lookup), then summed per pair. Same co-partition + pair-key anti-join
-    shape as link_prediction_cn."""
+    """Shared link-prediction kernel on a MIRRORED DISTINCT edge Dataset
+    (u, v): for every NON-adjacent unordered pair (a < b) with at least
+    one shared neighbor -> (a, b, cn, ra_micro, pa) carrying all three
+    classic integer scores at once -- cn = |N(a) ∩ N(b)|,
+    ra_micro = sum over shared neighbors z of 1e6 // deg(z)
+    (resource allocation, Zhou/Lu/Zhang 2009: the integer-exact cousin of
+    Adamic-Adar), pa = deg(a) * deg(b) (preferential attachment). Shape:
+    candidate pairs co-partition on the SHARED NEIGHBOR (the shingle-join
+    pattern) with the middle node's inverse-degree weight attached at
+    generation time, adjacency is removed with a tag-union anti-join
+    co-partitioned on the pair key (the two_hop_counts pattern), degrees
+    are a node-space-bounded broadcast lookup. Nothing edge- or
+    pair-scaled ever reaches the driver. Public selections:
+    link_prediction_cn (cn, pa) and link_prediction_ra (cn, ra_micro)."""
     from .groupby import hash_partition_aggregate, hash_partition_apply
 
     deg_df = hash_partition_aggregate(
@@ -1180,6 +1096,8 @@ def link_prediction_ra(
         num_partitions=num_partitions, stamp_batch_size=None,
     )
 
+    # anti-join against the (a < b)-oriented edge set: tag union
+    # co-partitioned on the pair key, direct edges win
     direct = und.map_batches(
         lambda df: pd.DataFrame(
             {"a": np.minimum(df["u"], df["v"]).astype(np.int64),
@@ -1197,20 +1115,49 @@ def link_prediction_ra(
              "tag": np.ones(len(df), dtype=np.int8)}),
         batch_format="pandas")
 
-    def _anti(part: pd.DataFrame) -> pd.DataFrame:
+    def _anti(part: pd.DataFrame, deg_ref=deg_ref) -> pd.DataFrame:
         d = part[part["tag"] == 0][["a", "b"]].drop_duplicates()
         t = part[part["tag"] == 1][["a", "b", "cn", "ra_micro"]]
         m = t.merge(d, on=["a", "b"], how="left", indicator=True)
         m = m[m["_merge"] == "left_only"]
+        if m.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "cn": pd.Series(dtype=np.int64),
+                                 "ra_micro": pd.Series(dtype=np.int64),
+                                 "pa": pd.Series(dtype=np.int64)})
+        dm = ray.get(deg_ref)
+        da = m["a"].map(dm).to_numpy(np.int64)
+        db = m["b"].map(dm).to_numpy(np.int64)
         return pd.DataFrame({"a": m["a"].to_numpy(np.int64),
                              "b": m["b"].to_numpy(np.int64),
                              "cn": m["cn"].to_numpy(np.int64),
-                             "ra_micro": m["ra_micro"].to_numpy(np.int64)})
+                             "ra_micro": m["ra_micro"].to_numpy(np.int64),
+                             "pa": da * db})
 
     return hash_partition_apply(
         direct.union(cand), ["a", "b"], _anti,
         num_partitions=num_partitions, stamp_batch_size=None,
     )
+
+
+def link_prediction_cn(
+    und: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Common-neighbor link prediction -> (a, b, cn, pa); the (cn, pa)
+    selection of _link_prediction_kernel (one shared implementation for
+    both scoring families)."""
+    return _link_prediction_kernel(und, num_partitions).map_batches(
+        lambda df: df[["a", "b", "cn", "pa"]], batch_format="pandas")
+
+
+def link_prediction_ra(
+    und: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Resource-allocation link prediction -> (a, b, cn, ra_micro); the
+    (cn, ra_micro) selection of _link_prediction_kernel."""
+    return _link_prediction_kernel(und, num_partitions).map_batches(
+        lambda df: df[["a", "b", "cn", "ra_micro"]], batch_format="pandas")
 
 
 def kcore_peel(

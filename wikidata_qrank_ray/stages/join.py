@@ -323,6 +323,9 @@ def bucketed_range_join(
         # two searchsorted calls respect key boundaries exactly.
         empty = part.iloc[0:0][["__by__"] + lcols + rcols].astype(
             {**ltypes, **rtypes})
+        # null by-keys never match (SQL join semantics; pd.factorize would
+        # otherwise give both sides' nulls the same -1 sentinel code)
+        part = part[part["__by__"].notna()]
         lf = part[part[_SIDE] == 0]
         rf = part[part[_SIDE] == 1]
         if len(lf) == 0 or len(rf) == 0:
