@@ -5820,11 +5820,14 @@ def q_mention_spans(sf_dir: str):
         batch_format="pyarrow", batch_size=8192, concurrency=pool_size(4))
 
 
+@_qt_lru(maxsize=2)
 def _conv_tag_union(sf_dir: str):
     """Conv-keyed tag union shared by the dialog analytics (topic_segments,
     entity_salience): turn roster rows (tag 0) + per-turn canonical
     mention rows from CanonMentions (tag 1), ready for one conversation-
-    hashed partition sweep."""
+    hashed partition sweep. MATERIALIZED and session-cached (the
+    _canon_triples_mat precedent): the mention-extraction chain runs once
+    per sf_dir, both consumers read pinned mention-count-sized rows."""
     from ..stages.triples import CanonMentions, _matcher_partials
 
     mapping_ref, gaz_ref = _mapping_ref(sf_dir)
@@ -5846,7 +5849,7 @@ def _conv_tag_union(sf_dir: str):
             "q": pd.Series(dtype=object),
             "tag": pd.Series(dtype=np.int64)}),
         batch_format="pandas")
-    return roster.union(ments)
+    return roster.union(ments).materialize()
 
 
 def q_topic_segments(sf_dir: str):
