@@ -102,17 +102,14 @@ def test_registry_keys_consistent():
     # minhash_dedup left this set in round 3 (polyhash signatures made it
     # SQL-expressible); round 4 moved ann_ivf, kmeans_clusters, pq_codes
     # (integer-domain Lloyd trainers unroll in SQL),
-    # embedding_near_dups_lsh (seeded multi-table planes as literals) and
+    # embedding_near_dups_lsh (seeded multi-table planes as literals),
     # bpe_merges (fixed-round merge loop unrolled with the
-    # gaps-and-islands run-parity rule) to value-exact. The remaining
-    # three are approximate (HLL: the estimate passes through libm ln,
-    # not bitwise across engines) or float-non-associative (classic
-    # PageRank) by nature, each value-checked against an exact twin
-    # (distinct_user_count / users_per_type / entity_pagerank_int) with
-    # pinned error bounds in tests
-    assert set(q) - set(o) == {
-        "approx_distinct_users", "graph_pagerank", "approx_users_per_type",
-    }
+    # gaps-and-islands run-parity rule) and the two HLL queries
+    # (sqlhash64 registers + exact-integer harmonic sum; the float tail
+    # is pinned bitwise-stable after integer rounding in test_sketches)
+    # to value-exact. Only classic float PageRank remains rows-only
+    # (float-non-associative by nature; exact twin entity_pagerank_int).
+    assert set(q) - set(o) == {"graph_pagerank"}
     assert len(q) >= 100
 
 

@@ -164,3 +164,64 @@ def test_grouped_approx_distinct_error_bound():
         exact = g["v"].nunique()
         got = out1.loc[key, "approx_n"]
         assert abs(got - exact) <= max(2, 5 * sigma * exact), (key, got, exact)
+
+
+def test_sqlhash64_matches_duckdb_replay():
+    """The HLL hash (polyhash64 + splitmix64) is bit-identical to the
+    oracle's HUGEINT chain (decomposed multiplies, xor on HUGEINT)."""
+    import duckdb
+
+    from wikidata_qrank_ray.functions.hashing import sqlhash64
+
+    vals = [f"u{i}" for i in range(500)] + [str(i) for i in range(500)] + [
+        "héllo wörld", "日本語テキスト", "a" * 300, "0", "-17"]
+    py = sqlhash64(np.asarray(vals, dtype=object))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in vals])
+    sql = r"""
+WITH h0 AS (SELECT s, list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(s, '')],
+                 (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) AS h FROM t),
+x1 AS (SELECT s, xor(h, h // 1073741824) AS h FROM h0),
+m1 AS (SELECT s, ((h * 484763065) + ((h * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS h FROM x1),
+x2 AS (SELECT s, xor(h, h // 134217728) AS h FROM m1),
+m2 AS (SELECT s, ((h * 321982955) + ((h * 2496678331) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS h FROM x2)
+SELECT s, xor(h, h // 2147483648) FROM m2"""
+    got = dict(con.execute(sql).fetchall())
+    for s, hv in zip(vals, py):
+        assert int(hv) == int(got[s]), s
+
+
+def test_hll_estimate_matches_duckdb_expression():
+    """The estimate's float tail is bitwise-stable across engines after the
+    half-up integer rounding: exhaustive over every reachable zeros value
+    (small-range branch) and randomized exact-integer harmonic sums S
+    (raw branch), at both registry precisions p=10 and p=12."""
+    import math
+    import random
+
+    import duckdb
+
+    con = duckdb.connect()
+    for p in (10, 12):
+        m = 1 << p
+        rows = con.execute(
+            f"SELECT z, CAST(floor({m}.0 * ln({m}.0 / CAST(z AS DOUBLE)) + 0.5) AS BIGINT)"
+            f" FROM generate_series(1, {m - 1}) g(z)").fetchall()
+        for z, sq in rows:
+            assert sq == math.floor(m * math.log(m / float(z)) + 0.5), (p, z)
+        rng = random.Random(7)
+        ss = [rng.randrange(m, m * (1 << 64)) for _ in range(500)]
+        con.execute("CREATE OR REPLACE TABLE ss(S HUGEINT)")
+        con.executemany("INSERT INTO ss VALUES (?)", [(s,) for s in ss])
+        rows = con.execute(
+            f"SELECT S, CAST(floor(((0.7213 / (1 + 1.079 / {m})) * {m * m})"
+            f" * 18446744073709551616.0 / CAST(S AS DOUBLE) + 0.5) AS BIGINT) FROM ss"
+        ).fetchall()
+        alpha = 0.7213 / (1 + 1.079 / m)
+        for S, sq in rows:
+            py = math.floor(
+                (alpha * (m * m)) * 18446744073709551616.0 / float(int(S)) + 0.5)
+            assert py == sq, (p, S)

@@ -183,6 +183,33 @@ def polyhash64(tokens: np.ndarray) -> np.ndarray:
     return h
 
 
+_SPLITMIX_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(h: np.ndarray) -> np.ndarray:
+    """The splitmix64 finalizer (Steele et al., public domain): xor-shift +
+    odd-multiply rounds give full avalanche, which a plain polynomial hash
+    lacks (sequential ids share structured high bits -- measured 25% HLL
+    error unmixed vs ~2 sigma mixed). Exactly reproducible in SQL: xor()
+    works on HUGEINT, and each 64x64 multiply mod 2^64 decomposes as
+    h*lo + (h*hi mod 2^32)*2^32 so no intermediate exceeds HUGEINT."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * _SPLITMIX_M1
+        h = (h ^ (h >> np.uint64(27))) * _SPLITMIX_M2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def sqlhash64(tokens: np.ndarray) -> np.ndarray:
+    """SQL-reproducible full-avalanche 64-bit string hash: polyhash64
+    codepoint polynomial followed by the splitmix64 finalizer. Use this
+    (not pandas siphash) wherever a value-exact DuckDB oracle must replay
+    the hash AND the downstream op needs uniform bits (HLL buckets/ranks)."""
+    return splitmix64(polyhash64(tokens))
+
+
 _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
 
 

@@ -1118,12 +1118,13 @@ def q_distinct_user_count(sf_dir: str):
 
 def q_approx_distinct_users(sf_dir: str):
     """HLL distinct-count sketch: one 4 KiB sketch per batch, register-max
-    merge -- data motion independent of row count (rows-only check; the
-    exact twin is distinct_user_count)."""
+    merge -- data motion independent of row count. Value-exact oracled
+    (round-4): sqlhash64 registers + exact-integer harmonic sum replay in
+    DuckDB (_hll_sql); the exact twin distinct_user_count pins accuracy."""
     from ..stages.sketches import approx_distinct
 
     ev = read_table(sf_dir, "events", columns=["user_id"])
-    return pd.DataFrame({"approx_users": [np.int64(round(approx_distinct(ev, "user_id")))]})
+    return pd.DataFrame({"approx_users": [np.int64(approx_distinct(ev, "user_id"))]})
 
 
 # ---------------------------------------------------------------------------
@@ -2084,9 +2085,9 @@ def q_entity_communities(sf_dir: str):
 
 def q_approx_users_per_type(sf_dir: str):
     """Grouped HLL: approximate per-type distinct users via the mergeable-
-    sketch groupby (sketch-sized data motion per group; rows-only by
-    nature -- the exact twin is users_per_type, with the error bound
-    pinned in tests/test_sketches.py)."""
+    sketch groupby (sketch-sized data motion per group). Value-exact
+    oracled (round-4) via the _hll_sql register replay; the exact twin
+    users_per_type pins the error bound in tests/test_sketches.py."""
     from ..stages.sketches import grouped_approx_distinct
 
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
@@ -7222,6 +7223,54 @@ fp_sel{r} AS MATERIALIZED (
 SELECT label, rnd, vec_id, d2 FROM fp_sel{k - 1}"""
 
 
+def _hll_sql(p: int, value_expr: str, src: str, out_col: str,
+             group_col: str | None = None) -> str:
+    """DuckDB twin of stages.sketches.HyperLogLog (round-4; previously
+    rows-only): replay sqlhash64 (codepoint polynomial + splitmix64, each
+    64x64 multiply decomposed as h*lo + (h*hi mod 2^32)*2^32 so nothing
+    overflows HUGEINT), rebuild the 2^p registers as a per-bucket MAX of
+    65 - bitlength((h mod 2^(64-p))*2^p + 2^p-1), keep the harmonic sum as
+    the EXACT integer S = sum 2^(64-reg) (<= 2^(p+64), fits HUGEINT), and
+    evaluate the one canonical float estimate expression. The float tail
+    (HUGEINT->DOUBLE cast, one division, ln) is bitwise-identical to
+    CPython/libm for every reachable operand after the half-up integer
+    rounding -- pinned exhaustively over all 2^p zeros values and
+    randomized S in tests/test_sketches.py."""
+    m = 1 << p
+    low = 1 << (64 - p)
+    mask = m - 1
+    g = f"{group_col}, " if group_col else ""
+    null_guard = f" AND {group_col} IS NOT NULL" if group_col else ""
+    grp_by = f"GROUP BY {group_col}" if group_col else ""
+    return f"""
+WITH hllu AS (SELECT DISTINCT {g}{value_expr} AS s FROM {src}
+              WHERE {value_expr} IS NOT NULL{null_guard}),
+hll0 AS (SELECT {g}list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(s, '')],
+                (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) AS h FROM hllu),
+hllx1 AS (SELECT {g}xor(h, h // 1073741824) AS h FROM hll0),
+hllm1 AS (SELECT {g}((h * 484763065) + ((h * 3210233709) % 4294967296) * 4294967296)
+                    % 18446744073709551616 AS h FROM hllx1),
+hllx2 AS (SELECT {g}xor(h, h // 134217728) AS h FROM hllm1),
+hllm2 AS (SELECT {g}((h * 321982955) + ((h * 2496678331) % 4294967296) * 4294967296)
+                    % 18446744073709551616 AS h FROM hllx2),
+hllx3 AS (SELECT {g}xor(h, h // 2147483648) AS h FROM hllm2),
+hllr AS (SELECT {g}h // {low} AS bucket,
+                MAX(65 - length(bin((h % {low}) * {m} + {mask}))) AS reg
+         FROM hllx3 GROUP BY {g}bucket),
+hlla AS (SELECT {g}COALESCE(SUM(CAST(1 AS HUGEINT) << (64 - reg)), 0)
+                   + ({m} - COUNT(*)) * (CAST(1 AS HUGEINT) << 64) AS S,
+                {m} - COUNT(*) AS zeros
+         FROM hllr {grp_by}),
+hllraw AS (SELECT {g}S, zeros,
+                  ((0.7213 / (1 + 1.079 / {m})) * {m * m}) * 18446744073709551616.0
+                    / CAST(S AS DOUBLE) AS r
+           FROM hlla)
+SELECT {g}CAST(floor(CASE WHEN r <= {2.5 * m} AND zeros > 0
+                          THEN {m}.0 * ln({m}.0 / CAST(zeros AS DOUBLE))
+                          ELSE r END + 0.5) AS BIGINT) AS {out_col}
+FROM hllraw"""
+
+
 def oracle_sql():
     qrank_select = """
 SELECT qid, mention_count AS rank_value,
@@ -8634,9 +8683,14 @@ SELECT a, b, dist FROM (
   FROM k x JOIN k y ON x.doc_id < y.doc_id
     AND abs(length(x.key) - length(y.key)) <= 3
 ) WHERE dist <= 3""",
-        # approx_distinct_users (HLL estimate): approximate by design ->
-        # rows-only here, value-checked against its exact twin in tests
-        # (distinct_user_count bound)
+        # approx_distinct_users / approx_users_per_type: the full HLL
+        # sketch replayed in SQL (round-4; previously rows-only) -- see
+        # _hll_sql for the register and exact-integer-harmonic-sum replay
+        "approx_distinct_users": _hll_sql(
+            12, "CAST(user_id AS VARCHAR)", "events", "approx_users"),
+        "approx_users_per_type": _hll_sql(
+            10, "CAST(user_id AS VARCHAR)", "events", "approx_n",
+            group_col="event_type"),
         # --- round-4 operators ---
         "doc_sentences": r"""
 SELECT doc_id,

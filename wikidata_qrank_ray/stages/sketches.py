@@ -14,12 +14,20 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import sqlhash64, stable_hash64
 
 
 class HyperLogLog:
     """Classic HLL (Flajolet et al.): 2^p registers of leading-zero ranks.
-    Standard error ~ 1.04/sqrt(2^p); mergeable by register-wise max."""
+    Standard error ~ 1.04/sqrt(2^p); mergeable by register-wise max.
+
+    Hash = sqlhash64 (codepoint polynomial + splitmix64 finalizer), so the
+    whole sketch -- registers, harmonic sum, small-range correction -- is
+    value-exact replayable in DuckDB: registers are an order-free per-bucket
+    max, the harmonic sum is kept as the EXACT integer S = sum(2^(64-reg))
+    (fits HUGEINT: <= 2^12 * 2^64), and the float estimate expression is
+    written identically on both sides (verified bitwise for all 2^p zeros
+    values and random S in tests)."""
 
     def __init__(self, p: int = 12):
         self.p = p
@@ -40,7 +48,10 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, rank)
 
     def add(self, values) -> None:
-        self.add_hashes(stable_hash64(np.asarray(values).astype(str)))
+        arr = np.asarray(values)
+        if arr.dtype == object:
+            arr = arr[~pd.isna(arr)]  # COUNT(DISTINCT x) skips nulls
+        self.add_hashes(sqlhash64(arr.astype(str)))
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         assert self.p == other.p
@@ -48,34 +59,49 @@ class HyperLogLog:
         return self
 
     def estimate(self) -> float:
-        m = float(self.m)
+        """Flajolet estimate, evaluated exactly as the DuckDB oracle does:
+        harmonic sum as the exact integer S (no float sum-order drift), then
+        one canonical float expression -- (alpha*m^2)*2^64/S, small-range
+        m*ln(m/zeros). Parity with SQL is pinned in tests/test_sketches.py."""
+        import math
+
+        m = self.m
+        cnt = np.bincount(self.registers, minlength=1)
+        s_int = sum(int(c) << (64 - r) for r, c in enumerate(cnt) if c)
+        zeros = int(cnt[0]) if len(cnt) else m
         alpha = 0.7213 / (1 + 1.079 / m)
-        inv = np.power(2.0, -self.registers.astype(np.float64))
-        e = alpha * m * m / inv.sum()
-        zeros = int((self.registers == 0).sum())
+        e = (alpha * (m * m)) * 18446744073709551616.0 / float(s_int)
         if e <= 2.5 * m and zeros:
-            e = m * np.log(m / zeros)  # small-range correction
+            e = m * math.log(m / float(zeros))  # small-range correction
         return float(e)
 
+    def estimate_int(self) -> int:
+        """Integer estimate: floor(e + 0.5) (half-up, matching the SQL
+        CAST(floor(e + 0.5) AS BIGINT) -- Python round() is half-even)."""
+        import math
 
-def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
+        return int(math.floor(self.estimate() + 0.5))
+
+
+def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> int:
     """Approximate COUNT(DISTINCT column): one HLL per batch, register-wise
-    max merge of the (batches x 4 KiB) sketches on the driver."""
+    max merge of the (batches x 4 KiB) sketches on the driver. Returns the
+    integer estimate (value-exact vs the DuckDB HLL replay)."""
 
     def _sketch(batch: pd.DataFrame) -> pd.DataFrame:
         h = HyperLogLog(p)
-        h.add(batch[column].to_numpy())
+        h.add(batch[column].dropna().to_numpy())
         return pd.DataFrame({"registers": [h.registers.tobytes()]})
 
     parts = ds.map_batches(_sketch, batch_format="pandas", batch_size=65536).to_pandas()
     merged = HyperLogLog(p)
     if len(parts) == 0:
-        return 0.0  # empty stream: zero distinct (zero-block schema loss)
+        return 0  # empty stream: zero distinct (zero-block schema loss)
     for buf in parts["registers"]:
         other = HyperLogLog(p)
         other.registers = np.frombuffer(buf, dtype=np.uint8).copy()
         merged.merge(other)
-    return merged.estimate()
+    return merged.estimate_int()
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +292,7 @@ def grouped_approx_distinct(
         rows = []
         for kv, g in batch.groupby(keys, sort=False):
             h = HyperLogLog(p)
-            h.add(g[column].to_numpy())
+            h.add(g[column].dropna().to_numpy())
             if not isinstance(kv, tuple):
                 kv = (kv,)
             rows.append((*kv, h.registers.tobytes()))
@@ -288,7 +314,7 @@ def grouped_approx_distinct(
             h.registers = regs.copy()
             if not isinstance(kv, tuple):
                 kv = (kv,)
-            rows.append((*kv, np.int64(round(h.estimate()))))
+            rows.append((*kv, np.int64(h.estimate_int())))
         return pd.DataFrame(rows, columns=keys + ["approx_n"])
 
     return hash_partition_apply(parts, keys, _merge, num_partitions,
