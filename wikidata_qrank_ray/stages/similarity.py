@@ -463,8 +463,8 @@ def pq_train_encode(
     """Product quantization (Jegou et al., TPAMI'11) -- the 100 TB
     vector-compression path: split each d-dim embedding into ``m``
     contiguous subvectors, train an independent k-means codebook per
-    subspace (reusing the BITWISE-deterministic integer-quantized
-    ``kmeans_train``), and encode every vector as m small codes
+    subspace (the same BITWISE-deterministic integer-quantized Lloyd
+    rules as ``kmeans_train``), and encode every vector as m small codes
     (m * log2(k) bits instead of d floats; 64-dim float32 -> 4 bytes at
     the defaults). Returns (codebooks: list of m (k, d/m) arrays,
     codes Dataset (vec_id, code_0..code_{m-1})).
@@ -472,11 +472,12 @@ def pq_train_encode(
     Determinism is inherited from the trainer (integer partial sums, ties
     to the lowest centroid id), so the whole pipeline is reshard-invariant
     and pinned against a single-process twin in tests. The m trainings
-    run sequentially (each is a handful of model-sized rounds); encoding
-    joins the m assignment Datasets by vec_id with bucketed joins --
-    nothing vector-count-scaled on the driver."""
-    from .join import bucketed_hash_join
-
+    advance JOINTLY (like pq_encode_integer): one quantized materialized
+    pass, one shared seed scan, one map_batches pass per Lloyd iteration
+    emitting all m fixed-size partials, one assignment pass emitting all
+    m code columns -- m x fewer corpus passes than sequential subspace
+    training, bitwise-identical output (elementwise rounding commutes
+    with column slicing). Nothing vector-count-scaled on the driver."""
     # probe dim from one row (schema-safe on empty input)
     head = emb.limit(1).to_pandas()
     if len(head) == 0:
@@ -486,29 +487,82 @@ def pq_train_encode(
     d = len(head["embedding"].iloc[0])
     bounds = [(si * d // m, (si + 1) * d // m) for si in range(m)]
 
-    codebooks = []
-    codes = None
-    for si, (lo, hi) in enumerate(bounds):
+    def _quant(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        q = (np.sign(v) * np.floor(np.abs(v) * quant_scale + 0.5)).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(np.int64), "q": list(q)})
 
-        def _slice(batch: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
-            v = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            return pd.DataFrame(
-                {"vec_id": batch["vec_id"].to_numpy(np.int64),
-                 "embedding": list(v[:, lo:hi])}
-            )
+    quant = emb.map_batches(
+        _quant, batch_format="pandas", batch_size=4096).materialize()
 
-        sub = emb.map_batches(_slice, batch_format="pandas", batch_size=4096)
-        cent, assign = kmeans_train(sub, k=k, iters=iters,
-                                    quant_scale=quant_scale)
-        codebooks.append(cent)
-        part = assign.map_batches(
-            lambda df, si=si: df.rename(columns={"cluster": f"code_{si}"}),
-            batch_format="pandas",
+    seed_rows = quant.map_batches(
+        lambda dd: dd.nsmallest(k, "vec_id"), batch_format="pandas"
+    ).to_pandas()
+    if len(seed_rows):
+        seed_rows = seed_rows.nsmallest(k, "vec_id")
+    if len(seed_rows) == 0:
+        return [], ray.data.from_pandas(
+            pd.DataFrame({"vec_id": pd.Series(dtype=np.int64)})
         )
-        codes = part if codes is None else bucketed_hash_join(
-            codes, part, "vec_id", "vec_id", num_partitions=8
-        )
-    return codebooks, codes
+    qseed = np.stack(seed_rows["q"].to_numpy()).astype(np.int64)
+    cents = [qseed[:, lo:hi].astype(np.float64) / quant_scale
+             for lo, hi in bounds]
+    kk = len(qseed)
+
+    def _partials(batch: pd.DataFrame, cents_ref=None) -> pd.DataFrame:
+        cs = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        qi = np.stack(batch["q"].to_numpy()).astype(np.int64)
+        frames = []
+        for si, (lo, hi) in enumerate(bounds):
+            subq = qi[:, lo:hi]
+            x = subq.astype(np.float64) / quant_scale
+            d2 = ((x[:, None, :] - cs[si][None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest cluster id
+            sums = np.zeros((kk, subq.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, subq)
+            frames.append(pd.DataFrame(
+                {"si": np.full(kk, si, dtype=np.int64),
+                 "cluster": np.arange(kk, dtype=np.int64),
+                 "n": np.bincount(assign, minlength=kk).astype(np.int64),
+                 "s": list(sums)}))
+        return pd.concat(frames, ignore_index=True)
+
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+        parts = quant.map_batches(
+            _partials, fn_kwargs={"cents_ref": cents_ref},
+            batch_format="pandas", batch_size=4096,
+        ).to_pandas()
+        nxt = []
+        for si in range(m):
+            p = parts[parts["si"] == si]
+            g = p.groupby("cluster", sort=True)
+            n = g["n"].sum().to_numpy(np.int64)
+            s = np.stack(
+                g["s"].apply(
+                    lambda col: np.sum(np.stack(col.to_numpy()), axis=0)
+                ).to_numpy())
+            upd = n > 0
+            c = cents[si].copy()
+            c[upd] = (s[upd].astype(np.float64) / n[upd, None]) / quant_scale
+            nxt.append(c)
+        cents = nxt
+
+    cents_ref = ray.put(cents)
+
+    def _assign(batch: pd.DataFrame, cents_ref=cents_ref) -> pd.DataFrame:
+        cs = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        qi = np.stack(batch["q"].to_numpy()).astype(np.int64)
+        out = {"vec_id": batch["vec_id"].to_numpy(np.int64)}
+        for si, (lo, hi) in enumerate(bounds):
+            x = qi[:, lo:hi].astype(np.float64) / quant_scale
+            d2 = ((x[:, None, :] - cs[si][None, :, :]) ** 2).sum(axis=2)
+            out[f"code_{si}"] = d2.argmin(axis=1).astype(np.int64)
+        return pd.DataFrame(out)
+
+    codes = quant.map_batches(_assign, batch_format="pandas", batch_size=4096)
+    return cents, codes
 
 
 def pq_adc_topk(
@@ -574,15 +628,23 @@ def pq_encode_integer(
     quant_scale: float = 1e6,
 ) -> ray.data.Dataset:
     """Product-quantization ENCODING on the pure integer quant grid:
-    per contiguous subspace, train the integer-domain Lloyd codebook
-    (``ivf_train_integer`` over the sliced quantized vectors) and assign
-    by int64 L2 -- so codes are bitwise deterministic AND value-exact
-    against a DuckDB oracle that unrolls all m trainers
-    (queries._pq_codes_sql). -> (vec_id, code_0..code_{m-1}).
+    per contiguous subspace an integer-domain Lloyd codebook, assignment
+    by int64 L2 -- bitwise deterministic AND value-exact against a DuckDB
+    oracle that unrolls all m trainers (queries._pq_codes_sql).
+    -> (vec_id, code_0..code_{m-1}).
+
+    All m subspace trainers advance JOINTLY: one quantized materialized
+    pass, one seed scan, then per Lloyd iteration a SINGLE map_batches
+    pass that emits the m fixed-size (k x (d/m + 1)) integer partials
+    side by side, and one final pass emitting all m code columns (no
+    per-subspace join). m x fewer passes over the corpus than training
+    the subspaces sequentially -- the dominant cost at scale -- with
+    bitwise-identical output: elementwise rounding commutes with column
+    slicing, the seed rows (k smallest vec_ids) are shared by every
+    subspace, and each subspace's integer sums/argmins are untouched
+    (pinned vs the sequential single-process twin in tests/test_pq.py).
     The float-mean pq_train_encode remains the ADC/topk path with its
     own bitwise twin."""
-    from .join import bucketed_hash_join
-
     head = emb.limit(1).to_pandas()
     if len(head) == 0:
         return ray.data.from_pandas(
@@ -590,25 +652,74 @@ def pq_encode_integer(
     d = len(head["embedding"].iloc[0])
     bounds = [(si * d // m, (si + 1) * d // m) for si in range(m)]
 
-    codes = None
-    for si, (lo, hi) in enumerate(bounds):
+    def _quant(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(np.int64),
+             "q": list(_quant_int(v, quant_scale))})
 
-        def _slice(batch: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
-            v = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            return pd.DataFrame(
-                {"vec_id": batch["vec_id"].to_numpy(np.int64),
-                 "embedding": list(v[:, lo:hi])})
+    quant = emb.map_batches(
+        _quant, batch_format="pandas", batch_size=4096).materialize()
 
-        sub = emb.map_batches(_slice, batch_format="pandas", batch_size=4096)
-        part = kmeans_integer_assign(sub, k=k, iters=iters,
-                                     quant_scale=quant_scale).map_batches(
-            lambda df, si=si: df.rename(columns={"cluster": f"code_{si}"}),
-            batch_format="pandas",
-        )
-        codes = part if codes is None else bucketed_hash_join(
-            codes, part, "vec_id", "vec_id", num_partitions=8
-        )
-    return codes
+    seed_rows = quant.map_batches(
+        lambda dd: dd.nsmallest(k, "vec_id"), batch_format="pandas"
+    ).to_pandas()
+    if len(seed_rows):
+        seed_rows = seed_rows.nsmallest(k, "vec_id")
+    if len(seed_rows) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"vec_id": pd.Series(dtype=np.int64)}))
+    qseed = np.stack(seed_rows["q"].to_numpy()).astype(np.int64)
+    cents = [qseed[:, lo:hi].copy() for lo, hi in bounds]
+    kk = len(qseed)
+
+    def _partials(batch: pd.DataFrame, cents=None) -> pd.DataFrame:
+        qi = np.stack(batch["q"].to_numpy()).astype(np.int64)
+        frames = []
+        for si, (lo, hi) in enumerate(bounds):
+            sub = qi[:, lo:hi]
+            c = cents[si]
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # int64-exact; ties -> lowest
+            sums = np.zeros((kk, sub.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, sub)
+            frames.append(pd.DataFrame(
+                {"si": np.full(kk, si, dtype=np.int64),
+                 "cluster": np.arange(kk, dtype=np.int64),
+                 "n": np.bincount(assign, minlength=kk).astype(np.int64),
+                 "s": list(sums)}))
+        return pd.concat(frames, ignore_index=True)
+
+    for _ in range(iters):
+        parts = quant.map_batches(
+            _partials, fn_kwargs={"cents": cents},
+            batch_format="pandas", batch_size=4096,
+        ).to_pandas()
+        nxt = []
+        for si in range(m):
+            p = parts[parts["si"] == si]
+            g = p.groupby("cluster", sort=True)
+            n = g["n"].sum().to_numpy(np.int64)
+            s = np.stack(
+                g["s"].apply(
+                    lambda col: np.sum(np.stack(col.to_numpy()), axis=0)
+                ).to_numpy())
+            upd = n > 0
+            c = cents[si].copy()
+            c[upd] = _int_round_div(s[upd], n[upd, None])
+            nxt.append(c)
+        cents = nxt
+
+    def _assign(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
+        qi = np.stack(batch["q"].to_numpy()).astype(np.int64)
+        out = {"vec_id": batch["vec_id"].to_numpy(np.int64)}
+        for si, (lo, hi) in enumerate(bounds):
+            sub = qi[:, lo:hi]
+            d2 = ((sub[:, None, :] - cents[si][None, :, :]) ** 2).sum(axis=2)
+            out[f"code_{si}"] = d2.argmin(axis=1).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return quant.map_batches(_assign, batch_format="pandas", batch_size=4096)
 
 
 def _hn_block_mins(
