@@ -173,15 +173,19 @@ def test_sqlhash64_matches_duckdb_replay():
 
     from wikidata_qrank_ray.functions.hashing import sqlhash64
 
+    # '' needs the explicit CASE guard used by _hll_sql: DuckDB's
+    # string_split_regex('', '') yields [''] and unicode('') is -1, which
+    # would seed the fold with -1 instead of polyhash64('') == 0
     vals = [f"u{i}" for i in range(500)] + [str(i) for i in range(500)] + [
-        "héllo wörld", "日本語テキスト", "a" * 300, "0", "-17"]
+        "héllo wörld", "日本語テキスト", "a" * 300, "0", "-17", ""]
     py = sqlhash64(np.asarray(vals, dtype=object))
     con = duckdb.connect()
     con.execute("CREATE TABLE t(s VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in vals])
     sql = r"""
-WITH h0 AS (SELECT s, list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(s, '')],
-                 (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) AS h FROM t),
+WITH h0 AS (SELECT s, CASE WHEN s = '' THEN 0
+                 ELSE list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(s, '')],
+                 (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) END AS h FROM t),
 x1 AS (SELECT s, xor(h, h // 1073741824) AS h FROM h0),
 m1 AS (SELECT s, ((h * 484763065) + ((h * 3210233709) % 4294967296) * 4294967296)
                  % 18446744073709551616 AS h FROM x1),

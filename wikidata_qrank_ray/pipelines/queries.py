@@ -7235,18 +7235,45 @@ def _hll_sql(p: int, value_expr: str, src: str, out_col: str,
     (HUGEINT->DOUBLE cast, one division, ln) is bitwise-identical to
     CPython/libm for every reachable operand after the half-up integer
     rounding -- pinned exhaustively over all 2^p zeros values and
-    randomized S in tests/test_sketches.py."""
+    randomized S in tests/test_sketches.py.
+
+    Contract: ``value_expr`` must render each value as the same string
+    Python's str() produces for the batch values (BIGINT -> '1' matches;
+    a nullable int column that pandas widens to float would render '1.0'
+    on the Ray side only). NULL values are skipped (COUNT(DISTINCT)
+    semantics); a group whose values are all NULL still emits estimate 0,
+    and the '' hash is pinned to polyhash64('') == 0 via a CASE guard
+    (DuckDB unicode('') is -1)."""
     m = 1 << p
     low = 1 << (64 - p)
     mask = m - 1
     g = f"{group_col}, " if group_col else ""
     null_guard = f" AND {group_col} IS NOT NULL" if group_col else ""
     grp_by = f"GROUP BY {group_col}" if group_col else ""
+    # grouped: a group whose values are ALL NULL must still appear with
+    # estimate 0 (COUNT(DISTINCT) semantics, matching the Ray path's
+    # empty sketch) -- left-join the estimates onto the group list
+    if group_col:
+        final = f""",
+hllkeys AS (SELECT DISTINCT {group_col} FROM {src}
+             WHERE {group_col} IS NOT NULL)
+SELECT k.{group_col},
+       CAST(COALESCE(floor(CASE WHEN r <= {2.5 * m} AND zeros > 0
+                                THEN {m}.0 * ln({m}.0 / CAST(zeros AS DOUBLE))
+                                ELSE r END + 0.5), 0) AS BIGINT) AS {out_col}
+FROM hllkeys k LEFT JOIN hllraw USING ({group_col})"""
+    else:
+        final = f"""
+SELECT CAST(floor(CASE WHEN r <= {2.5 * m} AND zeros > 0
+                          THEN {m}.0 * ln({m}.0 / CAST(zeros AS DOUBLE))
+                          ELSE r END + 0.5) AS BIGINT) AS {out_col}
+FROM hllraw"""
     return f"""
 WITH hllu AS (SELECT DISTINCT {g}{value_expr} AS s FROM {src}
               WHERE {value_expr} IS NOT NULL{null_guard}),
-hll0 AS (SELECT {g}list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(s, '')],
-                (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) AS h FROM hllu),
+hll0 AS (SELECT {g}CASE WHEN s = '' THEN 0
+                ELSE list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split_regex(s, '')],
+                (acc, x) -> (acc * 1000003 + x) % 18446744073709551616) END AS h FROM hllu),
 hllx1 AS (SELECT {g}xor(h, h // 1073741824) AS h FROM hll0),
 hllm1 AS (SELECT {g}((h * 484763065) + ((h * 3210233709) % 4294967296) * 4294967296)
                     % 18446744073709551616 AS h FROM hllx1),
@@ -7264,11 +7291,7 @@ hlla AS (SELECT {g}COALESCE(SUM(CAST(1 AS HUGEINT) << (64 - reg)), 0)
 hllraw AS (SELECT {g}S, zeros,
                   ((0.7213 / (1 + 1.079 / {m})) * {m * m}) * 18446744073709551616.0
                     / CAST(S AS DOUBLE) AS r
-           FROM hlla)
-SELECT {g}CAST(floor(CASE WHEN r <= {2.5 * m} AND zeros > 0
-                          THEN {m}.0 * ln({m}.0 / CAST(zeros AS DOUBLE))
-                          ELSE r END + 0.5) AS BIGINT) AS {out_col}
-FROM hllraw"""
+           FROM hlla){final}"""
 
 
 def oracle_sql():

@@ -387,11 +387,10 @@ def kmeans_train(
     vec_ids (found with per-batch partial min-k, no global sort)."""
     def _quant(batch: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        # half-away-from-zero (queries._cents semantics), inlined so the
-        # worker closure has no cross-module import
-        q = (np.sign(m) * np.floor(np.abs(m) * quant_scale + 0.5)).astype(np.int64)
+        # half-away-from-zero (queries._cents semantics), one shared rule
         return pd.DataFrame(
-            {"vec_id": batch["vec_id"].to_numpy(np.int64), "q": list(q)}
+            {"vec_id": batch["vec_id"].to_numpy(np.int64),
+             "q": list(_quant_int(m, quant_scale))}
         )
 
     quant = emb.map_batches(_quant, batch_format="pandas", batch_size=4096).materialize()
@@ -489,9 +488,9 @@ def pq_train_encode(
 
     def _quant(batch: pd.DataFrame) -> pd.DataFrame:
         v = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        q = (np.sign(v) * np.floor(np.abs(v) * quant_scale + 0.5)).astype(np.int64)
         return pd.DataFrame(
-            {"vec_id": batch["vec_id"].to_numpy(np.int64), "q": list(q)})
+            {"vec_id": batch["vec_id"].to_numpy(np.int64),
+             "q": list(_quant_int(v, quant_scale))})
 
     quant = emb.map_batches(
         _quant, batch_format="pandas", batch_size=4096).materialize()

@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from ..functions.hashing import sqlhash64, stable_hash64
+from ..functions.hashing import sqlhash64
 
 
 class HyperLogLog:
@@ -68,7 +68,7 @@ class HyperLogLog:
         m = self.m
         cnt = np.bincount(self.registers, minlength=1)
         s_int = sum(int(c) << (64 - r) for r, c in enumerate(cnt) if c)
-        zeros = int(cnt[0]) if len(cnt) else m
+        zeros = int(cnt[0])
         alpha = 0.7213 / (1 + 1.079 / m)
         e = (alpha * (m * m)) * 18446744073709551616.0 / float(s_int)
         if e <= 2.5 * m and zeros:
