@@ -229,3 +229,38 @@ def test_hll_estimate_matches_duckdb_expression():
             py = math.floor(
                 (alpha * (m * m)) * 18446744073709551616.0 / float(int(S)) + 0.5)
             assert py == sq, (p, S)
+
+
+def test_grouped_hll_all_null_group_matches_oracle():
+    """A group whose values are ALL NULL must appear with estimate 0 on
+    both engines (COUNT(DISTINCT) semantics: values skipped, group kept),
+    and NULL group keys are dropped -- the code-review-found divergence
+    pinned as a permanent oracle-parity case."""
+    import duckdb
+
+    from wikidata_qrank_ray.pipelines.queries import _hll_sql
+    from wikidata_qrank_ray.stages.sketches import (
+        approx_distinct,
+        grouped_approx_distinct,
+    )
+
+    df = pd.DataFrame(
+        {"event_type": ["a", "a", "b", "b", None],
+         "user_id": pd.array([1, 2, None, None, 5], dtype="Int64")})
+    ds = ray.data.from_pandas(df).repartition(2)
+    got = (grouped_approx_distinct(ds, ["event_type"], "user_id", p=10)
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events AS SELECT * FROM df")
+    want = con.execute(
+        _hll_sql(10, "CAST(user_id AS VARCHAR)", "events", "approx_n",
+                 group_col="event_type")
+    ).df().sort_values("event_type").reset_index(drop=True)
+    assert got["event_type"].tolist() == ["a", "b"] == want["event_type"].tolist()
+    assert got["approx_n"].astype(int).tolist() == want["approx_n"].astype(int).tolist()
+    # ungrouped: NULL values skipped on both sides
+    est = approx_distinct(ds, "user_id", p=12)
+    u = con.execute(
+        _hll_sql(12, "CAST(user_id AS VARCHAR)", "events", "approx_users")
+    ).fetchone()[0]
+    assert est == u == 3
