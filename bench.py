@@ -87,6 +87,7 @@ QUERY_NAMES = [
     "overlap_pairs",
     "session_overlaps",
     "bpe_merges",
+    "bpe_tokenize",
     "user_snapshot_diff",
     "approx_users_per_type",
     "entity_communities",

@@ -71,3 +71,29 @@ def test_bpe_tiers_equal():
     a = bpe_learn(ds, n_merges=6, distributed=False)
     b = bpe_learn(ds, n_merges=6, distributed=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bpe_tokenize_matches_sequential_twin():
+    """Distributed apply == per-word sequential greedy scan, bitwise,
+    across resharding (and an overlap-chain vocab that stresses the
+    run-parity rule)."""
+    from wikidata_qrank_ray.stages.bpe import (
+        bpe_tokenize_counts,
+        bpe_tokenize_reference,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = ["banana", "bandana", "cabana", "aaaa", "aaa", "data", "naan"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 9)))
+             for _ in range(200)]
+    texts += ["", "a", "aaaa aaaa aaaa", None]
+    merges_df = bpe_learn(_docs(texts), n_merges=8)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    want = bpe_tokenize_reference(texts, merges)
+    for nparts in (1, 7):
+        got = (bpe_tokenize_counts(_docs(texts, nparts=nparts),
+                                   merges=merges)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got["n_tokens"].tolist() == want
+        assert got["n_words"].tolist() == [
+            len((t or "").split()) for t in texts]

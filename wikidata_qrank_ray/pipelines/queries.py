@@ -2343,6 +2343,25 @@ def q_bpe_merges(sf_dir: str):
     )
 
 
+def q_bpe_tokenize(sf_dir: str):
+    """Tokenizer APPLICATION: train the 8-merge BPE on the corpus, then
+    tokenize every document with the learned ruleset -> (doc_id, n_words,
+    n_tokens). The apply pass broadcasts the driver-state-sized merge
+    list once and is per-unique-word per batch (stages/bpe.py
+    bpe_tokenize_counts) -- the missing half of the tokenizer-training
+    story (bpe_merges trains, this measures the compression the trained
+    vocab actually buys on the corpus). Value-exact: the oracle reuses
+    the unrolled training chain's final symbol state (_bpe_tokenize_sql);
+    also bitwise-pinned against a sequential-scan twin in
+    tests/test_bpe.py."""
+    from ..stages.bpe import bpe_tokenize_counts
+
+    return bpe_tokenize_counts(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        n_merges=8,
+    )
+
+
 def q_users_per_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): two-level aggregate -- dedupe the
     (event_type, user_id) pair space distributedly (map-side partial
@@ -6536,6 +6555,17 @@ def _round4f_queries():
     }
 
 
+def _round4h_queries():
+    """Eighth-session round-4 additions; ORDER CONTRACT: registered after
+    _round4f_queries, still inside the never-driver-sampled region (the
+    round-4 driver samples the first 50 never-sampled entries; these get
+    their driver rows in round 5 -- combined round-4h + round-5 additions
+    must stay <= 13 so round 5's 50-entry sample closes the gate)."""
+    return {
+        "bpe_tokenize": q_bpe_tokenize,
+    }
+
+
 def _round4d_queries():
     """Fourth-session round-4 additions. Registered AFTER _round4_queries
     so the existing 50-entry never-sampled prefix is what the round-4
@@ -6627,6 +6657,7 @@ def queries():
         **_round4d_queries(),
         **_round4e_queries(),
         **_round4f_queries(),
+        **_round4h_queries(),
         # --- round-3b additions (driver-sampled round 3) ---
         "tf_cosine_pairs": q_tf_cosine_pairs,
         "part_skyline": q_part_skyline,
@@ -6934,18 +6965,19 @@ def _pq_codes_sql(m: int = 4, k: int = 16, iters: int = 3,
             + f"\nSELECT b.vec_id AS vec_id, {cols} FROM pq_base b {joins}")
 
 
-def _bpe_merges_sql(n_merges: int = 8) -> str:
-    """DuckDB twin of stages.bpe.bpe_learn (round-4; previously
-    rows-only): the Sennrich word-count reduction, then ``n_merges``
-    UNROLLED merge rounds -- pair counts over adjacent same-word symbols
-    weighted by word count, argmax by (weight DESC, left, right) with the
-    >= 2 floor, and the greedy-leftmost merge via the gaps-and-islands
+def _bpe_state_ctes(n_merges: int = 8) -> list[str]:
+    """Shared CTE chain for the BPE oracles: the Sennrich word-count
+    reduction (bw), char-exploded state (bs0), then ``n_merges`` UNROLLED
+    merge rounds -- pair counts over adjacent same-word symbols weighted
+    by word count, argmax by (weight DESC, left, right) with the >= 2
+    floor, and the greedy-leftmost merge via the gaps-and-islands
     run-parity rule (keep even offsets within each run of consecutive
     matches == the sequential scan). MATERIALIZED CTEs stop DuckDB from
     re-inlining the state into every reference. A round whose best pair
     falls below the floor leaves the state untouched (NULL scalar
     subqueries match nothing), so later rounds emit nothing -- identical
-    early-stop semantics to the Ray trainer."""
+    early-stop semantics to the Ray trainer. Consumers: _bpe_merges_sql
+    (reads every bbest{i}) and _bpe_tokenize_sql (reads bs{n_merges})."""
     parts = [r"""bw AS MATERIALIZED (
   SELECT t AS wid, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
     SELECT UNNEST(regexp_extract_all(COALESCE(text, ''), '\S+')) AS t
@@ -6987,10 +7019,41 @@ bs{i + 1} AS MATERIALIZED (
   FROM bk{i} k
   LEFT JOIN bk{i} p ON p.wid = k.wid AND p.rn = k.rn - 1
   WHERE COALESCE(p.keep, 0) = 0)""")
+    return parts
+
+
+def _bpe_merges_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of stages.bpe.bpe_learn (round-4; previously
+    rows-only): the shared unrolled-merge chain, emitting every round's
+    winning pair. See _bpe_state_ctes for the round semantics."""
+    parts = _bpe_state_ctes(n_merges)
     final = " UNION ALL ".join(
         f'SELECT CAST({i} AS BIGINT) AS step, l AS "left", r AS "right", wgt AS weight FROM bbest{i}'
         for i in range(n_merges))
     return "WITH " + ",\n".join(parts) + "\n" + final + " ORDER BY step"
+
+
+def _bpe_tokenize_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of stages.bpe.bpe_tokenize_counts: run the shared
+    unrolled training chain to the final symbol state bs{n}, count
+    symbols per unique word, then explode every document's words and sum
+    -- per-doc (n_words, n_tokens) exactly as the distributed apply pass
+    computes them (apply == train semantics: the state IS the tokenized
+    form of every corpus word)."""
+    parts = _bpe_state_ctes(n_merges)
+    return ("WITH " + ",\n".join(parts) + f""",
+btk_nsym AS MATERIALIZED (
+  SELECT wid, CAST(COUNT(*) AS BIGINT) AS ns FROM bs{n_merges} GROUP BY wid),
+btk_dw AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS t
+  FROM documents)
+SELECT d.doc_id AS doc_id,
+       CAST(COUNT(w.t) AS BIGINT) AS n_words,
+       CAST(COALESCE(SUM(n.ns), 0) AS BIGINT) AS n_tokens
+FROM documents d
+LEFT JOIN btk_dw w ON w.doc_id = d.doc_id
+LEFT JOIN btk_nsym n ON n.wid = w.t
+GROUP BY d.doc_id""")
 
 
 def _lsh_near_dups_sql(bits: int = 4, n_tables: int = 8, seed: int = 11,
@@ -8425,6 +8488,7 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         "kmeans_clusters": _kmeans_sql(),
         "pq_codes": _pq_codes_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_tokenize": _bpe_tokenize_sql(),
         # full MinHash-LSH pipeline recomputed in SQL (signatures, band
         # hashes, the O(n)-per-bucket candidate edge rule, exact-Jaccard
         # verification, min-label clustering) -- value-exact because every

@@ -317,3 +317,83 @@ def bpe_learn_reference(texts: list[str], n_merges: int = 8) -> pd.DataFrame:
                     i += 1
             words[w] = out
     return pd.DataFrame(merges, columns=["step", "left", "right", "weight"])
+
+
+def _bpe_apply_batch(batch: pa.Table, merges: list) -> pd.DataFrame:
+    """Tokenize one documents batch with a trained merge list ->
+    (doc_id, n_words, n_tokens). Work is per-UNIQUE-word: factorize the
+    batch's tokens, run every merge once over the flat symbol arrays of
+    the unique words (the same `_apply_merge_flat` kernel the trainer
+    uses, so apply == train semantics by construction), then scatter the
+    per-word symbol counts back to docs with two bincounts. Whole docs
+    sit in one row, so per-batch output is final -- no shuffle."""
+    nrows = batch.num_rows
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, parent = flat_tokens(batch["text"], fill_null=True)
+    if len(flat) == 0:
+        return pd.DataFrame({
+            "doc_id": doc_id,
+            "n_words": np.zeros(nrows, dtype=np.int64),
+            "n_tokens": np.zeros(nrows, dtype=np.int64)})
+    codes, uniques = pd.factorize(flat.to_numpy(zero_copy_only=False))
+    syms, widx, _ = _explode_symbols(
+        np.asarray(uniques, dtype=object), np.ones(len(uniques)))
+    for left, right in merges:
+        syms, widx = _apply_merge_flat(syms, widx, left, right)
+    nsym = np.bincount(widx, minlength=len(uniques)).astype(np.int64)
+    n_words = np.bincount(parent, minlength=nrows).astype(np.int64)
+    n_tokens = np.bincount(
+        parent, weights=nsym[codes], minlength=nrows).astype(np.int64)
+    return pd.DataFrame(
+        {"doc_id": doc_id, "n_words": n_words, "n_tokens": n_tokens})
+
+
+def bpe_tokenize_counts(
+    docs: ray.data.Dataset,
+    n_merges: int = 8,
+    num_partitions: int = 64,
+    merges: list | None = None,
+) -> ray.data.Dataset:
+    """Train-then-apply: learn ``n_merges`` BPE merges over the corpus
+    (unless a trained ``merges`` list of (left, right) pairs is passed),
+    broadcast the merge list once (``ray.put``), and tokenize every
+    document -> (doc_id, n_words, n_tokens) with n_tokens = symbols after
+    all merges. The apply pass is embarrassingly parallel (the trained
+    ruleset is driver-state-sized: N pairs); per batch the cost is
+    per-unique-word, so dedup-heavy corpora tokenize cheaper than their
+    row count. Reference analogue: none -- the reference ranks entities,
+    it never trains a tokenizer; this is the LLM-pipeline extension."""
+    if merges is None:
+        mdf = bpe_learn(docs, n_merges, num_partitions)
+        merges = list(zip(mdf["left"], mdf["right"]))
+    mref = ray.put([(str(l), str(r)) for l, r in merges])
+
+    def _apply(batch: pa.Table) -> pd.DataFrame:
+        return _bpe_apply_batch(batch, ray.get(mref))
+
+    return docs.map_batches(_apply, batch_format="pyarrow")
+
+
+def bpe_tokenize_reference(
+    texts: list[str], merges: list[tuple[str, str]]
+) -> list[int]:
+    """Single-process apply twin (sequential greedy-leftmost scan per
+    word per merge) -- the bitwise pin for tests."""
+    out = []
+    for txt in texts:
+        total = 0
+        for w in (txt or "").split():
+            syms = list(w)
+            for l, r in merges:
+                nxt, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        nxt.append(l + r)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            total += len(syms)
+        out.append(total)
+    return out
