@@ -1573,7 +1573,13 @@ def edit_near_dups(
             }
         )
 
-    staged = docs.map_batches(_keys, batch_format="pyarrow", batch_size=65536)
+    # batch_size=None: per-BLOCK stamping. An explicit batch_size here
+    # BUNDLES the upstream read blocks into one giant batch at small
+    # corpus sizes, which collapses the sort-shuffle to ONE partition and
+    # runs the whole quadratic sweep serially on one core (measured 4.3 s
+    # single-task at sf0.1); per-block keeps the read's fan-out so the
+    # sweep parallelizes, and at scale blocks are already batch-sized.
+    staged = docs.map_batches(_keys, batch_format="pyarrow", batch_size=None)
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
