@@ -660,3 +660,30 @@ def test_tf_cosine_df_cutoff_exact_on_reduced_space():
                 want.append([i, j, dot, na, nb])
     assert got.to_numpy().tolist() == want
     assert len(want) >= 1
+
+
+def test_title_resolution_assignment_tiers_identical():
+    """The size-gated broadcast assignment (sorted-array searchsorted
+    lookup) and the bucketed left-join fallback in q_title_resolution
+    produce the identical whole-corpus (doc_id, canon_id) assignment."""
+    import wikidata_qrank_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    saved = Q.TITLE_RES_BROADCAST_MAX_MEMBERS
+    try:
+        Q.TITLE_RES_BROADCAST_MAX_MEMBERS = 0  # force the join tier
+        via_join = (
+            Q.q_title_resolution(sf)
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        Q.TITLE_RES_BROADCAST_MAX_MEMBERS = saved  # broadcast tier
+        via_bcast = (
+            Q.q_title_resolution(sf)
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+    finally:
+        Q.TITLE_RES_BROADCAST_MAX_MEMBERS = saved
+    import pandas as pd
+    pd.testing.assert_frame_equal(via_join, via_bcast)
+    # some docs must actually be remapped for the test to mean anything
+    assert (via_bcast["doc_id"] != via_bcast["canon_id"]).any()

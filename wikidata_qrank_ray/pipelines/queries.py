@@ -35,6 +35,11 @@ from ..sources.gazetteer import tokens_of_batch
 from ..stages.textstats import fingerprints, lang_id, quality_scores, token_counts
 from ..stages.triples import extract_triples
 
+# near-dup membership sets small enough to ship as two sorted int64 arrays
+# (4M rows = 64 MB in the object store) resolve by broadcast lookup instead
+# of an all-to-all assignment join (q_title_resolution)
+TITLE_RES_BROADCAST_MAX_MEMBERS = 4_000_000
+
 # ---------------------------------------------------------------------------
 # SQL building blocks (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -2990,8 +2995,11 @@ def q_title_resolution(sf_dir: str):
     graph -> every doc assigned a canonical representative (cluster min
     doc_id; unmatched docs, including token-less ones, keep themselves).
     Output (doc_id, canon_id) covers the WHOLE corpus -- the assignment
-    is a bucketed left join of docs against the (small) membership set,
-    so nothing corpus-scaled lands on the driver."""
+    is size-gated: a membership set small enough to broadcast (sorted
+    int64 arrays via ray.put, searchsorted lookup per batch -- the
+    dim-side pattern of stages/mentions) skips the all-to-all entirely;
+    above the gate it falls back to the bucketed left join, so nothing
+    corpus-scaled lands on the driver either way."""
     from ..stages.dedup import edit_near_dups
     from ..stages.graph import connected_components_auto
     from ..stages.join import bucketed_hash_join
@@ -3000,13 +3008,43 @@ def q_title_resolution(sf_dir: str):
     pairs = edit_near_dups(docs, key_tokens=4, max_dist=3).map_batches(
         lambda df: df[["a", "b"]], batch_format="pandas"
     )
-    members = connected_components_auto(pairs).map_batches(
-        lambda df: df.rename(columns={"node": "doc_id", "rep": "canon_id"}),
-        batch_format="pandas",
-    )
+    # membership-set-sized (near-dup cluster members only); materialize so
+    # the count probe and the assignment consumer share one execution
+    members = connected_components_auto(pairs).materialize()
+    doc_ids = docs.map_batches(
+        lambda df: df[["doc_id"]], batch_format="pandas")
+
+    if members.count() <= TITLE_RES_BROADCAST_MAX_MEMBERS:
+        mp = _pd(members, {"node": "int64", "rep": "int64"})
+        order = np.argsort(mp["node"].to_numpy(np.int64), kind="stable")
+        ref = ray.put((mp["node"].to_numpy(np.int64)[order],
+                       mp["rep"].to_numpy(np.int64)[order]))
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            nodes, reps = ray.get(ref)
+            ids = df["doc_id"].to_numpy(np.int64)
+            canon = ids.copy()
+            if len(nodes):
+                idx = np.searchsorted(nodes, ids)
+                idx_c = np.minimum(idx, len(nodes) - 1)
+                hit = nodes[idx_c] == ids
+                canon[hit] = reps[idx_c[hit]]
+            return pd.DataFrame({"doc_id": ids, "canon_id": canon})
+
+        out = _pd(
+            doc_ids.map_batches(assign, batch_format="pandas"),
+            {"doc_id": "int64", "canon_id": "int64"},
+        )
+        return out.reset_index(drop=True)
+
     joined = bucketed_hash_join(
-        docs.map_batches(lambda df: df[["doc_id"]], batch_format="pandas"),
-        members, "doc_id", "doc_id", how="left",
+        doc_ids,
+        members.map_batches(
+            lambda df: df.rename(columns={"node": "doc_id",
+                                          "rep": "canon_id"}),
+            batch_format="pandas",
+        ),
+        "doc_id", "doc_id", how="left",
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
