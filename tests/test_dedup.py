@@ -671,7 +671,9 @@ def test_title_resolution_assignment_tiers_identical():
     sf = "/root/testdata/sf0.001"
     saved = Q.TITLE_RES_BROADCAST_MAX_MEMBERS
     try:
-        Q.TITLE_RES_BROADCAST_MAX_MEMBERS = 0  # force the join tier
+        # -1 forces the join tier even for an EMPTY membership set
+        # (count() <= 0 would still pick the broadcast tier)
+        Q.TITLE_RES_BROADCAST_MAX_MEMBERS = -1
         via_join = (
             Q.q_title_resolution(sf)
             .sort_values("doc_id").reset_index(drop=True)
@@ -687,3 +689,38 @@ def test_title_resolution_assignment_tiers_identical():
     pd.testing.assert_frame_equal(via_join, via_bcast)
     # some docs must actually be remapped for the test to mean anything
     assert (via_bcast["doc_id"] != via_bcast["canon_id"]).any()
+
+
+def test_edit_near_dups_key_slice_invariant(monkeypatch):
+    """The generator slicing of the key/replication map is output-invariant:
+    forcing 2-row slices (many yielded blocks per input block) returns the
+    identical pair set as the default 65536-row cap."""
+    import pyarrow as pa
+    import ray.data
+
+    import wikidata_qrank_ray.stages.dedup as D
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "text": [
+            "the quick brown fox jumps",
+            "the quick brown fx jumps",
+            "the quick brown cat naps",
+            "zz", "zzq",
+            "completely different words here",
+            "",
+        ],
+    }))
+
+    def pairs():
+        return (
+            D.edit_near_dups(docs, key_tokens=4, max_dist=3, num_partitions=8)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+
+    base = pairs()
+    monkeypatch.setattr(D, "_KEYS_SLICE_ROWS", 2)
+    sliced = pairs()
+    import pandas as pd
+    pd.testing.assert_frame_equal(base, sliced)
+    assert len(base) > 0

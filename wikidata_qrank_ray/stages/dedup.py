@@ -38,6 +38,12 @@ from ..functions.tokenize import flat_tokens, kgram_join, kgram_starts
 # collide, so mixing them silently hides every cross-increment duplicate.
 SIG_HASH_FN = "polyhash64-v1"
 
+# per-call input cap of edit_near_dups' key/replication map: one call
+# builds a 2*sub_blocks-fold replicated object-dtype frame, so cap the
+# rows one slice stages (65536 in -> ~1M staged rows) independent of how
+# many rows the byte-targeted read packs into a block
+_KEYS_SLICE_ROWS = 65536
+
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Keep the smallest doc_id per identical text -> (doc_id, text).
@@ -1529,7 +1535,19 @@ def edit_near_dups(
     width = max_dist + 1
     S = max(1, sub_blocks)
 
-    def _keys(t: pa.Table) -> pd.DataFrame:
+    def _keys(t: pa.Table):
+        # generator: one output frame per <= _KEYS_SLICE_ROWS input rows.
+        # Bounds the 2*sub_blocks-fold replicated staged frame a single
+        # call builds (a byte-targeted read block of short docs can hold
+        # millions of rows), while keeping batch_size=None below so small
+        # corpora keep the read's block fan-out (see comment there).
+        if t.num_rows == 0:
+            yield _keys_slice(t)  # keep the staged schema on empty blocks
+            return
+        for s in range(0, t.num_rows, _KEYS_SLICE_ROWS):
+            yield _keys_slice(t.slice(s, _KEYS_SLICE_ROWS))
+
+    def _keys_slice(t: pa.Table) -> pd.DataFrame:
         flat, parent = flat_tokens(t["text"], fill_null=True)
         toks = np.asarray(flat.to_pandas(), dtype=object)
         nrow = t.num_rows
