@@ -88,6 +88,11 @@ QUERY_NAMES = [
     "session_overlaps",
     "bpe_merges",
     "bpe_tokenize",
+    "revenue_cube",
+    "supplier_hhi",
+    "vocab_coverage",
+    "importance_weights",
+    "semantic_dedup",
     "user_snapshot_diff",
     "approx_users_per_type",
     "entity_communities",

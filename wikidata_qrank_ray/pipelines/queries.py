@@ -6548,6 +6548,306 @@ def q_entity_salience(sf_dir: str):
                                 num_partitions=32, stamp_batch_size=None)
 
 
+def q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, c_mktsegment) over orders joined to
+    their customers -- all four grouping sets (fine, by status, by
+    segment, grand total) from ONE row-count-scaled pass: the bucketed
+    orders><customer join feeds a single (status, segment) aggregate,
+    and the coarser sets re-aggregate the tiny |statuses| x |segments|
+    fine result on the driver (the q_revenue_rollup optimization,
+    extended from the rollup lattice chain to the full cube lattice).
+    NULL key columns exactly as SQL CUBE emits them."""
+    from ..stages.groupby import hash_partition_aggregate
+    from ..stages.join import bucketed_hash_join
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey",
+                           how="inner", num_partitions=16)
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "c_mktsegment": batch["c_mktsegment"],
+                "price_c": _cents(batch["o_totalprice"].to_numpy()),
+                "n": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    fine = _pd(
+        hash_partition_aggregate(
+            j.map_batches(prep, batch_format="pandas", batch_size=65536),
+            ["o_orderstatus", "c_mktsegment"],
+            {"n_orders": ("n", "sum"), "revenue_c": ("price_c", "sum")},
+        ),
+        {"o_orderstatus": object, "c_mktsegment": object,
+         "n_orders": "int64", "revenue_c": "int64"},
+    )
+    by_status = fine.groupby(
+        "o_orderstatus", as_index=False)[["n_orders", "revenue_c"]].sum()
+    by_status["c_mktsegment"] = None
+    by_seg = fine.groupby(
+        "c_mktsegment", as_index=False)[["n_orders", "revenue_c"]].sum()
+    by_seg["o_orderstatus"] = None
+    top = pd.DataFrame(
+        {
+            "o_orderstatus": [None], "c_mktsegment": [None],
+            "n_orders": [int(fine["n_orders"].sum())],
+            # empty input: SQL CUBE still emits the grand-total row,
+            # with COUNT(*) = 0 and SUM = NULL
+            "revenue_c": [fine["revenue_c"].sum() if len(fine) else np.nan],
+        }
+    )
+    out = pd.concat([fine, by_status, by_seg, top], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue"] = out.pop("revenue_c").astype(np.float64) / 100.0
+    return out[["o_orderstatus", "c_mktsegment", "n_orders", "revenue"]]
+
+
+def q_supplier_hhi(sf_dir: str):
+    """Per-nation Herfindahl-Hirschman concentration of supplier revenue
+    -> (n_name, n_suppliers, hhi): the share_ppm rule of q_supplier_share
+    (exact floor-ppm of the nation total), hhi = SUM(share_ppm^2) -- the
+    source-concentration audit a mixture builder runs before trusting a
+    per-source weighting (HHI ~ 1e12/n means n equal sources; ~1e12 means
+    one source dominates). Sum of squares of ppm shares is bounded by
+    1e12 so the rollup stays in int64; the per-supplier shares never
+    leave the cluster -- one nation-keyed aggregate over the
+    supplier-sized share table."""
+    from ..stages.groupby import hash_partition_aggregate
+
+    shares = q_supplier_share(sf_dir)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["share_ppm"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_name": df["n_name"],
+                "sq": s * s,
+                "one": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    return _pd(
+        hash_partition_aggregate(
+            shares.map_batches(prep, batch_format="pandas"),
+            ["n_name"],
+            {"n_suppliers": ("one", "sum"), "hhi": ("sq", "sum")},
+            num_partitions=4, stamp_batch_size=None,
+        ),
+        {"n_name": object, "n_suppliers": "int64", "hhi": "int64"},
+    )
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve: what fraction of the corpus token mass
+    the top-k most frequent tokens cover, for k in {1, 3, 10} ->
+    (k, n_top_tokens, covered_tokens, total_tokens, coverage_ppm). The
+    tokenizer-budget question asked before freezing a vocab size. One
+    token-hashed aggregate is the only corpus-scaled work; the ranked
+    head is a vocabulary-sorted limit (ties broken token-asc so the
+    cutoff is deterministic), and only max(k) rows reach the driver."""
+    from ..functions.tokenize import flat_tokens
+    from ..stages.groupby import hash_partition_aggregate
+
+    ks = (1, 3, 10)
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens(t["text"], fill_null=True)
+        return pa.table({"token": flat})
+
+    counts = hash_partition_aggregate(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        ["token"], {"cnt": ("token", "count")}, stamp_batch_size=None,
+    ).materialize()
+    total = int(counts.sum("cnt") or 0)
+    head = _pd(
+        counts.sort(["cnt", "token"], descending=[True, False]).limit(max(ks)),
+        {"token": object, "cnt": "int64"},
+    )
+    cum = head["cnt"].to_numpy(np.int64).cumsum()
+    rows = []
+    for k in ks:
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append(
+            {
+                "k": k,
+                "n_top_tokens": min(k, len(cum)),
+                "covered_tokens": covered,
+                "total_tokens": total,
+                "coverage_ppm": covered * 1_000_000 // total if total else 0,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def q_importance_weights(sf_dir: str):
+    """DSIR-style hashed-bigram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    public): bigrams hash into 64 buckets (polyhash64 % 64, the
+    SQL-replayable hash); a raw bucket table over the whole corpus and a
+    target table over the src0 slice give per-bucket importance ratios
+    ratio_ppm = tgt*1e6 // raw, and each document scores the sum of its
+    bigram occurrences' ratios -> (doc_id, n_bigrams, imp_score). Pass 1
+    emits 64-row partials (bucket tables are hash-width-sized, never
+    corpus-sized); the ratio array broadcasts into pass 2's batches.
+    Integer floor ratios keep the whole thing value-exact."""
+    from ..functions.hashing import polyhash64
+    from ..functions.tokenize import flat_tokens, kgram_join, kgram_starts
+    from ..stages.groupby import hash_partition_aggregate
+
+    n_buckets = 64
+    target_source = "src0"
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def _doc_buckets(t: pa.Table):
+        """Per-batch (bucket id per bigram occurrence, parent doc row)."""
+        flat, parent = flat_tokens(t["text"], fill_null=True)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        starts = kgram_starts(parent, 2)
+        bg = kgram_join(toks, starts, 2)
+        bucket = (polyhash64(bg) % np.uint64(n_buckets)).astype(np.int64)
+        return bucket, parent[starts] if len(starts) else np.array([], dtype=np.int64)
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        bucket, doc_row = _doc_buckets(t)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        is_tgt = np.zeros(len(bucket), dtype=bool)
+        if len(bucket):
+            is_tgt = (src[doc_row] == target_source)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                "raw_n": pa.array(np.bincount(bucket, minlength=n_buckets)
+                                  .astype(np.int64)),
+                "tgt_n": pa.array(np.bincount(bucket[is_tgt], minlength=n_buckets)
+                                  .astype(np.int64)),
+            }
+        )
+
+    tab = _pd(
+        hash_partition_aggregate(
+            docs.map_batches(bucket_partials, batch_format="pyarrow"),
+            ["bucket"], {"raw_n": ("raw_n", "sum"), "tgt_n": ("tgt_n", "sum")},
+            num_partitions=4, stamp_batch_size=None,
+        ),
+        {"bucket": "int64", "raw_n": "int64", "tgt_n": "int64"},
+    )
+    ratio_ppm = np.zeros(n_buckets, dtype=np.int64)
+    b = tab["bucket"].to_numpy(np.int64)
+    raw = tab["raw_n"].to_numpy(np.int64)
+    tgt = tab["tgt_n"].to_numpy(np.int64)
+    nz = raw > 0
+    ratio_ppm[b[nz]] = tgt[nz] * 1_000_000 // raw[nz]
+
+    def score(t: pa.Table, ratio_ppm=ratio_ppm) -> pa.Table:
+        bucket, doc_row = _doc_buckets(t)
+        n = t.num_rows
+        n_bg = np.bincount(doc_row, minlength=n).astype(np.int64)
+        imp = np.zeros(n, dtype=np.int64)
+        np.add.at(imp, doc_row, ratio_ppm[bucket])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(n_bg),
+                "imp_score": pa.array(imp),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, public): k-means-cluster the
+    embedding space, then look for near-duplicates ONLY within each
+    cluster -> (vec_id, cluster, is_dup) with is_dup = 1 iff a
+    lower-vec_id member of the same cluster sits within integer L2
+    distance T on the 1e6 quant grid. The clustering is the bitwise
+    integer-domain Lloyd trainer shared with kmeans_clusters, so the
+    DuckDB twin reproduces clusters AND the within-cluster pair scan
+    value-exactly. Scale shape: the within-cluster pairwise sweep is the
+    SemDeDup design point -- cluster count k grows with the corpus so
+    per-cluster membership (and the m^2 term) stays bounded; members
+    co-locate via one cluster-hashed shuffle and the sweep is one int64
+    gram-matrix kernel per cluster, no Python pair loop."""
+    from ..stages.groupby import hash_partition_apply
+    from ..stages.similarity import _quant_int, ivf_train_integer
+
+    T = 1_300_000_000_000
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = ivf_train_integer(emb, 8, 3, 1e6)
+    if cent.size == 0:
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype=np.int64),
+             "cluster": pd.Series(dtype=np.int64),
+             "is_dup": pd.Series(dtype=np.int64)})
+
+    def assign(batch: pd.DataFrame, cent=cent) -> pd.DataFrame:
+        qi = _quant_int(
+            np.stack(batch["embedding"].to_numpy()).astype(np.float64), 1e6)
+        d2 = ((qi[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "cluster": d2.argmin(axis=1).astype(np.int64),
+                "q": list(qi),
+            }
+        )
+
+    a = emb.map_batches(assign, batch_format="pandas", batch_size=4096)
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cl, g in part.groupby("cluster", sort=False):
+            g = g.sort_values("vec_id", kind="mergesort")
+            q = np.stack(g["q"].to_numpy()).astype(np.int64)
+            # exact int64 gram-matrix pairwise distances: |q| <= ~4e6 per
+            # coord, 64 dims -> dot <= ~1e15, well inside int64
+            n2 = (q * q).sum(axis=1)
+            d2 = n2[:, None] + n2[None, :] - 2 * (q @ q.T)
+            near_lower = np.tril(d2 <= T, k=-1)
+            outs.append(pd.DataFrame(
+                {
+                    "vec_id": g["vec_id"].to_numpy(np.int64),
+                    "cluster": np.full(len(g), cl, dtype=np.int64),
+                    "is_dup": near_lower.any(axis=1).astype(np.int64),
+                }
+            ))
+        if not outs:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype=np.int64),
+                 "cluster": pd.Series(dtype=np.int64),
+                 "is_dup": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return _pd(
+        hash_partition_apply(a, ["cluster"], sweep,
+                             num_partitions=8, stamp_batch_size=None),
+        {"vec_id": "int64", "cluster": "int64", "is_dup": "int64"},
+    )
+
+
+def _round4i_queries():
+    """Ninth-session round-4 additions; ORDER CONTRACT: registered after
+    _round4h_queries, still inside the never-driver-sampled region
+    (driver rows arrive in round 5; combined round-4h/4i + round-5
+    additions must stay <= 13 so round 5's 50-entry sample closes the
+    cumulative gate)."""
+    return {
+        "revenue_cube": q_revenue_cube,
+        "supplier_hhi": q_supplier_hhi,
+        "vocab_coverage": q_vocab_coverage,
+        "importance_weights": q_importance_weights,
+        "semantic_dedup": q_semantic_dedup,
+    }
+
+
 def _round4e_queries():
     """Fifth-session round-4 additions; ORDER CONTRACT: registered after
     _round4d_queries, still inside the never-driver-sampled region (these
@@ -6696,6 +6996,7 @@ def queries():
         **_round4e_queries(),
         **_round4f_queries(),
         **_round4h_queries(),
+        **_round4i_queries(),
         # --- round-3b additions (driver-sampled round 3) ---
         "tf_cosine_pairs": q_tf_cosine_pairs,
         "part_skyline": q_part_skyline,
@@ -8791,6 +9092,107 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
 FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
+        "revenue_cube": """
+SELECT o_orderstatus, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(o_orderstatus, c_mktsegment)""",
+        # supplier_hhi: the supplier_share ppm chain rolled up to
+        # SUM(share_ppm^2) per nation (HUGEINT-safe, result <= 1e12)
+        "supplier_hhi": """
+WITH sh_r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_c4
+  FROM lineitem GROUP BY l_suppkey),
+sh_j AS (
+  SELECT s.s_suppkey, n.n_name, r.rev_c4, s.s_nationkey
+  FROM sh_r r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+sh_t AS (
+  SELECT s_nationkey, CAST(SUM(rev_c4) AS BIGINT) AS tot
+  FROM sh_j GROUP BY s_nationkey),
+sh_s AS (
+  SELECT j.n_name,
+         CAST(CASE WHEN t.tot > 0
+                   THEN CAST(j.rev_c4 AS HUGEINT) * 1000000 // t.tot
+                   ELSE 0 END AS BIGINT) AS share_ppm
+  FROM sh_j j JOIN sh_t t ON j.s_nationkey = t.s_nationkey)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi
+FROM sh_s GROUP BY n_name""",
+        "vocab_coverage": r"""
+WITH vct AS (SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS token
+             FROM documents),
+vcc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM vct GROUP BY token),
+vcr AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rn FROM vcc),
+vtot AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS total,
+                CAST(COUNT(*) AS BIGINT) AS vocab FROM vcc),
+vks AS (SELECT unnest([1, 3, 10]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(least(k, vtot.vocab) AS BIGINT) AS n_top_tokens,
+       CAST(COALESCE((SELECT SUM(cnt) FROM vcr WHERE rn <= k), 0) AS BIGINT)
+         AS covered_tokens,
+       vtot.total AS total_tokens,
+       CAST(CASE WHEN vtot.total > 0
+                 THEN COALESCE((SELECT SUM(cnt) FROM vcr WHERE rn <= k), 0)
+                      * 1000000 // vtot.total
+                 ELSE 0 END AS BIGINT) AS coverage_ppm
+FROM vks CROSS JOIN vtot""",
+        # importance_weights: the polyhash64 % 64 bucket hash replayed
+        # codepoint by codepoint in HUGEINT (the edge_negatives idiom);
+        # ratio table + per-doc occurrence sum, LEFT JOIN keeps
+        # bigram-less documents at score 0
+        "importance_weights": r"""
+WITH iwt AS (SELECT doc_id, source,
+                    regexp_extract_all(COALESCE(text, ''), '\S+') AS t
+             FROM documents),
+iwb AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+                     ELSE [] END) AS bg
+  FROM iwt),
+iwh AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(list_reduce([CAST(unicode(c) AS HUGEINT)
+                           FOR c IN string_split_regex(bg, '')],
+              (acc, x) -> (acc * 1000003 + x) % 18446744073709551616)
+              % 64 AS BIGINT) AS bucket
+  FROM iwb),
+iwr AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_n,
+         CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT) AS tgt_n
+  FROM iwh GROUP BY bucket),
+iww AS (SELECT bucket, tgt_n * 1000000 // raw_n AS w FROM iwr WHERE raw_n > 0),
+iws AS (
+  SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(w.w) AS BIGINT) AS imp_score
+  FROM iwh h JOIN iww w USING (bucket) GROUP BY h.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.imp_score, 0) AS BIGINT) AS imp_score
+FROM documents d LEFT JOIN iws s ON d.doc_id = s.doc_id""",
+        # semantic_dedup: the shared integer-domain Lloyd chain
+        # (bitwise-identical clusters), then the within-cluster pair scan
+        # as a dims-exploded BIGINT L2 self-join
+        "semantic_dedup": _ivf_train_ctes(8, 3, "1000000.0") + """,
+sda AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, e.q FROM afin a JOIN qe e USING (vec_id)),
+sdp AS (
+  SELECT b.vec_id AS vec_id,
+         SUM((a.q[dd.d] - b.q[dd.d]) * (a.q[dd.d] - b.q[dd.d])) AS d2
+  FROM sda a JOIN sda b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  CROSS JOIN dims dd
+  GROUP BY a.vec_id, b.vec_id)
+SELECT s.vec_id AS vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM sdp p
+                              WHERE p.vec_id = s.vec_id
+                                AND p.d2 <= 1300000000000)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM sda s""",
         # events_pivot: dynamic PIVOT discovers the same type vocabulary
         # from the same data, so column sets agree by construction
         "events_pivot": "PIVOT events ON event_type USING COUNT(*) GROUP BY user_id",
