@@ -42,6 +42,47 @@ def test_revenue_cube_grouping_sets_consistent():
         k: int(v) for k, v in want_status.items()}
 
 
+def test_cube_rollup_null_key_groups_match_sql(tmp_path):
+    """A data-NULL grouping key is its own group in SQL GROUP BY, and the
+    coarser CUBE/ROLLUP sets must keep it: pandas groupby's default
+    dropna=True silently dropped those rows from the driver-side lattice
+    re-aggregation (caught by review, not by the oracle corpora -- none
+    had NULL keys). Permanent NULL-key corpus pin for both queries."""
+    import shutil
+
+    import duckdb
+
+    from wikidata_qrank_ray.pipelines.queries import (
+        oracle_sql, q_revenue_cube, q_revenue_rollup)
+
+    for f in ("orders", "customer", "nation", "region"):
+        shutil.copy(f"{SF}/{f}.parquet", str(tmp_path / f"{f}.parquet"))
+    o = pq.read_table(str(tmp_path / "orders.parquet")).to_pandas()
+    o.loc[o.index[:5], "o_orderstatus"] = None
+    o.loc[o.index[5:9], "o_orderpriority"] = None
+    pq.write_table(pa.Table.from_pandas(o, preserve_index=False),
+                   str(tmp_path / "orders.parquet"))
+    c = pq.read_table(str(tmp_path / "customer.parquet")).to_pandas()
+    c.loc[c.index[:3], "c_mktsegment"] = None
+    pq.write_table(pa.Table.from_pandas(c, preserve_index=False),
+                   str(tmp_path / "customer.parquet"))
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')")
+    sql = oracle_sql()
+    for q, fn in (("revenue_cube", q_revenue_cube),
+                  ("revenue_rollup", q_revenue_rollup)):
+        got = fn(str(tmp_path)).fillna(np.nan)
+        want = con.sql(sql[q]).df().fillna(np.nan)
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        w = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w)
+
+
 def test_supplier_hhi_bruteforce_twin():
     from wikidata_qrank_ray.pipelines.queries import q_supplier_hhi
 

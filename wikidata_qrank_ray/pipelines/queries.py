@@ -3385,7 +3385,9 @@ def q_revenue_rollup(sf_dir: str):
         {"o_orderpriority": object, "o_orderstatus": object,
          "n_orders": "int64", "revenue_c": "int64"},
     )
-    mid = fine.groupby("o_orderpriority", as_index=False)[["n_orders", "revenue_c"]].sum()
+    # dropna=False: a data-NULL priority is its own rollup group in SQL
+    mid = fine.groupby("o_orderpriority", as_index=False, dropna=False)[
+        ["n_orders", "revenue_c"]].sum()
     mid["o_orderstatus"] = None
     top = pd.DataFrame(
         {
@@ -3399,6 +3401,9 @@ def q_revenue_rollup(sf_dir: str):
     out = pd.concat([fine, mid, top], ignore_index=True)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     out["revenue"] = out.pop("revenue_c").astype(np.float64) / 100.0
+    for key in ("o_orderpriority", "o_orderstatus"):
+        # pandas renders the data-NULL group key as NaN; SQL says None
+        out[key] = out[key].astype(object).where(out[key].notna(), None)
     return out[["o_orderpriority", "o_orderstatus", "n_orders", "revenue"]]
 
 
@@ -6585,11 +6590,16 @@ def q_revenue_cube(sf_dir: str):
         {"o_orderstatus": object, "c_mktsegment": object,
          "n_orders": "int64", "revenue_c": "int64"},
     )
+    # dropna=False: a data-NULL key is its own group in SQL GROUP BY, so
+    # the coarser grouping sets must keep it too (pandas drops it by
+    # default, silently desumming the lattice on NULL-keyed inputs)
     by_status = fine.groupby(
-        "o_orderstatus", as_index=False)[["n_orders", "revenue_c"]].sum()
+        "o_orderstatus", as_index=False, dropna=False)[
+        ["n_orders", "revenue_c"]].sum()
     by_status["c_mktsegment"] = None
     by_seg = fine.groupby(
-        "c_mktsegment", as_index=False)[["n_orders", "revenue_c"]].sum()
+        "c_mktsegment", as_index=False, dropna=False)[
+        ["n_orders", "revenue_c"]].sum()
     by_seg["o_orderstatus"] = None
     top = pd.DataFrame(
         {
@@ -6603,6 +6613,9 @@ def q_revenue_cube(sf_dir: str):
     out = pd.concat([fine, by_status, by_seg, top], ignore_index=True)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     out["revenue"] = out.pop("revenue_c").astype(np.float64) / 100.0
+    for key in ("o_orderstatus", "c_mktsegment"):
+        # pandas renders the data-NULL group key as NaN; SQL says None
+        out[key] = out[key].astype(object).where(out[key].notna(), None)
     return out[["o_orderstatus", "c_mktsegment", "n_orders", "revenue"]]
 
 
@@ -6647,27 +6660,38 @@ def q_vocab_coverage(sf_dir: str):
     (k, n_top_tokens, covered_tokens, total_tokens, coverage_ppm). The
     tokenizer-budget question asked before freezing a vocab size. One
     token-hashed aggregate is the only corpus-scaled work; the ranked
-    head is a vocabulary-sorted limit (ties broken token-asc so the
-    cutoff is deterministic), and only max(k) rows reach the driver."""
+    head comes from per-block partial top-k (every global top row lives
+    in some block) re-reduced on the driver -- blocks x max(k) rows, no
+    all-to-all sort of the vocabulary. Ties break token-asc so the
+    cutoff is deterministic."""
     from ..functions.tokenize import flat_tokens
     from ..stages.groupby import hash_partition_aggregate
 
     ks = (1, 3, 10)
+    kmax = max(ks)
     docs = read_table(sf_dir, "documents", columns=["text"])
 
     def toks(t: pa.Table) -> pa.Table:
         flat, _ = flat_tokens(t["text"], fill_null=True)
         return pa.table({"token": flat})
 
+    # materialized: consumed twice (total + head) -- a lazy chain would
+    # replay the corpus aggregate for the second consumer
     counts = hash_partition_aggregate(
         docs.map_batches(toks, batch_format="pyarrow"),
         ["token"], {"cnt": ("token", "count")}, stamp_batch_size=None,
     ).materialize()
     total = int(counts.sum("cnt") or 0)
-    head = _pd(
-        counts.sort(["cnt", "token"], descending=[True, False]).limit(max(ks)),
-        {"token": object, "cnt": "int64"},
-    )
+
+    def blk_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "token"], ascending=[False, True],
+                              kind="mergesort").head(kmax)
+
+    head = _pd(counts.map_batches(blk_top, batch_format="pandas",
+                                  batch_size=None),
+               {"token": object, "cnt": "int64"})
+    head = head.sort_values(["cnt", "token"], ascending=[False, True],
+                            kind="mergesort").head(kmax)
     cum = head["cnt"].to_numpy(np.int64).cumsum()
     rows = []
     for k in ks:
@@ -6749,14 +6773,15 @@ def q_importance_weights(sf_dir: str):
     def score(t: pa.Table, ratio_ppm=ratio_ppm) -> pa.Table:
         bucket, doc_row = _doc_buckets(t)
         n = t.num_rows
-        n_bg = np.bincount(doc_row, minlength=n).astype(np.int64)
-        imp = np.zeros(n, dtype=np.int64)
-        np.add.at(imp, doc_row, ratio_ppm[bucket])
+        # one (doc x bucket) count pass feeds both outputs: the matmul
+        # form is ~10x np.add.at on the occurrence-scaled hot path
+        counts = np.bincount(doc_row * n_buckets + bucket,
+                             minlength=n * n_buckets).reshape(n, n_buckets)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_bigrams": pa.array(n_bg),
-                "imp_score": pa.array(imp),
+                "n_bigrams": pa.array(counts.sum(axis=1).astype(np.int64)),
+                "imp_score": pa.array((counts @ ratio_ppm).astype(np.int64)),
             }
         )
 
@@ -6772,12 +6797,14 @@ def q_semantic_dedup(sf_dir: str):
     integer-domain Lloyd trainer shared with kmeans_clusters, so the
     DuckDB twin reproduces clusters AND the within-cluster pair scan
     value-exactly. Scale shape: the within-cluster pairwise sweep is the
-    SemDeDup design point -- cluster count k grows with the corpus so
-    per-cluster membership (and the m^2 term) stays bounded; members
-    co-locate via one cluster-hashed shuffle and the sweep is one int64
-    gram-matrix kernel per cluster, no Python pair loop."""
+    SemDeDup design point -- in production the cluster count k grows with
+    the corpus so per-cluster membership (and the m^2 term) stays
+    bounded; k=8 here is the toy-scale instantiation the unrolled SQL
+    twin requires. Members co-locate via one cluster-hashed shuffle; the
+    sweep is a TILED int64 gram-matrix kernel (2048x8192 tiles), so an
+    oversized cluster costs time, never memory."""
     from ..stages.groupby import hash_partition_apply
-    from ..stages.similarity import _quant_int, ivf_train_integer
+    from ..stages.similarity import integer_assign_batch, ivf_train_integer
 
     T = 1_300_000_000_000
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -6789,16 +6816,7 @@ def q_semantic_dedup(sf_dir: str):
              "is_dup": pd.Series(dtype=np.int64)})
 
     def assign(batch: pd.DataFrame, cent=cent) -> pd.DataFrame:
-        qi = _quant_int(
-            np.stack(batch["embedding"].to_numpy()).astype(np.float64), 1e6)
-        d2 = ((qi[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return pd.DataFrame(
-            {
-                "vec_id": batch["vec_id"].to_numpy(np.int64),
-                "cluster": d2.argmin(axis=1).astype(np.int64),
-                "q": list(qi),
-            }
-        )
+        return integer_assign_batch(batch, cent, 1e6, with_q=True)
 
     a = emb.map_batches(assign, batch_format="pandas", batch_size=4096)
 
@@ -6808,15 +6826,28 @@ def q_semantic_dedup(sf_dir: str):
             g = g.sort_values("vec_id", kind="mergesort")
             q = np.stack(g["q"].to_numpy()).astype(np.int64)
             # exact int64 gram-matrix pairwise distances: |q| <= ~4e6 per
-            # coord, 64 dims -> dot <= ~1e15, well inside int64
+            # coord, 64 dims -> dot <= ~1e15, well inside int64. Tiled so
+            # the working set stays ~128 MB whatever the cluster size.
             n2 = (q * q).sum(axis=1)
-            d2 = n2[:, None] + n2[None, :] - 2 * (q @ q.T)
-            near_lower = np.tril(d2 <= T, k=-1)
+            m = len(q)
+            dup = np.zeros(m, dtype=bool)
+            for lo in range(0, m, 2048):
+                hi = min(lo + 2048, m)
+                rows = np.arange(lo, hi)[:, None]
+                acc = np.zeros(hi - lo, dtype=bool)
+                # only columns < hi can hold a lower-index neighbor
+                for clo in range(0, hi, 8192):
+                    chi = min(clo + 8192, hi)
+                    d2 = (n2[lo:hi, None] + n2[None, clo:chi]
+                          - 2 * (q[lo:hi] @ q[clo:chi].T))
+                    lower = np.arange(clo, chi)[None, :] < rows
+                    acc |= ((d2 <= T) & lower).any(axis=1)
+                dup[lo:hi] = acc
             outs.append(pd.DataFrame(
                 {
                     "vec_id": g["vec_id"].to_numpy(np.int64),
                     "cluster": np.full(len(g), cl, dtype=np.int64),
-                    "is_dup": near_lower.any(axis=1).astype(np.int64),
+                    "is_dup": dup.astype(np.int64),
                 }
             ))
         if not outs:

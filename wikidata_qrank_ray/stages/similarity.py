@@ -591,6 +591,30 @@ def pq_adc_topk(
     return out.nsmallest(topk, ["adc_dist", "vec_id"]).reset_index(drop=True)
 
 
+def integer_assign_batch(
+    batch: pd.DataFrame,
+    cent: np.ndarray,
+    quant_scale: float,
+    with_q: bool = False,
+) -> pd.DataFrame:
+    """The ONE Python home of the integer-grid assignment rule (quantize,
+    int64 L2, argmin with lowest-cluster tie-break == _lloyd_ctes
+    ``afin``). kmeans_integer_assign and the SemDeDup query both route
+    through here so they cannot desynchronize from the SQL twin.
+    ``with_q`` additionally carries the quantized vectors as a list
+    column (the SemDeDup sweep needs them downstream)."""
+    qi = _quant_int(
+        np.stack(batch["embedding"].to_numpy()).astype(np.float64), quant_scale)
+    d2 = ((qi[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    out = {
+        "vec_id": batch["vec_id"].to_numpy(np.int64),
+        "cluster": d2.argmin(axis=1).astype(np.int64),
+    }
+    if with_q:
+        out["q"] = list(qi)
+    return pd.DataFrame(out)
+
+
 def kmeans_integer_assign(
     emb: ray.data.Dataset,
     k: int = 8,
@@ -609,12 +633,7 @@ def kmeans_integer_assign(
              "cluster": pd.Series(dtype=np.int64)}))
 
     def _assign(batch: pd.DataFrame, cent=cent, scale=quant_scale) -> pd.DataFrame:
-        qi = _quant_int(
-            np.stack(batch["embedding"].to_numpy()).astype(np.float64), scale)
-        d2 = ((qi[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return pd.DataFrame(
-            {"vec_id": batch["vec_id"].to_numpy(np.int64),
-             "cluster": d2.argmin(axis=1).astype(np.int64)})
+        return integer_assign_batch(batch, cent, scale)
 
     return emb.map_batches(_assign, batch_format="pandas", batch_size=4096)
 
