@@ -91,6 +91,7 @@ QUERY_NAMES = [
     "revenue_cube",
     "supplier_hhi",
     "vocab_coverage",
+    "bm25_topk",
     "importance_weights",
     "semantic_dedup",
     "user_snapshot_diff",

@@ -6864,6 +6864,82 @@ def q_semantic_dedup(sf_dir: str):
     )
 
 
+BM25_TERMS = ("merge", "sort", "window", "stream")
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-20 lexical retrieval for a fixed 4-term query over the
+    document corpus -> (doc_id, score_milli), matching docs only. The
+    classic retrieval / data-mining primitive on the exact integer grid
+    (k1 = 6/5, b = 3/4 as exact rationals, avgdl on a half-up micro grid,
+    idf on a milli grid via the bitwise CPython==DuckDB ln replay -- the
+    HLL precedent). One tokenize pass, blocks-bounded stats reduce,
+    broadcast idf, per-block partial top-k: zero all-to-all shuffles."""
+    from ..stages.textstats import bm25_topk
+
+    return bm25_topk(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        BM25_TERMS, k=20,
+    )
+
+
+def _bm25_sql(terms: tuple[str, ...], k: int) -> str:
+    """DuckDB twin of stages.textstats.bm25_topk: same \\S+ tokenizer, same
+    integer grids (avgdl half-up micro, idf milli via ln over the identical
+    double expression), same one-floor-division tf normalization -- every
+    product in HUGEINT so nothing overflows. All quantities positive, so
+    DuckDB's ``//`` and numpy's floor division agree."""
+    tf_defs = ",\n         ".join(
+        "CAST(coalesce(array_length(list_filter(regexp_extract_all(text, "
+        f"'\\S+'), x -> x = '{t}')), 0) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n              ".join(
+        f"CAST(coalesce(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END), 0) "
+        f"AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    idf_defs = ",\n               ".join(
+        f"CAST(floor(1000.0*ln(1.0 + (2.0*CAST(n - df{i} AS DOUBLE) + 1.0)"
+        f"/(2.0*CAST(df{i} AS DOUBLE) + 1.0)) + 0.5) AS HUGEINT) AS idf{i}"
+        for i in range(len(terms))
+    )
+    score_sum = "\n                  + ".join(
+        f"(p.idf{i}*22*p.a*d.tf{i}) // "
+        f"(10*p.a*d.tf{i} + 3*p.a + 9000000*d.dl)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\\S+')), 0)
+              AS BIGINT) AS dl,
+         {tf_defs}
+  FROM documents),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(coalesce(sum(dl), 0) AS BIGINT) AS s,
+              {df_defs}
+       FROM d),
+prm AS (SELECT (2*CAST(s AS HUGEINT)*1000000 + n) // (2*n) AS a,
+               {idf_defs}
+        FROM st WHERE n > 0),
+sc AS (SELECT d.doc_id,
+              CAST({score_sum} AS BIGINT) AS score_milli
+       FROM d CROSS JOIN prm p)
+SELECT doc_id, score_milli FROM sc WHERE score_milli > 0
+ORDER BY score_milli DESC, doc_id LIMIT {k}"""
+
+
+def _round4j_queries():
+    """Tenth-session round-4 additions; ORDER CONTRACT: registered after
+    _round4i_queries, still inside the never-driver-sampled region
+    (combined round-4h/4i/4j + round-5 additions must stay <= 13 so round
+    5's 50-entry sample closes the cumulative gate)."""
+    return {
+        "bm25_topk": q_bm25_topk,
+    }
+
+
 def _round4i_queries():
     """Ninth-session round-4 additions; ORDER CONTRACT: registered after
     _round4h_queries, still inside the never-driver-sampled region
@@ -7028,6 +7104,7 @@ def queries():
         **_round4f_queries(),
         **_round4h_queries(),
         **_round4i_queries(),
+        **_round4j_queries(),
         # --- round-3b additions (driver-sampled round 3) ---
         "tf_cosine_pairs": q_tf_cosine_pairs,
         "part_skyline": q_part_skyline,
@@ -9129,6 +9206,10 @@ SELECT o_orderstatus, c_mktsegment,
        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY CUBE(o_orderstatus, c_mktsegment)""",
+        # bm25_topk: the integer-grid BM25 twin (avgdl half-up micro,
+        # idf milli via the bitwise ln replay, one floor division per
+        # (doc, term), HUGEINT products)
+        "bm25_topk": _bm25_sql(BM25_TERMS, 20),
         # supplier_hhi: the supplier_share ppm chain rolled up to
         # SUM(share_ppm^2) per nation (HUGEINT-safe, result <= 1e12)
         "supplier_hhi": """

@@ -558,3 +558,126 @@ def sequence_pack_offsets(
     return hash_partition_apply(
         docs.map_batches(_count, batch_format="pyarrow"), ["p"], _pack
     )
+
+
+def bm25_topk(
+    docs: ray.data.Dataset,
+    terms: tuple[str, ...],
+    k: int = 20,
+) -> pd.DataFrame:
+    """BM25 top-k lexical retrieval (the classic training-data mining /
+    retrieval-based-decontamination primitive) for a fixed query-term set
+    -> the k best-matching docs as (doc_id, score_milli), score DESC then
+    doc_id ASC, matching docs only (score > 0).
+
+    Exact integer contract (Lucene-form BM25, k1 = 6/5, b = 3/4, both
+    exact rationals), so the DuckDB twin is value-exact:
+
+    - ``avgdl_micro = (2*S*10^6 + N) // (2*N)`` -- half-up integer micro
+      grid over total tokens S and doc count N.
+    - ``idf_milli(t) = floor(1000*ln(1 + (2(N-df)+1)/(2df+1)) + 0.5)`` --
+      the always-positive +1 idf; the float tail (int->double casts, one
+      division, add, ln) is bitwise CPython==DuckDB, the HLL-precedent
+      rule, pinned over a (N, df) sweep in tests/test_textstats_bm25.py.
+    - per (doc, term): with A = avgdl_micro the exact-rational tf
+      normalization collapses to one integer floor division:
+      ``idf_milli * 22*A*tf // (10*A*tf + 3*A + 9*10^6*dl)``
+      (derivation: 1-b+b*dl/avgdl = (A+3e6*dl)/(4A); k1*(...) =
+      (3A+9e6*dl)/(10A); tf*(k1+1) = 22*tf/10). All positive, so numpy
+      and SQL integer division agree. int64-safe while
+      idf_milli*22*A*tf < 2^63 (holds to ~10^3-token avg docs, tf 10^3,
+      idf 30; the SQL twin runs the same products in HUGEINT).
+    - score_milli = sum over terms: an order-free integer sum.
+
+    Scale shape: ONE tokenize pass emits a fixed-schema per-doc row
+    (doc_id, dl, tf per query term -- q known up front), materialized
+    once; corpus stats (N, S, df_t) are a blocks-bounded one-row-partial
+    reduce; idf/avgdl broadcast as plain kwargs; scoring is a stateless
+    map; the head is per-block partial top-k re-reduced on the driver
+    (every global top-k row is in some block's top-k). ZERO all-to-all
+    shuffles, nothing corpus-scaled on the driver.
+    """
+    q = len(terms)
+    tf_cols = [f"tf{i}" for i in range(q)]
+
+    def _perdoc(t: pa.Table, terms=tuple(terms)) -> pa.Table:
+        flat, parent = flat_tokens(t["text"], fill_null=True)
+        n = t.num_rows
+        dl = np.zeros(n, dtype=np.int64)
+        if len(parent):
+            np.add.at(dl, parent, 1)
+        cols = {
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "dl": dl,
+        }
+        for i, term in enumerate(terms):
+            tf = np.zeros(n, dtype=np.int64)
+            hit = parent[pc.equal(flat, term).to_numpy(zero_copy_only=False)]
+            if len(hit):
+                np.add.at(tf, hit, 1)
+            cols[f"tf{i}"] = tf
+        return pa.table(cols)
+
+    perdoc = docs.map_batches(_perdoc, batch_format="pyarrow").materialize()
+
+    def _stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": np.int64(len(df)), "s": df["dl"].to_numpy(np.int64).sum()}
+        for c in tf_cols:
+            row[f"df_{c}"] = np.int64((df[c].to_numpy(np.int64) > 0).sum())
+        return pd.DataFrame([row])
+
+    st_df = perdoc.map_batches(
+        _stat_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype=np.int64),
+         "score_milli": pd.Series(dtype=np.int64)}
+    )
+    # a zero-block Dataset loses its schema on the driver pull
+    if len(st_df) == 0:
+        return empty
+    st = st_df.sum()
+    n_docs, s_tokens = int(st["n"]), int(st["s"])
+    if n_docs == 0:
+        return empty
+    a = (2 * s_tokens * 1_000_000 + n_docs) // (2 * n_docs)
+    import math
+
+    idf = [
+        int(math.floor(
+            1000.0 * math.log(
+                1.0 + (2.0 * (n_docs - int(st[f"df_{c}"])) + 1.0)
+                / (2.0 * int(st[f"df_{c}"]) + 1.0)
+            ) + 0.5
+        ))
+        for c in tf_cols
+    ]
+
+    def _score(df: pd.DataFrame, a=a, idf=tuple(idf), k=k) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(np.int64)
+        score = np.zeros(len(df), dtype=np.int64)
+        for i, c in enumerate(tf_cols):
+            tf = df[c].to_numpy(np.int64)
+            score += (idf[i] * 22 * a * tf) // (10 * a * tf + 3 * a + 9_000_000 * dl)
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64), "score_milli": score}
+        )
+        out = out[out["score_milli"] > 0]
+        # per-block partial top-k: the global head is a subset of the
+        # per-block heads, so the driver pull is blocks x k rows
+        return out.sort_values(
+            ["score_milli", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    head = perdoc.map_batches(
+        _score, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if len(head) == 0:
+        return empty
+    return (
+        head.sort_values(["score_milli", "doc_id"], ascending=[False, True],
+                         kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"doc_id": np.int64, "score_milli": np.int64})
+    )
