@@ -116,6 +116,48 @@ def test_null_and_empty_and_matchless():
     assert list(none.columns) == ["doc_id", "score_milli"]
 
 
+def test_all_empty_corpus_and_vt_token():
+    # all-empty corpus: a == 0 (avgdl micro grid), dl == 0 everywhere --
+    # the score's floor division would be 0 // 0; must return empty, never
+    # warn/crash (the SQL twin's NULL-scored rows fail `> 0` identically)
+    import warnings
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["", None, "   \t\n "],
+    }))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = bm25_topk(docs, TERMS, k=5)
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id", "score_milli"]
+    # \x0b is ASCII whitespace but NOT RE2 \s: "merge\x0bsort" is ONE
+    # token under the \S+ contract, so it must NOT count as a 'merge' hit
+    vt = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["merge\x0bsort merge", "merge"],
+    }))
+    got = bm25_topk(vt, ("merge",), k=5)
+    # doc 0: dl=2 (merge\x0bsort, merge), tf=1; doc 1: dl=1, tf=1 ->
+    # doc 1 scores strictly higher (shorter doc, same tf)
+    assert got["doc_id"].tolist() == [1, 0]
+
+
+def test_bm25_sql_escapes_quoted_terms():
+    # the generic (terms, k) SQL builder must survive terms containing a
+    # single quote -- DuckDB must parse it and count the literal token
+    import duckdb
+
+    from wikidata_qrank_ray.pipelines.queries import _bm25_sql
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM (VALUES "
+            "(0, 'o''brien wrote this'), (1, 'no hit here')) "
+            "AS t(doc_id, text)")
+    out = con.sql(_bm25_sql(("o'brien",), 5)).df()
+    assert out["doc_id"].tolist() == [0]
+
+
 def test_reshard_invariant():
     rng = np.random.default_rng(5)
     vocab = list(TERMS) + ["a", "b", "c"]

@@ -16,6 +16,11 @@ import pandas as pd
 ADVERSARIAL_TEXTS = [
     "", "   ", "\t\n ", "  padded text here  ", "nbsp token", None,
     "", "éàü unicode tokens déjà vu", "a", "a b",
+    # vertical tab: ASCII whitespace but NOT in RE2's \s class -- RE2
+    # (the \S+ oracles AND the engine tokenizer, functions/tokenize.py)
+    # keeps "merge\x0bsort" as ONE token; a naive ascii splitter
+    # over-splits and silently desyncs every dl/tf-derived result
+    "merge\x0bsort merge", "\x0b", "x\x0b \x0c y",
 ]
 
 

@@ -5,10 +5,16 @@ ONE home for the three subtle invariants every token-level operator
 must agree on, so they cannot silently desynchronize:
 
 - \\S+ token semantics: ``pc.ascii_split_whitespace`` splits on
-  [ \\t\\n\\v\\f\\r] exactly like RE2's \\s+ (the DuckDB oracles'
-  ``regexp_extract_all('\\S+')``) and is ~6x faster than the regex kernel,
-  but emits phantom "" fragments around leading/trailing/isolated
-  whitespace that \\S+ never produces -- they are filtered here, once.
+  [ \\t\\n\\v\\f\\r], which matches RE2's \\s+ (the DuckDB oracles'
+  ``regexp_extract_all('\\S+')``) on every character EXCEPT \\x0b
+  (vertical tab -- ASCII whitespace, but NOT in RE2's \\s class), and is
+  ~6x faster than the regex kernel. Blocks that actually contain \\x0b
+  (detected with one cheap substring scan) take the
+  ``pc.split_pattern_regex(r"\\s+")`` path instead: Arrow's regex kernel
+  IS RE2, the same library DuckDB binds, so parity there is by
+  construction. Both paths emit phantom "" fragments around
+  leading/trailing/isolated whitespace that \\S+ never produces -- they
+  are filtered here, once.
 - parent-boundary masking: a k-gram starting at flat position p is valid
   iff p and p+k-1 belong to the same source row (positions within a row
   are contiguous after the phantom filter, so endpoint equality suffices).
@@ -19,9 +25,23 @@ must agree on, so they cannot silently desynchronize:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# RE2's \S is [^ \t\n\f\r]; Python's \S (even with re.ASCII) additionally
+# excludes \v (\x0b), and str.split() also splits on unicode spaces -- the
+# explicit class makes plain-Python code (test twins, sketch tokenizers)
+# match the Arrow/DuckDB contract exactly
+_S_PLUS = re.compile(r"[^ \t\n\f\r]+")
+
+
+def py_tokens(text) -> list:
+    """\\S+ tokens of ONE Python string under the shared RE2 contract --
+    the sequential-twin counterpart of :func:`flat_tokens`."""
+    return _S_PLUS.findall(text or "")
 
 
 def flat_tokens(
@@ -34,7 +54,13 @@ def flat_tokens(
         text_col = text_col.combine_chunks()
     if fill_null:
         text_col = pc.fill_null(text_col, "")
-    parts = pc.ascii_split_whitespace(text_col)
+    has_vt = bool(pc.any(pc.match_substring(text_col, "\x0b")).as_py())
+    if has_vt:
+        # exact RE2 \s+ semantics (see module docstring): \x0b is NOT
+        # RE2 whitespace, so the fast ASCII splitter would over-split
+        parts = pc.split_pattern_regex(text_col, r"\s+")
+    else:
+        parts = pc.ascii_split_whitespace(text_col)
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     flat = pc.list_flatten(parts)

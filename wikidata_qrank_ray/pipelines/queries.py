@@ -6889,10 +6889,11 @@ def _bm25_sql(terms: tuple[str, ...], k: int) -> str:
     double expression), same one-floor-division tf normalization -- every
     product in HUGEINT so nothing overflows. All quantities positive, so
     DuckDB's ``//`` and numpy's floor division agree."""
+    esc = [t.replace("'", "''") for t in terms]
     tf_defs = ",\n         ".join(
         "CAST(coalesce(array_length(list_filter(regexp_extract_all(text, "
-        f"'\\S+'), x -> x = '{t}')), 0) AS BIGINT) AS tf{i}"
-        for i, t in enumerate(terms)
+        f"'\\S+'), x -> x = '{e}')), 0) AS BIGINT) AS tf{i}"
+        for i, e in enumerate(esc)
     )
     df_defs = ",\n              ".join(
         f"CAST(coalesce(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END), 0) "
@@ -7805,6 +7806,8 @@ hllraw AS (SELECT {g}S, zeros,
 
 
 def oracle_sql():
+    from ..stages.textstats import BPE_PATTERN as _BPE_PATTERN
+
     qrank_select = """
 SELECT qid, mention_count AS rank_value,
        CAST(row_number() OVER (ORDER BY mention_count DESC,
@@ -8353,10 +8356,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 SELECT doc_id,
        CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
 FROM documents""",
-        "bpe_token_counts": r"""
+        # shares the ENGINE's pattern string verbatim (explicit whitespace
+        # class -- Python \s and RE2 \s disagree on \x0b)
+        "bpe_token_counts": f"""
 SELECT doc_id,
        CAST(coalesce(array_length(
-            regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 0) AS BIGINT)
+            regexp_extract_all(text, '{_BPE_PATTERN}')), 0) AS BIGINT)
          AS n_bpe_tokens
 FROM documents""",
         "quality_scores": r"""

@@ -14,7 +14,6 @@ of the tiny distinct-surface table (guide: pre-aggregate before a shuffle).
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pandas as pd
@@ -26,9 +25,6 @@ from .tables import read_table
 
 GAZETTEER_TOP_N = 30
 STOPWORDS = ("the", "a")
-
-_WS = re.compile(r"\s+")
-
 
 def tokens_of_batch(text_col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """All \\S+ tokens of a string column, flattened (shared kernel in

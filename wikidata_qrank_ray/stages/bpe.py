@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.tokenize import flat_tokens
+from ..functions.tokenize import flat_tokens, py_tokens
 from .groupby import _arrow_groupby
 
 
@@ -291,7 +291,7 @@ def bpe_learn_reference(texts: list[str], n_merges: int = 8) -> pd.DataFrame:
     the bitwise pin for tests."""
     from collections import Counter
 
-    wc = Counter(t for txt in texts for t in (txt or "").split())
+    wc = Counter(t for txt in texts for t in py_tokens(txt))
     words = {w: list(w) for w in wc}
     merges = []
     for step in range(n_merges):
@@ -382,7 +382,7 @@ def bpe_tokenize_reference(
     out = []
     for txt in texts:
         total = 0
-        for w in (txt or "").split():
+        for w in py_tokens(txt):
             syms = list(w)
             for l, r in merges:
                 nxt, i = [], 0

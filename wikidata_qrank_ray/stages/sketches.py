@@ -15,6 +15,7 @@ import pandas as pd
 import ray.data
 
 from ..functions.hashing import sqlhash64
+from ..functions.tokenize import py_tokens
 
 
 class HyperLogLog:
@@ -148,7 +149,8 @@ def approx_heavy_hitters(
     def _summary(batch: pd.DataFrame) -> pd.DataFrame:
         vals = batch[column].to_numpy()
         if tokenize:
-            vals = np.concatenate([str(v).split() for v in vals]) if len(vals) else vals
+            vals = (np.concatenate([py_tokens(str(v)) for v in vals])
+                    if len(vals) else vals)
         mg = misra_gries_summary(vals, k)
         return pd.DataFrame({"item": list(mg.keys()), "cnt": list(mg.values())})
 

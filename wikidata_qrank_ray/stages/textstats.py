@@ -35,16 +35,17 @@ def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
 # BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs
 # (the GPT-2-style split simplified to RE2-compatible explicit classes so
 # the DuckDB oracle can run the identical pattern)
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# the whitespace class is spelled out because \s diverges between engines:
+# RE2 (DuckDB, Arrow) \s = [ \t\n\f\r] while Python's ASCII \s adds \v
+# (\x0b) -- an explicit class compiles to identical semantics in both, so
+# the SQL twin interpolates THIS string (queries.oracle_sql)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+"
 
 
 def _count_bpe(batch: pa.Table) -> pa.Table:
     import re
 
-    # re.ASCII: Python's \s matches unicode whitespace (NBSP!) while the
-    # oracle's RE2 \s is ASCII-only -- without the flag the two engines
-    # tokenize NBSP-containing text differently
-    pat = re.compile(BPE_PATTERN, re.ASCII)
+    pat = re.compile(BPE_PATTERN)
     texts = batch["text"].to_numpy(zero_copy_only=False)
     counts = np.fromiter(
         (len(pat.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
@@ -518,9 +519,7 @@ def sequence_pack_offsets(
         # worker closure raises ModuleNotFoundError under foreign-cwd
         # by-value pickling (verify-skill gotcha)
         _, parent = flat_tokens(t[text_col], fill_null=True)
-        n = np.zeros(t.num_rows, dtype=np.int64)
-        if len(parent):
-            np.add.at(n, parent, 1)
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
@@ -603,25 +602,25 @@ def bm25_topk(
     def _perdoc(t: pa.Table, terms=tuple(terms)) -> pa.Table:
         flat, parent = flat_tokens(t["text"], fill_null=True)
         n = t.num_rows
-        dl = np.zeros(n, dtype=np.int64)
-        if len(parent):
-            np.add.at(dl, parent, 1)
+        dl = np.bincount(parent, minlength=n).astype(np.int64)
         cols = {
             "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
             "dl": dl,
         }
         for i, term in enumerate(terms):
-            tf = np.zeros(n, dtype=np.int64)
             hit = parent[pc.equal(flat, term).to_numpy(zero_copy_only=False)]
-            if len(hit):
-                np.add.at(tf, hit, 1)
-            cols[f"tf{i}"] = tf
+            cols[f"tf{i}"] = np.bincount(hit, minlength=n).astype(np.int64)
         return pa.table(cols)
 
     perdoc = docs.map_batches(_perdoc, batch_format="pyarrow").materialize()
 
     def _stat_partial(df: pd.DataFrame) -> pd.DataFrame:
-        row = {"n": np.int64(len(df)), "s": df["dl"].to_numpy(np.int64).sum()}
+        dl = df["dl"].to_numpy(np.int64)
+        row = {
+            "n": np.int64(len(df)),
+            "s": dl.sum(),
+            "dlmax": dl.max() if len(dl) else np.int64(0),
+        }
         for c in tf_cols:
             row[f"df_{c}"] = np.int64((df[c].to_numpy(np.int64) > 0).sum())
         return pd.DataFrame([row])
@@ -638,9 +637,15 @@ def bm25_topk(
         return empty
     st = st_df.sum()
     n_docs, s_tokens = int(st["n"]), int(st["s"])
+    dl_max = int(st_df["dlmax"].max())
     if n_docs == 0:
         return empty
     a = (2 * s_tokens * 1_000_000 + n_docs) // (2 * n_docs)
+    if a == 0:
+        # all-empty corpus: s_tokens == 0 so every dl/tf is 0, every score
+        # is 0, and the denominator would hit 0 // 0 (the SQL twin's
+        # NULL-scored rows fail `> 0` the same way) -- short-circuit
+        return empty
     import math
 
     idf = [
@@ -652,6 +657,17 @@ def bm25_topk(
         ))
         for c in tf_cols
     ]
+    # tf <= dl <= dl_max, so these exact Python-int bounds cover every
+    # int64 product/sum in _score below; the HUGEINT twin stays exact past
+    # 2**63, so overflow here must be a loud error, not a silent
+    # wrap/misrank (needs avgdl ~ 4e5 tokens to trip)
+    num_bound = max(idf) * 22 * a * max(dl_max, 1)
+    den_bound = 10 * a * dl_max + 3 * a + 9_000_000 * dl_max
+    if max(num_bound, den_bound) >= 2**63:
+        raise OverflowError(
+            "bm25_topk int64 grid exceeded: "
+            f"max(idf)={max(idf)} a={a} dl_max={dl_max}"
+        )
 
     def _score(df: pd.DataFrame, a=a, idf=tuple(idf), k=k) -> pd.DataFrame:
         dl = df["dl"].to_numpy(np.int64)
