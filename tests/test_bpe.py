@@ -3,6 +3,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from wikidata_qrank_ray.functions.tokenize import py_tokens
+
 from wikidata_qrank_ray.stages.bpe import (
     _apply_merge_flat,
     bpe_learn,
@@ -96,4 +98,4 @@ def test_bpe_tokenize_matches_sequential_twin():
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert got["n_tokens"].tolist() == want
         assert got["n_words"].tolist() == [
-            len((t or "").split()) for t in texts]
+            len(py_tokens(t)) for t in texts]

@@ -7,6 +7,8 @@ import pandas as pd
 import pytest
 import ray.data
 
+from wikidata_qrank_ray.functions.tokenize import py_tokens
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -106,7 +108,7 @@ def test_triple_qualifiers_bruteforce_twin():
     want: dict[tuple[str, str], list] = {}
     for r in turns.itertuples(index=False):
         qs = {mapping.get(surf2qid[t], surf2qid[t])
-              for t in str(r.text).split() if t in surf2qid}
+              for t in py_tokens(str(r.text)) if t in surf2qid}
         sec = int(r.conv_id[1:]) * 8 + int(r.turn_idx)
         qs = sorted(qs, key=lambda q: int(q[1:]))
         for i in range(len(qs)):
@@ -159,7 +161,7 @@ def test_entity_typing_bruteforce_twin():
         own.setdefault(mapping.get(q, q), set()).add(s)
     counts: dict[tuple[str, str], int] = {}
     for r in turns.itertuples(index=False):
-        toks = str(r.text).split()
+        toks = py_tokens(str(r.text))
         ents = {mapping.get(surf2qid[t], surf2qid[t])
                 for t in toks if t in surf2qid}
         for e in ents:
@@ -214,7 +216,7 @@ def test_assoc_rules_confidence_and_support():
     ant = {}
     for r in turns.itertuples(index=False):
         for e in {mapping.get(surf2qid[t], surf2qid[t])
-                  for t in str(r.text).split() if t in surf2qid}:
+                  for t in py_tokens(str(r.text)) if t in surf2qid}:
             ant[e] = ant.get(e, 0) + 1
     qual = q_triple_qualifiers(SF).to_pandas()
     pc = {(s, o): int(n)
@@ -241,7 +243,7 @@ def test_winnow_fingerprints_bruteforce_twin():
                          columns=["doc_id", "text"]).to_pandas()
     want = set()
     for r in docs.itertuples(index=False):
-        toks = ("" if r.text is None else str(r.text)).split()
+        toks = py_tokens(str(r.text) if r.text is not None else "")
         if len(toks) >= K:
             sh = [" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)]
         elif toks:
@@ -289,7 +291,7 @@ def test_bigram_surprisal_bruteforce_twin():
     cnt: dict[str, int] = {}
     per_doc: dict[int, list] = {}
     for r in docs.itertuples(index=False):
-        toks = ("" if r.text is None else str(r.text)).split()
+        toks = py_tokens(str(r.text) if r.text is not None else "")
         bgs = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
         per_doc[int(r.doc_id)] = bgs
         for b in bgs:
@@ -456,7 +458,7 @@ def test_mention_spans_twin():
     turns = derive_transcripts(SF).to_pandas()
     want = set()
     for r in turns.itertuples(index=False):
-        for i, t in enumerate(str(r.text).split()):
+        for i, t in enumerate(py_tokens(str(r.text))):
             if t in surf2qid:
                 want.add((r.conv_id, int(r.turn_idx), surf2qid[t], i))
     got = q_mention_spans(SF).to_pandas()
@@ -475,7 +477,7 @@ def test_topic_segments_twin():
     for r in turns.itertuples(index=False):
         ent[(r.conv_id, int(r.turn_idx))] = {
             mapping.get(surf2qid[t], surf2qid[t])
-            for t in str(r.text).split() if t in surf2qid}
+            for t in py_tokens(str(r.text)) if t in surf2qid}
     want = {}
     for conv, g in turns.groupby("conv_id"):
         seg = 0

@@ -4,13 +4,14 @@ SemDeDup cluster-then-dedup -- planted cases + brute-force single-process
 twins over the real sf0.001 tables (the DuckDB oracles are the primary
 gate; these pin the kernels independently)."""
 
-import re
 from collections import Counter
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+from wikidata_qrank_ray.functions.tokenize import py_tokens
 
 SF = "/root/testdata/sf0.001"
 
@@ -122,7 +123,7 @@ def test_vocab_coverage_bruteforce_twin():
     docs = pq.read_table(SF + "/documents.parquet", columns=["text"]).to_pandas()
     cnt = Counter()
     for t in docs["text"]:
-        cnt.update(re.findall(r"\S+", t or "", re.ASCII))
+        cnt.update(py_tokens(t))
     ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
     total = sum(cnt.values())
     got = q_vocab_coverage(SF)
@@ -161,7 +162,7 @@ def test_importance_weights_bruteforce_twin():
     tgt = Counter()
     per_doc = {}
     for r in docs.itertuples(index=False):
-        toks = re.findall(r"\S+", r.text or "", re.ASCII)
+        toks = py_tokens(r.text)
         buckets = [_poly64(f"{a} {b}") % 64 for a, b in zip(toks, toks[1:])]
         per_doc[int(r.doc_id)] = buckets
         raw.update(buckets)

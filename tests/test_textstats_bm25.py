@@ -127,7 +127,9 @@ def test_all_empty_corpus_and_vt_token():
         "text": ["", None, "   \t\n "],
     }))
     with warnings.catch_warnings():
-        warnings.simplefilter("error")
+        # scoped to RuntimeWarning (the 0//0 divide signature) so benign
+        # Ray/pandas deprecation warnings can't fail this test spuriously
+        warnings.simplefilter("error", RuntimeWarning)
         got = bm25_topk(docs, TERMS, k=5)
     assert len(got) == 0
     assert list(got.columns) == ["doc_id", "score_milli"]
@@ -141,6 +143,11 @@ def test_all_empty_corpus_and_vt_token():
     # doc 0: dl=2 (merge\x0bsort, merge), tf=1; doc 1: dl=1, tf=1 ->
     # doc 1 scores strictly higher (shorter doc, same tf)
     assert got["doc_id"].tolist() == [1, 0]
+    # an empty term tuple (e.g. a query stopword-filtered to nothing)
+    # returns the typed empty head, never max([]) crashing
+    none = bm25_topk(vt, (), k=5)
+    assert len(none) == 0
+    assert list(none.columns) == ["doc_id", "score_milli"]
 
 
 def test_bm25_sql_escapes_quoted_terms():

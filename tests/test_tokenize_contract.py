@@ -25,19 +25,33 @@ CASES = [
 ]
 
 
-def test_three_way_parity():
+def _three_way(cases):
     con = duckdb.connect()
-    flat, parent = flat_tokens(pa.array(CASES, type=pa.string()),
+    flat, parent = flat_tokens(pa.array(cases, type=pa.string()),
                                fill_null=True)
     engine = [(int(p), t) for p, t in zip(parent, flat.to_pylist())]
     oracle, twin = [], []
-    for i, s in enumerate(CASES):
+    for i, s in enumerate(cases):
         toks = con.execute(
             "select regexp_extract_all(?, '\\S+')", [s or ""]).fetchone()[0]
         oracle += [(i, t) for t in toks]
         twin += [(i, t) for t in py_tokens(s)]
     assert engine == oracle
     assert engine == twin
+
+
+def test_three_way_parity_regex_path():
+    # CASES contains \x0b, so the whole column takes the RE2 regex path
+    _three_way(CASES)
+
+
+def test_three_way_parity_fast_path():
+    # the \x0b-free subset exercises pc.ascii_split_whitespace (the hot
+    # path) against the same oracle/twin on every OTHER divergent class
+    # (\x1c-\x1f, NBSP, unicode spaces, ZWSP)
+    fast = [c for c in CASES if c is None or "\x0b" not in c]
+    assert len(fast) >= 7
+    _three_way(fast)
 
 
 def test_bpe_pattern_python_equals_re2():

@@ -598,6 +598,14 @@ def bm25_topk(
     """
     q = len(terms)
     tf_cols = [f"tf{i}" for i in range(q)]
+    if q == 0:
+        # no query terms -> no positive score is possible; return the
+        # typed empty head without touching the corpus (max(idf) below
+        # would raise on the empty list)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "score_milli": pd.Series(dtype=np.int64)}
+        )
 
     def _perdoc(t: pa.Table, terms=tuple(terms)) -> pa.Table:
         flat, parent = flat_tokens(t["text"], fill_null=True)
