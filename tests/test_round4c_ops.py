@@ -47,6 +47,19 @@ def test_dedup_savings_planted(tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_dedup_savings_zero_dup_schema(tmp_path):
+    # duplicate-free corpus (the round-4 driver red cell): the result must
+    # keep the typed (rep_doc, n_copies, saved_chars) int64 schema even at
+    # zero rows -- a zero-block Dataset would lose it.
+    d = _write_docs(tmp_path / "dz", ["alpha", "beta", "gamma", None])
+    res = q_dedup_savings(d)
+    got = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    assert len(got) == 0
+    assert list(sorted(got.columns)) == ["n_copies", "rep_doc", "saved_chars"]
+    assert all(got[c].dtype == np.int64
+               for c in ("rep_doc", "n_copies", "saved_chars"))
+
+
 def test_containment_planted(tmp_path):
     # doc 0 (4 tokens -> 2 distinct 3-shingles) fully inside doc 1; the
     # reverse direction must NOT appear (doc 1 has 6 shingles, only 2

@@ -41,9 +41,11 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     issues = []
     if len(got) == 0 and len(want) == 0 and len(got.columns) == 0:
         # a Ray Dataset with zero blocks has no schema to read back --
-        # to_pandas() gives a column-less empty frame. Values agree (both
-        # empty); only flag when a non-empty side exposes a real mismatch.
-        return []
+        # to_pandas() gives a column-less empty frame. The driver compares
+        # schema even for zero-row results, so this IS a failure: queries
+        # must return a typed empty frame (queries._pd / typed-empty head).
+        return ["schema: zero-block result lost its schema "
+                f"(want {sorted(want.columns)}); return a typed empty frame"]
     if sorted(got.columns) != sorted(want.columns):
         return [f"schema: got {sorted(got.columns)} want {sorted(want.columns)}"]
     if len(got) != len(want):

@@ -4733,7 +4733,15 @@ def q_dedup_savings(sf_dir: str):
             "n_copies": df["n_copies"].to_numpy(np.int64),
             "saved_chars": (df["n_copies"].to_numpy(np.int64) - 1) * ln})
 
-    return agg.map_batches(_finalize, batch_format="pandas")
+    out = agg.map_batches(_finalize, batch_format="pandas").materialize()
+    if out.count() == 0:
+        # zero-block Datasets lose their schema; keep the typed contract
+        # (rep_doc/n_copies/saved_chars int64) on a duplicate-free corpus
+        return pd.DataFrame({
+            "rep_doc": pd.Series([], dtype=np.int64),
+            "n_copies": pd.Series([], dtype=np.int64),
+            "saved_chars": pd.Series([], dtype=np.int64)})
+    return out
 
 
 def q_pair_lifespan(sf_dir: str):
