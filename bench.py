@@ -339,11 +339,25 @@ def run_bench() -> dict:
             n = _consume(qs[name](SF_DIR))
             qtimes[name] = round(time.monotonic() - t0, 3)
 
+    # The driver reads only a ~2 KB tail window of stdout: the LAST line
+    # must stay compact (the round-4 record came back "parsed": null when
+    # all 200+ per-query timings rode the final line). Full per-query
+    # timings go to a PRECEDING stdout line and a sidecar file; the final
+    # line carries the headline plus a bounded headline-query subset.
+    headline_queries = {
+        k: qtimes[k] for k in (
+            "entity_rank", "qrank", "item_signals", "mentions", "triples",
+            "minhash_dedup", "bm25_topk", "ann_topk", "dedup_exact",
+            "training_mix",
+        ) if k in qtimes
+    }
     result = {
         "metric": "kg_build_sec",
         "value": round(headline, 3),
         "unit": "sec",
-        "queries": qtimes,
+        "queries": headline_queries,
+        "n_queries_timed": len(qtimes),
+        "queries_total_sec": round(sum(qtimes.values()), 3),
         "sf": _sf_of(SF_DIR),
         "num_cpus": NUM_CPUS,
         "bench_turns": BENCH_TURNS,
@@ -351,6 +365,14 @@ def run_bench() -> dict:
         "cold_build_sec": round(cold, 3),
         "staged_build_sec": round(staged, 3) if staged is not None else None,
     }
+    if qtimes:
+        print(json.dumps({"metric": "per_query_sec", "queries": qtimes}))
+        try:
+            with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as f:
+                json.dump({"sf": _sf_of(SF_DIR), "num_cpus": NUM_CPUS,
+                           "queries": qtimes}, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
     ray.shutdown()
     return result
 
