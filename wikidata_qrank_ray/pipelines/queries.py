@@ -1489,23 +1489,35 @@ def q_embedding_near_dups_lsh(sf_dir: str):
 
 
 def q_graph_pagerank(sf_dir: str):
-    """Weighted PageRank over the canonical co-occurrence graph (20
-    deterministic power iterations, damping 0.85) -- the iterative,
-    non-SQL-expressible operator family; rows-only for the driver, pinned
-    by golden/invariant/tier-equality tests in tests/test_graph.py.
-    Emitted with an exact rank_pos ordering so the row set is stable.
-    Edges feed the tier dispatcher as a DATASET -- the edge set only
-    reaches the driver in the small tier."""
-    from ..stages.graph import pagerank_auto
+    """Weighted PageRank LEADERBOARD over the canonical co-occurrence
+    graph: fixed-point INTEGER ranks (units of 1e-9, 3 iterations,
+    d = 17/20 -- the entity_pagerank_int arithmetic, bitwise-deterministic
+    because integer sums are associative) plus the exact rank position
+    (rank_i DESC, numeric qid ASC). Value-exact SQL oracle via the same
+    unrolled pr_r{k} CTE chain + ROW_NUMBER; the float/tier-dispatch
+    pagerank_auto family stays pinned as a library kernel by the
+    golden/invariant/tier-equality tests in tests/test_graph.py.
+    -> (qid, rank_i, rank_pos)."""
+    from ..stages.graph import pagerank_fixedpoint
 
-    edges = _canon_triples_mat(sf_dir).map_batches(
-        lambda df: df[df["pred"] == "co_occurs"][["subj", "obj", "weight"]],
+    ct = _canon_triples_mat(sf_dir)
+    edges = ct.map_batches(
+        lambda df: pd.DataFrame(
+            {"u": df[df["pred"] == "co_occurs"]["subj"].str[1:].astype(np.int64),
+             "v": df[df["pred"] == "co_occurs"]["obj"].str[1:].astype(np.int64),
+             "w": df[df["pred"] == "co_occurs"]["weight"].astype(np.int64)}),
         batch_format="pandas",
     )
-    pr = pagerank_auto(edges)
-    pr = pr.sort_values(["pagerank", "qid"], ascending=[False, True], kind="mergesort")
-    pr["rank_pos"] = np.arange(1, len(pr) + 1, dtype=np.int64)
-    return pr.reset_index(drop=True)
+    # rank table is entity-domain-sized (gazetteer-bounded), so the
+    # ordering finish is a driver-side sort over a small frame
+    pr = _pd(pagerank_fixedpoint(edges, n_iters=3),
+             {"node": "int64", "rank_i": "int64"})
+    pr = pr.sort_values(["rank_i", "node"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "qid": "Q" + pr["node"].astype(np.int64).astype(str),
+        "rank_i": pr["rank_i"].to_numpy(np.int64),
+        "rank_pos": np.arange(1, len(pr) + 1, dtype=np.int64)})
 
 
 def q_item_signals(sf_dir: str):
@@ -9752,6 +9764,15 @@ FROM asv GROUP BY media_id, n""",
             SQL_TRIPLES, ppr_cte,
             select="""
 SELECT 'Q' || CAST(node AS VARCHAR) AS qid, rank_i FROM ppr_r3""",
+        ),
+        # graph_pagerank: the integer PageRank chain (pr_cte, shared with
+        # entity_pagerank_int) finished with the exact leaderboard position
+        "graph_pagerank": _with(
+            SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS, pr_cte,
+            select="""
+SELECT 'Q' || CAST(node AS VARCHAR) AS qid, rank_i,
+       CAST(row_number() OVER (ORDER BY rank_i DESC, node ASC) AS BIGINT) AS rank_pos
+FROM pr_r3""",
         ),
         "walk_pairs": _with(
             SQL_TURNS, SQL_GAZ, SQL_HITS, SQL_TRIPLES, SQL_ALIAS,
