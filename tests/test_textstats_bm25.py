@@ -17,6 +17,7 @@ import pandas as pd
 import pytest
 import ray.data
 
+from wikidata_qrank_ray.functions.tokenize import py_tokens
 from wikidata_qrank_ray.stages.textstats import bm25_topk
 
 TERMS = ("merge", "sort", "window", "stream")
@@ -57,8 +58,10 @@ def _float_bm25(texts, terms, k1=1.2, b=0.75):
 
 
 def _int_bm25_twin(texts, terms, k):
-    """Sequential pure-Python replay of the exact integer contract."""
-    toks = [(t or "").split() for t in texts]
+    """Sequential pure-Python replay of the exact integer contract
+    (py_tokens = the shared RE2 \\S+ class, NOT str.split(), so the twin
+    cannot desync from bm25_topk on \\x0b/unicode-space corpora)."""
+    toks = [py_tokens(t) for t in texts]
     dls = [len(t) for t in toks]
     n, s = len(texts), sum(dls)
     a = (2 * s * 1_000_000 + n) // (2 * n)

@@ -8,11 +8,13 @@ must agree on, so they cannot silently desynchronize:
   [ \\t\\n\\v\\f\\r], which matches RE2's \\s+ (the DuckDB oracles'
   ``regexp_extract_all('\\S+')``) on every character EXCEPT \\x0b
   (vertical tab -- ASCII whitespace, but NOT in RE2's \\s class), and is
-  ~6x faster than the regex kernel. Blocks that actually contain \\x0b
-  (detected with one cheap substring scan) take the
+  ~6x faster than the regex kernel. Only the ROWS that actually contain
+  \\x0b (detected with one cheap substring scan) take the
   ``pc.split_pattern_regex(r"\\s+")`` path instead: Arrow's regex kernel
   IS RE2, the same library DuckDB binds, so parity there is by
-  construction. Both paths emit phantom "" fragments around
+  construction; the other rows of the same block keep the fast kernel
+  and a stable sort on the source row index re-merges the two streams
+  in (row, position) order. Both paths emit phantom "" fragments around
   leading/trailing/isolated whitespace that \\S+ never produces -- they
   are filtered here, once.
 - parent-boundary masking: a k-gram starting at flat position p is valid
@@ -54,13 +56,34 @@ def flat_tokens(
         text_col = text_col.combine_chunks()
     if fill_null:
         text_col = pc.fill_null(text_col, "")
-    has_vt = bool(pc.any(pc.match_substring(text_col, "\x0b")).as_py())
-    if has_vt:
-        # exact RE2 \s+ semantics (see module docstring): \x0b is NOT
-        # RE2 whitespace, so the fast ASCII splitter would over-split
-        parts = pc.split_pattern_regex(text_col, r"\s+")
-    else:
-        parts = pc.ascii_split_whitespace(text_col)
+    vt_rows = pc.fill_null(pc.match_substring(text_col, "\x0b"), False)
+    if not bool(pc.any(vt_rows).as_py()):
+        return _flatten(pc.ascii_split_whitespace(text_col), None)
+    # ROW-granular slow path: only the rows that actually contain \x0b pay
+    # the ~6x regex tax (exact RE2 \s+ semantics, see module docstring --
+    # \x0b is NOT RE2 whitespace, so the fast ASCII splitter would
+    # over-split them); every other row keeps the fast kernel. Each row
+    # lands wholly in one branch, so a stable sort on the original row
+    # index restores global (row, position) order.
+    m = vt_rows.to_numpy(zero_copy_only=False).astype(bool)
+    rows = np.arange(len(text_col), dtype=np.int64)
+    flat_s, par_s = _flatten(
+        pc.split_pattern_regex(text_col.filter(pa.array(m)), r"\s+"),
+        rows[m])
+    flat_f, par_f = _flatten(
+        pc.ascii_split_whitespace(text_col.filter(pa.array(~m))),
+        rows[~m])
+    flat = pa.concat_arrays([flat_s, flat_f])
+    parent = np.concatenate([par_s, par_f])
+    order = np.argsort(parent, kind="stable")
+    return flat.take(pa.array(order)), parent[order]
+
+
+def _flatten(parts, row_ids) -> tuple[pa.Array, np.ndarray]:
+    """List-of-tokens column -> (flat tokens, ORIGINAL row index per
+    token): drops the phantom "" fragments both split kernels emit and
+    maps local list positions back through ``row_ids`` (None = identity,
+    the no-\\x0b fast path -- skips the gather)."""
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     flat = pc.list_flatten(parts)
@@ -70,7 +93,10 @@ def flat_tokens(
     parent = parent.filter(mask)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
-    return flat, parent.to_numpy()
+    local = parent.to_numpy()
+    if row_ids is None or not len(local):
+        return flat, local.astype(np.int64, copy=False)
+    return flat, row_ids[local]
 
 
 def kgram_starts(parent: np.ndarray, k: int) -> np.ndarray:

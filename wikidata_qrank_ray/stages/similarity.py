@@ -603,6 +603,13 @@ def integer_assign_batch(
     through here so they cannot desynchronize from the SQL twin.
     ``with_q`` additionally carries the quantized vectors as a list
     column (the SemDeDup sweep needs them downstream)."""
+    if len(batch) == 0:
+        # np.stack raises on zero rows; keep the typed empty contract
+        out = {"vec_id": pd.Series(dtype=np.int64),
+               "cluster": pd.Series(dtype=np.int64)}
+        if with_q:
+            out["q"] = pd.Series(dtype=object)
+        return pd.DataFrame(out)
     qi = _quant_int(
         np.stack(batch["embedding"].to_numpy()).astype(np.float64), quant_scale)
     d2 = ((qi[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
