@@ -1206,8 +1206,23 @@ def incremental_minhash_dedup(
 
     # semi-filter both sig sources to candidate endpoints BEFORE the pair
     # join: the join side is then candidate-bounded, not index-bounded (an
-    # increment against a 10^10-doc index must not shuffle the whole index)
-    need_ref = ray.put(_pair_endpoint_ids(cand_ds))
+    # increment against a 10^10-doc index must not shuffle the whole index).
+    # Tier gates are DRIVER-COMPUTABLE bounds (pair count from the pinned
+    # cand_ds; endpoint count x exact per-doc sig bytes), so the candidate
+    # sig pull is ONE fused execution -- no materialize-then-probe, no
+    # separate endpoint-scan + filter + verify chain (each chained
+    # execution costs a fixed ~1 s regardless of data size).
+    sig_bytes_per_doc = num_perm * 8 + 32
+    pairs_fit = n_cand * 24 <= broadcast_max_bytes
+    if pairs_fit:
+        # small-pair tier pull: the pair list is its own endpoint source
+        cpd = cand_ds.to_pandas()
+        need = np.unique(np.concatenate(
+            [cpd["a"].to_numpy(np.int64), cpd["b"].to_numpy(np.int64)]))
+    else:
+        cpd = None
+        need = _pair_endpoint_ids(cand_ds)
+    need_ref = ray.put(need)
 
     def _sig_filter(df: pd.DataFrame, need_ref=need_ref) -> pd.DataFrame:
         need = ray.get(need_ref)
@@ -1215,9 +1230,7 @@ def incremental_minhash_dedup(
         pos[pos == len(need)] = 0
         return df[need[pos] == df["doc_id"].to_numpy()][["doc_id", "sig"]]
 
-    sub = old_sigs.union(new_sigs).map_batches(
-        _sig_filter, batch_format="pandas"
-    ).materialize()
+    sub = old_sigs.union(new_sigs).map_batches(_sig_filter, batch_format="pandas")
 
     def _est(sa: np.ndarray, sb: np.ndarray, a, b) -> pd.DataFrame:
         est = (sa == sb).mean(axis=1)
@@ -1230,39 +1243,46 @@ def incremental_minhash_dedup(
         )
         return out[est >= threshold]
 
-    if sub.size_bytes() <= broadcast_max_bytes:
+    if len(need) * sig_bytes_per_doc <= broadcast_max_bytes:
         # broadcast tier (the common case: candidate sigs are ~520 B/doc):
-        # one ray.put, one shuffle-free map over the pair Dataset -- skips
-        # both bucketed joins entirely
-        # a doc re-ingested or re-appended appears twice with an IDENTICAL
-        # signature (deterministic params); keep one so the broadcast
-        # Series has unique labels (the join tier absorbs the duplicate
-        # rows in union-find -- same final links)
+        # the filtered index scan streams straight to the driver (one
+        # execution). A doc re-ingested or re-appended appears twice with
+        # an IDENTICAL signature (deterministic params); keep one so the
+        # lookup Series has unique labels (the join tier absorbs the
+        # duplicate rows in union-find -- same final links)
         sdf = sub.to_pandas().drop_duplicates("doc_id")
-        sig_ref = ray.put(
-            pd.Series(sdf["sig"].to_numpy(), index=sdf["doc_id"].to_numpy())
-        )
+        s = pd.Series(sdf["sig"].to_numpy(), index=sdf["doc_id"].to_numpy())
 
-        def _verify_bcast(df: pd.DataFrame, sig_ref=sig_ref) -> pd.DataFrame:
-            n = len(df)
-            if n == 0:
-                return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                     "b": pd.Series([], dtype=np.int64),
-                                     "est_jaccard": pd.Series([], dtype=np.float64)})
-            s = ray.get(sig_ref)
-            sa = np.frombuffer(
-                b"".join(s.reindex(df["a"].to_numpy())), dtype=np.int64
-            ).reshape(n, -1)
-            sb = np.frombuffer(
-                b"".join(s.reindex(df["b"].to_numpy())), dtype=np.int64
-            ).reshape(n, -1)
-            return _est(sa, sb, df["a"].to_numpy(), df["b"].to_numpy())
+        def _sig_matrix(lookup: pd.Series, ids: np.ndarray) -> np.ndarray:
+            return np.frombuffer(
+                b"".join(lookup.reindex(ids)), dtype=np.int64
+            ).reshape(len(ids), -1)
 
-        verified = cand_ds.map_batches(
-            _verify_bcast, batch_format="pandas"
-        ).to_pandas()
+        if cpd is not None:
+            # pairs already on the driver: verify is one vectorized numpy
+            # kernel, zero extra executions
+            verified = _est(_sig_matrix(s, cpd["a"].to_numpy(np.int64)),
+                            _sig_matrix(s, cpd["b"].to_numpy(np.int64)),
+                            cpd["a"].to_numpy(), cpd["b"].to_numpy())
+        else:
+            sig_ref = ray.put(s)
+
+            def _verify_bcast(df: pd.DataFrame, sig_ref=sig_ref) -> pd.DataFrame:
+                n = len(df)
+                if n == 0:
+                    return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                         "b": pd.Series([], dtype=np.int64),
+                                         "est_jaccard": pd.Series([], dtype=np.float64)})
+                lk = ray.get(sig_ref)
+                return _est(_sig_matrix(lk, df["a"].to_numpy()),
+                            _sig_matrix(lk, df["b"].to_numpy()),
+                            df["a"].to_numpy(), df["b"].to_numpy())
+
+            verified = cand_ds.map_batches(
+                _verify_bcast, batch_format="pandas"
+            ).to_pandas()
     else:
-        joined = pair_join_values(cand_ds, sub, "sig", n_cand)
+        joined = pair_join_values(cand_ds, sub.materialize(), "sig", n_cand)
 
         def _verify(df: pd.DataFrame) -> pd.DataFrame:
             n = len(df)
