@@ -277,6 +277,52 @@ def test_exact_jaccard_df_cutoff_caps_hot_shingles():
     assert ((got["a"] == 0) & (got["b"] == 1)).any()  # planted pair survives
 
 
+def test_exact_jaccard_df_cutoff_full_sizes():
+    """df_cutoff_sizes='full' (the single-shingle-pass policy): hot
+    shingles leave the intersections but denominators keep the FULL-space
+    sizes -- a conservative lower bound, brute-forced here; and with a
+    cutoff no shingle crosses, BOTH policies equal the uncapped result
+    (tier equality)."""
+    from wikidata_qrank_ray.functions.hashing import shingles as mk_shingles
+    from wikidata_qrank_ray.stages.dedup import exact_jaccard_pairs, hot_shingles
+
+    prefix = "the of and"
+    base = [f"w{i}" for i in range(20)]
+    v = list(base); v[5] = "CHANGED"
+    texts = [prefix + " " + " ".join(base), prefix + " " + " ".join(v)]
+    texts += [prefix + " " + " ".join(f"u{j}x{i}" for i in range(20)) for j in range(4)]
+    ds = _docs(texts)
+
+    hot_set = set(hot_shingles(ds, shingle_k=3, df_cutoff=3))
+    got = (exact_jaccard_pairs(ds, shingle_k=3, threshold=0.3, df_cutoff=3,
+                               df_cutoff_sizes="full")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    full_sets = [set(mk_shingles(t.split(), 3)) for t in texts]
+    red_sets = [{s for s in fs if s not in hot_set} for fs in full_sets]
+    rows = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(red_sets[i] & red_sets[j])
+            if inter == 0:
+                continue
+            jac = inter / (len(full_sets[i]) + len(full_sets[j]) - inter)
+            if jac >= 0.3:
+                rows.append((i, j, jac))
+    want = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    pd.testing.assert_frame_equal(
+        got.astype({"a": np.int64, "b": np.int64}),
+        want.astype({"a": np.int64, "b": np.int64}))
+
+    # tier equality at a cutoff nothing crosses: full == reduced == uncapped
+    uncapped = (exact_jaccard_pairs(ds, shingle_k=3, threshold=0.3)
+                .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    for sizes in ("reduced", "full"):
+        capped = (exact_jaccard_pairs(ds, shingle_k=3, threshold=0.3,
+                                      df_cutoff=10**6, df_cutoff_sizes=sizes)
+                  .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(capped, uncapped)
+
+
 def test_verify_tiers_identical():
     """Broadcast verify tier == bucket-join verify tier on the same
     candidate set."""

@@ -306,23 +306,30 @@ def shingle_rows(
     def _batch(b, k=shingle_k, hot_ref=hot_ref) -> pd.DataFrame:
         out = _shingle_rows_batch(b, k)
         if hot_ref is not None:
-            # hot is broadcast PRE-SORTED; sorted-array membership instead
-            # of rebuilding a hash set from the array every batch
-            hot = ray.get(hot_ref)
-            sv = out["s"].to_numpy()
-            if len(hot) and len(sv):
-                pos = np.searchsorted(hot, sv)
-                pos[pos == len(hot)] = 0
-                keep = hot[pos] != sv
-                out = out[keep].copy()
-                out["sz"] = (
-                    out.groupby("doc_id", sort=False)["s"]
-                    .transform("size")
-                    .astype(np.int64)
-                )
+            out = _drop_hot_resize(out, ray.get(hot_ref))
         return out
 
     return docs.map_batches(_batch, batch_format="pyarrow")
+
+
+def _drop_hot_resize(out: pd.DataFrame, hot: np.ndarray) -> pd.DataFrame:
+    """Drop rows whose shingle is in the PRE-SORTED ``hot`` array
+    (sorted-array membership instead of rebuilding a hash set per batch)
+    and recompute the per-doc ``sz`` over the reduced shingle space.
+    Requires every doc's rows to sit wholly inside ``out`` (true for
+    shingle-explosion batches and for block-aligned re-maps of them)."""
+    sv = out["s"].to_numpy()
+    if len(hot) and len(sv):
+        pos = np.searchsorted(hot, sv)
+        pos[pos == len(hot)] = 0
+        keep = hot[pos] != sv
+        out = out[keep].copy()
+        out["sz"] = (
+            out.groupby("doc_id", sort=False)["s"]
+            .transform("size")
+            .astype(np.int64)
+        )
+    return out
 
 
 def hot_shingles(
@@ -333,22 +340,33 @@ def hot_shingles(
     broadcast payload for the skew cap. Distributed count (shingle rows are
     distinct per doc, so df = row count per shingle); only the hot TAIL
     (at most corpus_docs/df_cutoff values) reaches the driver."""
+    return hot_from_shingle_rows(
+        shingle_rows(docs, shingle_k), df_cutoff, num_partitions)
+
+
+def hot_from_shingle_rows(
+    rows: ray.data.Dataset, df_cutoff: int, num_partitions: int = 64,
+) -> np.ndarray:
+    """``hot_shingles`` over an ALREADY-SHINGLED row Dataset (distinct per
+    doc, so df = row count per shingle) -- lets single-pass callers pin the
+    rows once and count over the pinned blocks."""
     from .groupby import hash_partition_aggregate
 
-    sh = shingle_rows(docs, shingle_k)
     df = hash_partition_aggregate(
-        sh, ["s"], {"n": ("doc_id", "count")}, num_partitions,
+        rows.map_batches(lambda d: d[["doc_id", "s"]], batch_format="pandas"),
+        ["s"], {"n": ("doc_id", "count")}, num_partitions,
         stamp_batch_size=None,
     )
     hot = df.map_batches(
         lambda d, c=df_cutoff: d[d["n"] > c][["s"]], batch_format="pandas"
     ).to_pandas()
-    return np.sort(hot["s"].to_numpy())
+    return np.sort(hot.get("s", pd.Series(dtype=object)).to_numpy())
 
 
 def exact_jaccard_pairs(
     docs: ray.data.Dataset, shingle_k: int = 3, threshold: float = 0.5,
     num_partitions: int = 64, df_cutoff: int | None = None,
+    df_cutoff_sizes: str = "reduced",
 ) -> ray.data.Dataset:
     """EXACT all-pairs token-k-gram Jaccard >= threshold -> (a, b, jaccard),
     with no LSH approximation and no driver-side loops: explode distinct
@@ -363,19 +381,52 @@ def exact_jaccard_pairs(
     Skew: a shingle shared by m docs contributes O(m^2) pair partials.
     ``df_cutoff`` caps m: shingles with document frequency > cutoff are
     counted distributedly, broadcast once (``ray.put``; the hot tail is at
-    most docs/cutoff values), and dropped BEFORE pairing, with per-doc set
-    sizes recomputed on the reduced shingle space -- Jaccard is then exact
-    over that space (the standard stopword-cap tradeoff, stated rather than
-    hidden). The oracle query runs with df_cutoff=None (fully exact).
+    most docs/cutoff values), and dropped BEFORE pairing. Two documented
+    denominator policies via ``df_cutoff_sizes``:
+
+    - ``"reduced"`` (default): per-doc set sizes are recomputed on the
+      reduced shingle space -- Jaccard is exact over that space (the
+      standard stopword-cap tradeoff). The resize needs whole-doc
+      visibility, which only the shingling map itself has, so this policy
+      shingles the corpus TWICE (once for the hot count, once capped) --
+      the intended cost of exact reduced-space denominators.
+    - ``"full"``: denominators keep the FULL-space sizes; intersections
+      count only non-hot shingles, so the score is a conservative lower
+      bound of true Jaccard. This policy shingles the corpus ONCE: rows
+      are pinned, the hot tail is counted over the pinned blocks, and the
+      drop re-maps the same blocks (no per-doc resize needed).
+
+    The oracle query runs with df_cutoff=None (fully exact); both policies
+    equal it when no shingle crosses the cutoff (tier-equality tested).
     """
     from .groupby import hash_partition_aggregate, hash_partition_apply
 
-    hot_ref = None
-    if df_cutoff is not None:
-        hot = hot_shingles(docs, shingle_k, df_cutoff, num_partitions)
+    if df_cutoff_sizes not in ("reduced", "full"):
+        raise ValueError(f"df_cutoff_sizes must be 'reduced' or 'full', "
+                         f"got {df_cutoff_sizes!r}")
+    if df_cutoff is not None and df_cutoff_sizes == "full":
+        sh = shingle_rows(docs, shingle_k).materialize()
+        hot = hot_from_shingle_rows(sh, df_cutoff, num_partitions)
         if len(hot):
             hot_ref = ray.put(hot)
-    sh = shingle_rows(docs, shingle_k, hot_ref)
+
+            def _drop(df: pd.DataFrame, hot_ref=hot_ref) -> pd.DataFrame:
+                hot = ray.get(hot_ref)
+                sv = df["s"].to_numpy()
+                if not (len(hot) and len(sv)):
+                    return df
+                pos = np.searchsorted(hot, sv)
+                pos[pos == len(hot)] = 0
+                return df[hot[pos] != sv]
+
+            sh = sh.map_batches(_drop, batch_format="pandas")
+    else:
+        hot_ref = None
+        if df_cutoff is not None:
+            hot = hot_shingles(docs, shingle_k, df_cutoff, num_partitions)
+            if len(hot):
+                hot_ref = ray.put(hot)
+        sh = shingle_rows(docs, shingle_k, hot_ref)
 
     def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="s")
