@@ -3,11 +3,18 @@ columns with typed metadata.
 
 AUDIO decode is REAL (round 4): stdlib ``wave`` parses genuine RIFF/WAVE
 payloads -- header + PCM frames -- in an actor-pool stage with a
-value-exact oracle (AudioFeatureExtractor below). Image/video decode
-kernels remain STUBBED (no image/video libraries in this container)
-behind ``DecodeUnavailable`` or a deterministic fake, with the Ray-side
-plumbing real and tested: schema, actor-pool signature, small batch
-sizes for large binary payloads, and output layout.
+value-exact oracle (AudioFeatureExtractor below). IMAGE decode is REAL
+for uncompressed 24-bit BMP (round 5): ``decode_bmp``/``encode_bmp``
+below are pure-NumPy parsers of the genuine BITMAPFILEHEADER +
+BITMAPINFOHEADER container (bottom-up rows, BGR byte order, 4-byte row
+padding, top-down negative-height variant), so
+``BmpFeatureExtractor`` / ``ImageResizer(fake=False)`` /
+``BmpPatchStatsExtractor`` operate on truly decoded pixel rasters with
+value-exact SQL oracles. Only compressed image formats (PNG/JPEG) and
+video demux remain environment-blocked behind ``DecodeUnavailable`` or a
+deterministic fake, with the Ray-side plumbing real and tested: schema,
+actor-pool signature, small batch sizes for large binary payloads, and
+output layout.
 
 Design notes for 100 TB: binary payloads dominate block size, so these
 stages run with small ``batch_size`` and ``batch_format="pyarrow"`` (binary
@@ -171,19 +178,22 @@ class ImageResizer:
     """Actor-pool stage: media rows -> same layout with ``payload`` resized
     to ``(target_w, target_h)`` and width/height updated.
 
-    The real kernel (decode -> resample -> re-encode) needs an image
-    library this container doesn't have -- ``fake=False`` raises
-    ``DecodeUnavailable``. The default deterministic fake treats the
-    payload as a row-major byte raster of the row's (width, height) and
-    nearest-neighbor samples it to the target size, so output payload
-    length is EXACTLY target_w*target_h and downstream stages exercise
-    real re-sized binary columns. Rows with unknown dims (-1) pass
-    through unchanged.
+    ``fake=False`` is a REAL kernel (round 5): ``decode_bmp`` parses the
+    genuine 24-bit BMP container, nearest-neighbor resamples the decoded
+    RGB raster (out pixel (y, x) = in pixel ((y*h)//th, (x*w)//tw) --
+    integer-exact, SQL-replayable), and ``encode_bmp`` re-encodes a valid
+    bottom-up BMP; a non-BMP image payload raises ``DecodeUnavailable``
+    (the honest seam for compressed formats this container cannot decode).
+    The default deterministic fake treats the payload as a row-major byte
+    raster of the row's (width, height) and nearest-neighbor samples it to
+    the target size, so output payload length is EXACTLY target_w*target_h
+    and downstream stages exercise real re-sized binary columns. Rows with
+    unknown dims (-1) pass through unchanged in fake mode; non-image rows
+    pass through in both modes.
     """
 
     def __init__(self, target_w: int, target_h: int, fake: bool = True):
-        if not fake:
-            raise DecodeUnavailable("no image decode library in this environment")
+        self.fake = bool(fake)
         self.tw = int(target_w)
         self.th = int(target_h)
 
@@ -194,6 +204,20 @@ class ImageResizer:
         kinds = batch["kind"].to_pylist()
         out_p, out_w, out_h = [], [], []
         for buf, w, h, kind in zip(payloads, ws, hs, kinds):
+            if not self.fake:
+                if kind != "image" or not buf:
+                    out_p.append(buf)
+                    out_w.append(w if w is not None else -1)
+                    out_h.append(h if h is not None else -1)
+                    continue
+                img = decode_bmp(buf)  # raises DecodeUnavailable on non-BMP
+                ih, iw, _ = img.shape
+                yi = (np.arange(self.th) * ih) // self.th
+                xi = (np.arange(self.tw) * iw) // self.tw
+                out_p.append(encode_bmp(img[np.ix_(yi, xi)]))
+                out_w.append(self.tw)
+                out_h.append(self.th)
+                continue
             if kind != "image" or not buf or w is None or w <= 0 or h is None or h <= 0:
                 out_p.append(buf)
                 out_w.append(w if w is not None else -1)
@@ -223,11 +247,19 @@ class ImageResizer:
 
 
 def resize_images(
-    media: ray.data.Dataset, target_w: int, target_h: int, concurrency: int = 2
+    media: ray.data.Dataset,
+    target_w: int,
+    target_h: int,
+    concurrency: int = 2,
+    fake: bool = True,
 ) -> ray.data.Dataset:
     return media.map_batches(
         ImageResizer,
-        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        fn_constructor_kwargs={
+            "target_w": target_w,
+            "target_h": target_h,
+            "fake": fake,
+        },
         batch_format="pyarrow",
         batch_size=64,
         concurrency=concurrency,
@@ -345,6 +377,180 @@ class AudioFrameExtractor:
 def extract_audio_frames(media: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
     return media.map_batches(
         AudioFrameExtractor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real image container decode (round 5): uncompressed 24-bit BMP, pure
+# NumPy + struct. Mirrors the audio precedent -- payloads are genuine
+# BITMAPFILEHEADER + BITMAPINFOHEADER binaries and the extractors PARSE
+# them (magic, header fields, bottom-up/top-down row order, BGR byte
+# order, 4-byte row padding); only compressed formats (PNG/JPEG) and
+# video demux remain environment-blocked behind DecodeUnavailable.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def encode_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB raster as a genuine 24-bit BI_RGB BMP:
+    14-byte BITMAPFILEHEADER (``BM`` magic, file size, pixel-data offset
+    54) + 40-byte BITMAPINFOHEADER (biBitCount=24, biCompression=0), BGR
+    byte order, each pixel row padded to a 4-byte boundary, rows stored
+    bottom-up (``top_down=True`` writes the negative-biHeight top-down
+    variant)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects an (H, W, 3) RGB raster")
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    bgr = pixels[:, :, ::-1]
+    rows = bgr if top_down else bgr[::-1]
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, :row_bytes] = rows.reshape(h, row_bytes)
+    img_size = stride * h
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    return file_header + info_header + body.tobytes()
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP payload to an (H, W, 3) uint8 RGB
+    raster. REALLY parses the container: validates the ``BM`` magic, reads
+    the pixel-data offset from the file header and width/height/bpp/
+    compression from the info header, honours the negative-height top-down
+    variant and per-row 4-byte padding, and converts BGR -> RGB. Raises
+    ``DecodeUnavailable`` for anything that is not an uncompressed 24-bit
+    BMP -- the honest seam for formats this container has no codec for."""
+    if buf is None or len(buf) < 54 or bytes(buf[:2]) != b"BM":
+        raise DecodeUnavailable("not a BMP payload (no image codec for other formats)")
+    (offset,) = struct.unpack_from("<I", buf, 10)
+    hdr_size, w, h_signed, _planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+    if hdr_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
+        raise DecodeUnavailable(
+            f"unsupported BMP variant (bpp={bpp}, compression={comp})"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    stride = (w * 3 + 3) & ~3
+    if len(buf) < offset + stride * h:
+        raise DecodeUnavailable("truncated BMP pixel array")
+    data = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def synth_bmp_payload(media_id: int) -> bytes:
+    """Deterministic 24-bit BMP: w = 4 + media_id % 5, h = 3 + media_id % 4,
+    RGB pixel (y, x, c) = (media_id * 1000003 + y * 40503 + x * 633 + c * 29)
+    % 256. Odd media_ids encode the top-down (negative biHeight) variant so
+    the decoder's row-order branch is exercised under the oracle. The pixel
+    formula is integer-exact and SQL-replayable, so a feature extractor
+    that truly parses the container can be value-oracled end to end."""
+    mid = int(media_id)
+    w = 4 + mid % 5
+    h = 3 + mid % 4
+    y, x, c = np.meshgrid(
+        np.arange(h, dtype=np.int64),
+        np.arange(w, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    px = ((mid * 1000003 + y * 40503 + x * 633 + c * 29) % 256).astype(np.uint8)
+    return encode_bmp(px, top_down=bool(mid % 2))
+
+
+class BmpFeatureExtractor:
+    """Actor-pool stage that REALLY decodes BMP payloads: header fields
+    (width/height) are read back from the container and the pixel raster
+    reduces to integer-exact features (per-channel sums, sum of squares,
+    peak). Binary-safe Arrow batches, small batch_size (payloads dominate
+    block size). The per-payload loop is unavoidable (each row is an
+    independent container); per-raster reduction is vectorized."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = {"media_id": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "sumsq": [], "peak": []}
+        for mid, buf in zip(batch["media_id"].to_pylist(),
+                            batch["payload"].to_pylist()):
+            img = decode_bmp(buf).astype(np.int64)
+            h, w, _ = img.shape
+            outs["media_id"].append(mid)
+            outs["width"].append(w)
+            outs["height"].append(h)
+            outs["sum_r"].append(int(img[:, :, 0].sum()))
+            outs["sum_g"].append(int(img[:, :, 1].sum()))
+            outs["sum_b"].append(int(img[:, :, 2].sum()))
+            outs["sumsq"].append(int((img * img).sum()))
+            outs["peak"].append(int(img.max()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in outs.items()})
+
+
+def extract_bmp_features(media: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
+    return media.map_batches(
+        BmpFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=64,  # large binary rows: keep batches small
+        concurrency=concurrency,
+    )
+
+
+BMP_PATCH = 2  # patch edge in pixels for windowed raster analysis
+
+
+class BmpPatchStatsExtractor:
+    """Windowed raster analysis over REALLY decoded BMP payloads (the 2-D
+    analogue of AudioFrameExtractor): the RGB raster splits into fixed
+    BMP_PATCH x BMP_PATCH tiles (short edge tiles kept) and each tile
+    reduces to integer-exact stats over all channels
+    -> (media_id, py, px, n_px, psum, pmax)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, pys, pxs, ns, sums, maxs = [], [], [], [], [], []
+        for mid, buf in zip(batch["media_id"].to_pylist(),
+                            batch["payload"].to_pylist()):
+            img = decode_bmp(buf).astype(np.int64)
+            h, w, _ = img.shape
+            ny = (h + BMP_PATCH - 1) // BMP_PATCH
+            nx = (w + BMP_PATCH - 1) // BMP_PATCH
+            # vectorized tile reduce: sum/max per (py, px) via bincount grid
+            py = np.arange(h) // BMP_PATCH
+            px = np.arange(w) // BMP_PATCH
+            tile = (py[:, None] * nx + px[None, :]).ravel()
+            flat_sum = img.sum(axis=2).ravel()
+            flat_max = img.max(axis=2).ravel()
+            tsum = np.bincount(tile, weights=flat_sum, minlength=ny * nx).astype(np.int64)
+            tmax = np.full(ny * nx, -1, dtype=np.int64)
+            np.maximum.at(tmax, tile, flat_max)
+            tn = np.bincount(tile, minlength=ny * nx).astype(np.int64) * 3
+            ids.extend([mid] * (ny * nx))
+            pys.extend((np.arange(ny * nx) // nx).tolist())
+            pxs.extend((np.arange(ny * nx) % nx).tolist())
+            ns.extend(tn.tolist())
+            sums.extend(tsum.tolist())
+            maxs.extend(tmax.tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "py": pa.array(pys, pa.int64()),
+            "px": pa.array(pxs, pa.int64()),
+            "n_px": pa.array(ns, pa.int64()),
+            "psum": pa.array(sums, pa.int64()),
+            "pmax": pa.array(maxs, pa.int64()),
+        })
+
+
+def extract_bmp_patches(media: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
+    return media.map_batches(
+        BmpPatchStatsExtractor,
         batch_format="pyarrow",
         batch_size=64,
         concurrency=concurrency,
