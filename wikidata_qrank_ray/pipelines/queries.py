@@ -6507,6 +6507,48 @@ def q_bmp_resize(sf_dir: str):
     return extract_bmp_features(resized)
 
 
+_SQLDUMP_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_sqldump_roundtrip(sf_dir: str):
+    """Streaming SQL-dump TEXT parser (the reference's NewSQLReader/
+    sqlLexer, sqlreader.go:30-398, re-expressed Ray-Data-first): every
+    documents row encodes into genuine mysqldump-style multi-tuple
+    ``INSERT INTO ... VALUES`` statement lines (quoted-string escapes,
+    NULLs, bare numbers) and the statement stream parses back
+    line-parallel through the compiled-regex lexer stage
+    (sources/sqldump.SqlInsertParser) with full MySQL unescaping, then
+    casts to the typed schema. The oracle is the documents table itself,
+    so escape handling, NULL semantics, multi-tuple splitting and the
+    typed casts are all value-exact end to end."""
+    from ..sources.sqldump import (
+        SqlInsertParser,
+        cast_parsed_columns,
+        encode_sql_dump_batch,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=_SQLDUMP_COLS)
+
+    def _enc(t: pa.Table) -> pa.Table:
+        t = t.select(_SQLDUMP_COLS)  # deterministic value order per tuple
+        return pa.table({
+            "text": pa.array(encode_sql_dump_batch(t, "documents"), pa.string()),
+        })
+
+    lines = docs.map_batches(_enc, batch_format="pyarrow")
+    parsed = lines.map_batches(
+        SqlInsertParser,
+        fn_constructor_kwargs={
+            "columns": _SQLDUMP_COLS, "unescape": "full", "nulls": "none",
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return cast_parsed_columns(
+        parsed, {"doc_id": pa.int64(), "n_chars": pa.int64()}
+    )
+
+
 def q_triples_delta(sf_dir: str):
     """Incremental KG rebuild audit: the canonical-triple DELTA between an
     OLD snapshot (even-index conversations only) and the CURRENT corpus,
@@ -7132,6 +7174,7 @@ def _round5_queries():
         "bmp_features": q_bmp_features,
         "bmp_patches": q_bmp_patches,
         "bmp_resize": q_bmp_resize,
+        "sqldump_roundtrip": q_sqldump_roundtrip,
     }
 
 
@@ -8079,6 +8122,11 @@ SELECT media_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
        CAST(SUM(v * v) AS BIGINT) AS sumsq,
        CAST(MAX(v) AS BIGINT) AS peak
 FROM rval GROUP BY media_id""",
+        # sqldump_roundtrip: encode -> lex -> unescape -> cast is a lossless
+        # identity over the documents table (escape/NULL handling proven
+        # against the table itself)
+        "sqldump_roundtrip": """
+SELECT doc_id, text, lang, source, n_chars FROM documents""",
         "transcripts_ingest": _with(SQL_TURNS, select="SELECT * FROM turns"),
         "normalize_turns": _with(
             SQL_TURNS,
