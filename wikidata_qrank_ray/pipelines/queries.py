@@ -6507,6 +6507,31 @@ def q_bmp_resize(sf_dir: str):
     return extract_bmp_features(resized)
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling plumbing, value-oracled: deterministic
+    durations (doc_id % 7 * 1300 ms) drive the FrameSampler actor stage
+    (stages/multimodal.py) at a 1000 ms stride -> one (media_id,
+    frame_idx) row per sampled frame, zero rows for sub-stride clips.
+    The demux itself stays a deterministic count (no video codec in this
+    container -- the documented seam); the Ray-side fan-out schema and
+    stride arithmetic are exactly what a real demuxer stage emits, and
+    they are what this oracle pins."""
+    from ..stages.multimodal import sample_frames
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _synth(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["doc_id"]))
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "duration_ms": pa.array((ids % 7) * 1300, pa.int32()),
+        })
+
+    media = docs.map_batches(_synth, batch_format="pyarrow", batch_size=64)
+    return sample_frames(media, every_ms=1000)
+
+
 _SQLDUMP_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
@@ -7175,6 +7200,7 @@ def _round5_queries():
         "bmp_patches": q_bmp_patches,
         "bmp_resize": q_bmp_resize,
         "sqldump_roundtrip": q_sqldump_roundtrip,
+        "video_frames": q_video_frames,
     }
 
 
@@ -8127,6 +8153,13 @@ FROM rval GROUP BY media_id""",
         # against the table itself)
         "sqldump_roundtrip": """
 SELECT doc_id, text, lang, source, n_chars FROM documents""",
+        # video_frames: the deterministic duration formula replayed per
+        # 1000 ms stride window (FrameSampler fan-out pinned value-exact)
+        "video_frames": """
+WITH vm AS (SELECT doc_id AS media_id, (doc_id % 7) * 1300 AS dur
+            FROM documents WHERE doc_id IS NOT NULL),
+vf AS (SELECT media_id, UNNEST(range(0, dur // 1000)) AS frame_idx FROM vm)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx FROM vf""",
         "transcripts_ingest": _with(SQL_TURNS, select="SELECT * FROM turns"),
         "normalize_turns": _with(
             SQL_TURNS,
