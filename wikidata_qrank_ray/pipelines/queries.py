@@ -7245,14 +7245,57 @@ def _round4_queries():
     }
 
 
+def _schema_stamped(name: str, fn):
+    """Wrap a registry query so a Dataset result keeps its schema even
+    when the pipeline yields ZERO blocks: a zero-block Dataset loses its
+    columns at ``to_pandas()`` and the driver's schema compare goes red on
+    zero-row corners (the round-4 ``dedup_savings`` failure class, which
+    an empty-corpus sweep showed is latent in EVERY Dataset-returning
+    query). The wrapper finalizes the result (``materialize()`` at the
+    pipeline END -- the blocks are already object-store refs the driver
+    is about to pull, so this adds no extra pass and no extra copy) and
+    returns the recorded typed empty frame when the result has zero rows
+    (a lazy zero-row Arrow block can't do it: ``union`` schema
+    unification with a zero-block branch erases the columns). Schemas are
+    captured from real runs by tools/gen_result_schemas.py. Library
+    callers who want a pure-streaming Dataset (e.g. to ``write_parquet``
+    a huge result) should call the underlying ``q_*`` function; the
+    registry wrapper serves the correctness driver, which consumes the
+    result immediately."""
+    import base64
+    import functools
+    import os
+
+    try:
+        from .result_schemas import SCHEMAS_IPC
+    except ImportError:  # fresh checkout before generation
+        return fn
+    b64 = SCHEMAS_IPC.get(name)
+    if b64 is None or os.environ.get("GRAFT_NO_SCHEMA_STAMP"):
+        return fn
+    schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(b64)))
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str):
+        out = fn(sf_dir)
+        if isinstance(out, ray.data.Dataset):
+            out = out.materialize()
+            if out.count() == 0:
+                return schema.empty_table().to_pandas()
+        return out
+
+    return wrapped
+
+
 def queries():
     # ORDER CONTRACT: the correctness driver samples a PREFIX of this dict
     # in registry order (50 of 74 in round 2). Queries with no driver row
     # yet lead (cheap before heavy, so a time budget covers more), the
     # round-2-verified ones follow -- across rounds the union covers the
     # whole registry. Every entry stays independently checkable via
-    # tools/check_oracles.py.
-    return {
+    # tools/check_oracles.py. Every Dataset-returning entry is wrapped by
+    # _schema_stamped so zero-block results keep their schema.
+    reg = {
         # --- round-5 additions lead the dict (<= 6 per the round-4
         # verdict's prefix accounting) ---
         **_round5_queries(),
@@ -7403,6 +7446,7 @@ def queries():
         "distinct_user_count": q_distinct_user_count,
         "approx_distinct_users": q_approx_distinct_users,
     }
+    return {k: _schema_stamped(k, fn) for k, fn in reg.items()}
 
 
 def _lang_id_sql() -> str:
