@@ -35,6 +35,12 @@ CORPUS_DIR = os.environ.get(
 )
 
 QUERY_NAMES = [
+    # round-5 additions
+    "bmp_features",
+    "bmp_patches",
+    "bmp_resize",
+    "sqldump_roundtrip",
+    "video_frames",
     "mentions",
     "entity_rank_salted",
     "canonical_triples",
