@@ -132,6 +132,25 @@ def sniff_sql_columns(text: str) -> list[str]:
     return cols
 
 
+# Group-less token pattern for the hot INSERT path: ``findall`` yields
+# plain strings (no Match objects) and the state machine dispatches on the
+# FIRST CHARACTER -- ~6x cheaper per token than the named-group walk for
+# the same token classes (order matters: string and comments before \S).
+_VAL = re.compile(
+    r"""
+      '(?:[^'\\]|\\.)*'
+    | --[^\n]*
+    | /\*.*?\*/
+    | `[^`]*`
+    | [A-Za-z_][A-Za-z0-9_]*
+    | -?(?:\d+(?:\.\d+)?|\.\d+)
+    | [(),;]
+    | \S
+    """,
+    re.X | re.S,
+)
+
+
 def parse_insert_rows(line: str, unescape: str = "keep",
                       nulls: str = "empty") -> list[list]:
     """All value tuples from the INSERT statements on one line, reference
@@ -142,41 +161,50 @@ def parse_insert_rows(line: str, unescape: str = "keep",
     Malformed value lists raise (the reference's parseError)."""
     null_value = "" if nulls == "empty" else None
     rows: list[list] = []
-    toks = _LEX.finditer(line)
-    state = "base"  # base | values | tuple
+    state = 0  # 0 base | 1 seek VALUES | 2 values | 3 tuple
     row: list | None = None
-    for m in toks:
-        if state == "base":
-            if m.group("word") == "INSERT":
-                state = "seek_values"
-        elif state == "seek_values":
-            if m.group("word") == "VALUES":
-                state = "values"
-        elif state == "values":
-            if m.group("punct") == "(":
-                row = []
-                state = "tuple"
-            elif m.group("punct") == ";":
-                state = "base"
-            elif m.group("punct") != ",":
-                raise ValueError(f"sql parse error: expected tuple, got {m.group(0)!r}")
-        elif state == "tuple":
-            p = m.group("punct")
-            if p == ")":
-                rows.append(row)
+    append_row = rows.append
+    for tok in _VAL.findall(line):
+        c = tok[0]
+        if state == 3:  # inside a tuple: the hot branch
+            if c == "'":
+                body = tok[1:-1]
+                row.append(_unescape(body, unescape) if "\\" in body else body)
+            elif c == ")":
+                append_row(row)
                 row = None
-                state = "values"
-            elif p == ",":
+                state = 2
+            elif c == ",":
                 continue
-            elif m.group("str") is not None:
-                row.append(_unescape(m.group("str"), unescape))
-            elif m.group("num") is not None:
-                row.append(m.group("num"))
-            elif m.group("word") == "NULL":
+            elif c.isdigit() or (
+                (c == "-" or c == ".") and len(tok) > 1 and tok[1] != "-"
+            ):  # number: 42, -42, .7, -.7 (a -- comment is excluded)
+                row.append(tok)
+            elif tok == "NULL":
                 row.append(null_value)
+            elif tok[:2] == "--" or tok[:2] == "/*":  # comment
+                continue
             else:
-                raise ValueError(f"sql parse error: unexpected {m.group(0)!r} in VALUES")
-    if state == "tuple":
+                raise ValueError(f"sql parse error: unexpected {tok!r} in VALUES")
+        elif state == 0:
+            if tok == "INSERT":
+                state = 1
+        elif state == 1:
+            if tok == "VALUES":
+                state = 2
+        else:  # state == 2: between tuples
+            if c == "(":
+                row = []
+                state = 3
+            elif c == ";":
+                state = 0
+            elif c == ",":
+                continue
+            elif tok[:2] == "--" or tok[:2] == "/*":  # comment
+                continue
+            else:
+                raise ValueError(f"sql parse error: expected tuple, got {tok!r}")
+    if state == 3:
         raise ValueError("sql parse error: statement split across lines "
                          "(unterminated value tuple)")
     return rows
