@@ -12,8 +12,23 @@ from wikidata_qrank_ray.stages.multimodal import (
 
 
 def test_real_decode_path_is_gated():
+    """fake=False is REAL for BMP since round 5; anything the container
+    has no codec for (PNG/JPEG/...) still raises, at call time."""
+    import numpy as np
+    import pyarrow as pa
+
+    from wikidata_qrank_ray.stages.multimodal import decode_bmp, synth_bmp_payload
+
+    ex = ImageFeatureExtractor(fake=False)
     with pytest.raises(DecodeUnavailable):
-        ImageFeatureExtractor(fake=False)
+        ex(pa.table({"media_id": pa.array([1], pa.int64()),
+                     "payload": pa.array([b"\x89PNG..."], pa.binary())}))
+    payload = synth_bmp_payload(3)
+    out = ex(pa.table({"media_id": pa.array([3], pa.int64()),
+                       "payload": pa.array([payload], pa.binary())}))
+    px = decode_bmp(payload).ravel()
+    h = np.bincount(px % 8, minlength=8).astype(np.float32)
+    assert out["feature"][0].as_py() == pytest.approx((h / h.sum()).tolist())
 
 
 def test_feature_extractor_plumbing():

@@ -48,21 +48,27 @@ class DecodeUnavailable(NotImplementedError):
 class ImageFeatureExtractor:
     """Actor-pool stage: (media rows) -> (media_id, feature:list<float>).
 
-    ``fake=True`` (default here) derives a deterministic 8-dim feature from
-    the payload bytes -- the real path would load a vision model once per
-    actor in __init__ and batch-infer in __call__.
+    ``fake=True`` (default) derives a deterministic 8-dim feature from the
+    RAW payload bytes. ``fake=False`` (REAL since round 5) decodes the BMP
+    container (``decode_bmp``) and computes the same histogram over the
+    actual pixel raster -- a non-BMP payload raises ``DecodeUnavailable``
+    at call time (the seam for compressed formats); a vision-model embed
+    would slot in the same way: model load once per actor in __init__,
+    batch-infer in __call__.
     """
 
     def __init__(self, fake: bool = True, dim: int = 8):
-        if not fake:
-            raise DecodeUnavailable("no image decode library in this environment")
+        self.fake = bool(fake)
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for buf in batch["payload"].to_pylist():
-            arr = np.frombuffer(buf or b"\x00", dtype=np.uint8)
-            # deterministic fake feature: byte histogram moments
+            if self.fake:
+                arr = np.frombuffer(buf or b"\x00", dtype=np.uint8)
+            else:
+                arr = decode_bmp(buf).ravel()
+            # deterministic feature: byte/pixel histogram moments
             h = np.bincount(arr % self.dim, minlength=self.dim).astype(np.float32)
             feats.append(h / max(1.0, h.sum()))
         return pa.table(
