@@ -169,3 +169,60 @@ def test_parser_stage_empty_and_width_check():
     assert out.num_rows == 0 and out.schema.names == ["a", "b"]
     with pytest.raises(ValueError):
         p(pa.table({"text": pa.array(["INSERT INTO `t` VALUES (1,2,3);"])}))
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(), st.text(min_size=0, max_size=40)),
+    min_size=1, max_size=8,
+))
+def test_roundtrip_property(texts):
+    """encode -> parse(full unescape) is a lossless identity for ANY
+    unicode text (quotes, backslashes, newlines, control chars,
+    surrogate-free unicode) and for NULLs."""
+    t = pa.table({
+        "id": pa.array(range(len(texts)), pa.int64()),
+        "txt": pa.array(texts, pa.string()),
+    })
+    rows = []
+    for ln in encode_sql_dump_batch(t, "d", rows_per_stmt=3):
+        assert "\n" not in ln and "\r" not in ln
+        rows.extend(parse_insert_rows(ln, unescape="full", nulls="none"))
+    assert [r[1] for r in rows] == texts
+
+
+def test_schema_stamp_returns_typed_empty():
+    """The registry-wide zero-block guard: a stamped query whose Dataset
+    result has zero rows returns the recorded typed empty frame instead of
+    a column-less one (the round-4 dedup_savings failure class)."""
+    import pandas as pd
+    import ray.data
+
+    from wikidata_qrank_ray.pipelines.queries import _schema_stamped
+    from wikidata_qrank_ray.pipelines.result_schemas import SCHEMAS_IPC
+
+    assert len(SCHEMAS_IPC) >= 140  # regenerate after reshaping queries
+
+    name = "sessionize"  # any stamped entry
+
+    def fake_query(sf_dir):
+        # a pipeline that yields zero blocks (schema lost without stamp)
+        return ray.data.from_items([{"x": 1}]).filter(lambda r: False)
+
+    wrapped = _schema_stamped(name, fake_query)
+    out = wrapped("unused")
+    assert isinstance(out, pd.DataFrame) and len(out) == 0
+    assert sorted(out.columns) == sorted(
+        ["user_id", "session_id", "n_events", "session_start", "session_end"])
+
+    def nonempty_query(sf_dir):
+        return ray.data.from_items([{"x": 1}, {"x": 2}])
+
+    out2 = _schema_stamped(name, nonempty_query)("unused")
+    assert isinstance(out2, ray.data.Dataset) and out2.count() == 2
+    # non-Dataset results pass through untouched
+    df = pd.DataFrame({"a": [1]})
+    assert _schema_stamped(name, lambda s: df)("unused") is df
