@@ -36,6 +36,7 @@ CORPUS_DIR = os.environ.get(
 
 QUERY_NAMES = [
     # round-5 additions
+    "bz2dump_roundtrip",
     "bmp_features",
     "bmp_patches",
     "bmp_resize",
