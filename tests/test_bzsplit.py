@@ -92,3 +92,20 @@ def test_read_bz2_lines_distributed(tmp_path):
     open(path, "wb").write(bz2.compress(raw, 1))
     out = read_bz2_lines(path, num_splits=6).to_pandas()
     assert sorted(out["text"].tolist()) == sorted(lines)
+
+
+def test_scan_chunk_boundaries(tmp_path, monkeypatch):
+    """Offsets must be identical under a tiny scan chunk (magic sequences
+    constantly spanning chunk boundaries -- the reference's 6-byte carry
+    scenario, entities.go:84-88)."""
+    import wikidata_qrank_ray.sources.bzsplit as B
+
+    raw = ("\n".join(_mklines(20000)) + "\n").encode()
+    path = str(tmp_path / "c.bz2")
+    open(path, "wb").write(bz2.compress(raw, 1))
+    offs_default = find_block_offsets(path, 6)
+    monkeypatch.setattr(B, "_SCAN_CHUNK", 64)
+    offs_small = B.find_block_offsets(path, 6)
+    assert offs_small == offs_default
+    _, got = _roundtrip(path, 6)
+    assert b"\n".join(got) + b"\n" == raw
